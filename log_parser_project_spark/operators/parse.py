@@ -1,0 +1,184 @@
+"""Vectorized parse stage: classify (JVM) + extract (Arrow-batched).
+
+Two sub-stages, mirroring the reference's decode pipeline
+(``hex_decoder_module/decoder/payload_decoder.py:32-131``):
+
+1. **classify** — the header-decode analog
+   (``decoder/header_decoder.py:21-60``): derive ``pattern_class`` and
+   ``version`` with cheap built-in column expressions (prefix tests,
+   ``rlike``). Kept JVM-side deliberately: Catalyst folds these into
+   the scan stage (whole-stage codegen) and the routing key is then
+   available for pruning and routing *without* touching Python.
+
+2. **extract** — the field-decoder analog
+   (``decoder/field_decoder.py:14-114``): ONE Arrow-batched pandas UDF
+   applies the compiled registry. Per (class, version) it runs a
+   single vectorized ``Series.str.extract`` over the masked slice of
+   the batch — one C-level regex pass per pattern per batch, no
+   per-row Python dispatch (north-star requirement). Patterns are
+   compiled once per executor process via a module-level cache, the
+   analog of the reference's LRU metadata cache
+   (``icd_parser/cache.py``) — except immutable, so no eviction.
+
+Output layout: instead of the reference's name-mangled flat fields
+(``"{name} (Record {i})"``), extraction lands in a typed struct column
+``extracted`` (one field per registry group, null when not applicable)
+plus ``repeats: array<array<string>>`` for repeat-group matches, which
+``explode_repeats`` turns into real rows with a ``record_idx`` column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import ALL_GROUPS, PATTERNS, by_class_version
+
+# ---------------------------------------------------------------------------
+# 1. classify — routing-key + version derivation, all built-in expressions
+# ---------------------------------------------------------------------------
+
+def classify(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``pattern_class`` and ``version`` columns (JVM-side only)."""
+    t = F.col(text_col)
+    pattern_class = (
+        F.when(t.startswith("CALL "), "tool_call")
+        .when(t.startswith("ERROR "), "error")
+        .when(t.startswith("see ["), "citation")
+        .when(t.startswith("latency_ms="), "metric")
+        .when(t.startswith("HANDOFF "), "handoff")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # version resolution: the payload is self-describing — a "v=N"
+    # marker selects the layout (analog of version_resolver.py:13-56);
+    # absent marker → version 1 (the coalesce fallback of J2).
+    version = F.coalesce(
+        F.nullif(F.regexp_extract(t, r"\bv=(\d+)\b", 1), F.lit("")).cast("int"),
+        F.lit(1),
+    )
+    return df.withColumn("pattern_class", pattern_class).withColumn(
+        "version", F.when(pattern_class.isNull(), F.lit(None).cast("int")).otherwise(version)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. extract — one Arrow-batched pandas UDF over (text, class, version)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_SCHEMA = T.StructType(
+    [T.StructField("matched", T.BooleanType())]
+    + [T.StructField(g, T.StringType()) for g in ALL_GROUPS]
+    + [T.StructField("repeats", T.ArrayType(T.ArrayType(T.StringType())))]
+)
+
+# per-executor compiled-pattern cache (populated lazily inside the UDF)
+_COMPILED: dict[tuple[str, int], object] = {}
+
+
+def _compiled_registry():
+    if not _COMPILED:
+        for p in PATTERNS:
+            import re
+
+            _COMPILED[(p.pattern_class, p.version)] = (
+                re.compile(p.regex),
+                re.compile(p.repeat_group) if p.repeat_group else None,
+                p.groups,
+            )
+    return _COMPILED
+
+
+@pandas_udf(_EXTRACT_SCHEMA)
+def _extract_udf(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+    reg = _compiled_registry()
+    n = len(text)
+    out = pd.DataFrame(index=text.index)
+    out["matched"] = pd.Series([False] * n, index=text.index)
+    for g in ALL_GROUPS:
+        out[g] = pd.Series([None] * n, index=text.index, dtype=object)
+    out["repeats"] = pd.Series([None] * n, index=text.index, dtype=object)
+
+    key = cls.astype(object).where(cls.notna(), None)
+    for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
+        mask = (key == pclass) & (ver == pver)
+        if not mask.any():
+            continue
+        sub = text[mask]
+        # one vectorized C-level pass per pattern per Arrow batch
+        hit = sub.str.extract(rx)
+        matched = hit[groups[0]].notna()
+        for g in groups:
+            out.loc[mask, g] = hit[g].where(matched, None)
+        out.loc[mask, "matched"] = matched.fillna(False)
+        if repeat_rx is not None:
+            found = sub.str.findall(repeat_rx)
+            out.loc[mask, "repeats"] = found.where(matched, None).map(
+                lambda lst: [list(tup) if isinstance(tup, tuple) else [tup] for tup in lst]
+                if isinstance(lst, list)
+                else None
+            )
+    return out
+
+
+def extract(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the registry; adds ``matched``, group columns (under
+    ``extracted.*``), and ``repeats``."""
+    parsed = df.withColumn(
+        "_p", _extract_udf(F.col(text_col), F.col("pattern_class"), F.col("version"))
+    )
+    return (
+        parsed.withColumn("matched", F.col("_p.matched"))
+        .withColumn("extracted", F.struct(*[F.col(f"_p.{g}").alias(g) for g in ALL_GROUPS]))
+        .withColumn("repeats", F.col("_p.repeats"))
+        .drop("_p")
+    )
+
+
+def parse(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """classify + extract in one call."""
+    return extract(classify(df, text_col), text_col)
+
+
+# ---------------------------------------------------------------------------
+# 3. repeating-record expansion (reference §2.8) — posexplode
+# ---------------------------------------------------------------------------
+
+def explode_repeats(df: DataFrame) -> DataFrame:
+    """Explode repeat-group matches into one row per record.
+
+    The reference decodes N fixed-stride records and name-mangles
+    fields as ``"{name} (Record {i})"`` (``payload_decoder.py:188-209``);
+    here each record becomes a real row with ``record_idx`` plus
+    per-class field names resolved from the registry
+    (``repeat_fields``), e.g. ``arg_key/arg_val`` for tool_call and
+    ``doc/page`` for citation.
+    """
+    reg = by_class_version()
+    field_map = {
+        (p.pattern_class, p.version): p.repeat_fields for p in reg.values() if p.repeat_group
+    }
+    # registry is tiny → express field naming as a literal map lookup
+    exploded = (
+        df.filter(F.col("repeats").isNotNull() & (F.size("repeats") > 0))
+        .select(
+            "conv_id", "turn_idx", "pattern_class", "version",
+            F.posexplode("repeats").alias("record_idx", "record"),
+        )
+    )
+    name1 = F.create_map(
+        *[x for (c, v), flds in field_map.items() for x in (F.lit(f"{c}:{v}"), F.lit(flds[0]))]
+    )
+    name2 = F.create_map(
+        *[x for (c, v), flds in field_map.items() for x in (F.lit(f"{c}:{v}"), F.lit(flds[1]))]
+    )
+    key = F.concat_ws(":", "pattern_class", "version")
+    return exploded.select(
+        "conv_id", "turn_idx", "pattern_class", "version", "record_idx",
+        name1[key].alias("field1_name"),
+        F.col("record")[0].alias("field1_value"),
+        name2[key].alias("field2_name"),
+        F.col("record")[1].alias("field2_value"),
+    )

@@ -1,0 +1,163 @@
+"""The pattern registry — the schema-table-as-data analog.
+
+The reference drives its decoder from *field-layout tables extracted
+into data* (``hex_decoder_module/models/icd.py:40-51``:
+``LogcodeMetadata{version_map, table_definitions, dependencies}``).
+This engine's equivalent is a registry of versioned, compiled regex
+patterns with named capture groups:
+
+* ``pattern_class``  ≙ logcode (the routing key from the header,
+  ``decoder/header_decoder.py:21-60``)
+* ``version`` + in-text marker ≙ payload version resolution
+  (``decoder/version_resolver.py:13-56`` — the version is read out of
+  the payload itself; here the marker ``v=2`` inside ``text`` selects
+  the v2 layout)
+* named groups ≙ ``FieldDefinition`` rows (``models/icd.py:27-37``)
+* ``repeat_group`` regex ≙ repeating-record decode
+  (``decoder/payload_decoder.py:133-209``) → array explode
+* ``enum_map`` ≙ enum mappings (``icd_parser/table_parser.py:240-266``)
+* ``route`` ≙ which sink the decoded record lands in
+
+The registry is built deterministically in code on the driver (the
+analog of the "1000× faster" pre-generated metadata JSON path,
+``metadata_payload_parser.py``), broadcast to executors, and also
+materialized as a ``dim_patterns`` table for enrich joins and
+introspection queries.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Pattern:
+    pattern_class: str
+    version: int
+    regex: str
+    groups: tuple[str, ...]
+    route: str
+    repeat_group: str | None = None  # regex applied with findall → explode
+    repeat_fields: tuple[str, ...] = ()
+    enum_map: dict[str, str] = field(default_factory=dict)
+    enum_field: str | None = None
+
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.regex)
+
+
+# --------------------------------------------------------------------------
+# The five pattern classes of FIXTURES.md §3. handoff has two versions —
+# the v2 layout is selected per-row by the "v=2" marker in the text.
+# --------------------------------------------------------------------------
+PATTERNS: tuple[Pattern, ...] = (
+    Pattern(
+        pattern_class="tool_call",
+        version=1,
+        regex=r"^CALL (?P<tool_name>\w+) args=\{(?P<args>[^}]*)\}$",
+        groups=("tool_name", "args"),
+        route="sink_tool_calls",
+        repeat_group=r"(\w+)=(\d+)",
+        repeat_fields=("arg_key", "arg_val"),
+    ),
+    Pattern(
+        pattern_class="error",
+        version=1,
+        regex=r"^ERROR code=(?P<code>\d+) severity=(?P<severity>\d) msg='(?P<msg>[^']*)'$",
+        groups=("code", "severity", "msg"),
+        route="sink_errors",
+        enum_field="severity",
+        enum_map={"1": "debug", "2": "info", "3": "warn", "4": "error", "5": "fatal"},
+    ),
+    Pattern(
+        pattern_class="citation",
+        version=1,
+        regex=r"^see (?P<cites>\[doc-\d+#\d+\](?: and \[doc-\d+#\d+\])*)$",
+        groups=("cites",),
+        route="sink_citations",
+        repeat_group=r"\[doc-(\d+)#(\d+)\]",
+        repeat_fields=("doc", "page"),
+    ),
+    Pattern(
+        pattern_class="metric",
+        version=1,
+        regex=r"^latency_ms=(?P<latency_ms>[\d.]+) tokens=(?P<tokens>\d+)$",
+        groups=("latency_ms", "tokens"),
+        route="sink_metrics",
+    ),
+    Pattern(
+        pattern_class="handoff",
+        version=1,
+        regex=r"^HANDOFF to=(?P<to_role>\w+) reason=(?P<reason>\w+)$",
+        groups=("to_role", "reason"),
+        route="sink_handoffs",
+    ),
+    Pattern(
+        pattern_class="handoff",
+        version=2,
+        regex=r"^HANDOFF v=2 to=(?P<to_role>\w+) reason=(?P<reason>\w+) priority=(?P<priority>\d)$",
+        groups=("to_role", "reason", "priority"),
+        route="sink_handoffs",
+    ),
+)
+
+SINKS: tuple[str, ...] = (
+    "sink_tool_calls",
+    "sink_errors",
+    "sink_citations",
+    "sink_metrics",
+    "sink_handoffs",
+    "sink_unmatched",
+)
+
+ALL_GROUPS: tuple[str, ...] = tuple(
+    sorted({g for p in PATTERNS for g in p.groups})
+)
+
+
+def by_class_version() -> dict[tuple[str, int], Pattern]:
+    return {(p.pattern_class, p.version): p for p in PATTERNS}
+
+
+# --------------------------------------------------------------------------
+# Dimension tables (FIXTURES.md §2) — the enrich-join analogs of the
+# reference's logcode/enum metadata. Tiny → always broadcast.
+# --------------------------------------------------------------------------
+DIM_ROLES = [
+    ("user", "human", 1),
+    ("assistant", "model", 1),
+    ("system", "infra", 0),
+    ("tool", "infra", 2),
+]
+DIM_TOOLS = [
+    ("search", "retrieval", 1),
+    ("bash", "exec", 3),
+    ("editor", "exec", 2),
+    ("browser", "retrieval", 1),
+    ("sql", "query", 2),
+]
+
+
+def dim_roles_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DIM_ROLES, "role string, role_class string, weight int")
+
+
+def dim_tools_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DIM_TOOLS, "tool string, tool_family string, risk_level int")
+
+
+def dim_patterns_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (p.pattern_class, p.version, p.regex, list(p.groups), p.route,
+         p.repeat_group, list(p.repeat_fields), p.enum_map or None, p.enum_field)
+        for p in PATTERNS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pattern_class string, version int, regex string, groups array<string>, "
+        "route string, repeat_group string, repeat_fields array<string>, "
+        "enum_map map<string,string>, enum_field string",
+    )
