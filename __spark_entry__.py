@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship parse→route→aggregate mini-pipeline on the
+sf0.001 events table; ``queries`` exposes every implemented operator
+from SURVEY.md §2 plus the training-data-pipeline operators (dedup /
+similarity / text analysis); ``oracle_sql`` returns the DuckDB oracle
+for each SQL-expressible query (approximate operators — MinHash-LSH,
+SimHash, SRP-LSH ANN, multimodal stubs — are rows-only by design).
 """
 
 from __future__ import annotations
@@ -12,27 +13,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
+from log_parser_project_spark.queries import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate → route → aggregate over the events stream
+    (the transcript-pipeline shape on driver-provided data)."""
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    bad = F.col("value").isNull() | (F.col("value") < 0) | ~F.col("props").rlike(r'^\{"k": \d+\}$')
+    route = (
+        F.when(bad, "sink_quarantine")
+        .when(F.col("event_type") == "error", "sink_errors")
+        .when(F.col("event_type").isin("purchase", "signup"), "sink_conversions")
+        .otherwise("sink_activity")
+    )
+    return (
+        ev.withColumn("route", route)
+        .withColumn("k", k)
+        .groupBy("route", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries + transcript-pipeline throughput.
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns_per_sec": ..., "pipeline_rows": ...}
+
+Config via env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default all), ``BENCH_CONVS`` (default 100000).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``bench_scaling.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.storagelevel import StorageLevel
+
+from log_parser_project_spark.generate import make_transcripts
+from log_parser_project_spark.operators.aggregate import per_sink_aggregates
+from log_parser_project_spark.plans.pipeline import build_routed
+from log_parser_project_spark.queries import QUERIES
+from log_parser_project_spark.session import get_spark
+import log_parser_project_spark.queries_data  # noqa: F401,E402 — registers data queries
+
+HEADLINE = [
+    "q_a9_pricing_summary",
+    "q_j1_broadcast_enrich",
+    "q_f1_regex_extract",
+    "q_w4_lead_gap",
+    "q_x28_explode_tokens",
+    "q_dd_jaccard3_pairs",
+    "q_dd_minhash_pairs",
+    "q_sim_topk",
+    "q_tx_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_convs = int(os.environ.get("BENCH_CONVS", "100000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(app_name="bench", parallelism=cpus)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # transcript pipeline throughput: parse → enrich → route → aggregate
+    tdf = make_transcripts(spark, n_convs=n_convs, parts=cpus * 2)
+    tdf.persist(StorageLevel.MEMORY_AND_DISK)
+    n_rows = tdf.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    routed = build_routed(spark, tdf).persist(StorageLevel.MEMORY_AND_DISK)
+    routed.count()
+    aggs = per_sink_aggregates(routed)
+    for adf in aggs.values():
+        adf.count()
+    pipeline_sec = time.perf_counter() - t0
+    routed.unpersist()
+    tdf.unpersist()
+    timings["pipeline_parse_route_aggregate"] = round(pipeline_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + transcript parse->route->aggregate wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_rows": n_rows,
+                "turns_per_sec": round(n_rows / pipeline_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

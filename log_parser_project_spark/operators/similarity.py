@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine`` — expression-only dot/norm via ``zip_with`` +
+  ``aggregate``: stays JVM-side, no Python, codegen-friendly.
+* ``brute_force_topk`` — exact k-NN: broadcast the (small) query set
+  against the corpus, window-rank per query. The right baseline, and
+  at 100 TB the correct *verifier* for the bucketed path.
+* ``lsh_topk`` — the scale path: random-hyperplane (SRP) signatures
+  with deterministic hash-derived planes; candidates from matching
+  sign-buckets, exact cosine re-rank within buckets. Probes multiple
+  bands so recall degrades gracefully instead of falling off a cliff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Plan: broadcast(queries) × corpus (narrow — no shuffle for the
+    join), then one shuffle for the per-query rank window. Tie-break
+    on rounded similarity then neighbor id → fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def srp_signature(vec: Column, planes: int, dim: int, band: int = 0) -> Column:
+    """Signed-random-projection bucket id from ``planes`` deterministic
+    hyperplanes. Plane coefficients are derived from xxhash64(plane,
+    dim_index, band) → uniform in [-1, 1]; identical on every executor
+    with zero shipped state."""
+    bits = []
+    for p in range(planes):
+        coeff = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(band), F.lit(p), d), F.lit(2_000_001)) / 1_000_000.0
+            )
+            - 1.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, coeff, lambda x, cf: x.cast("double") * cf),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket candidates (multi-band OR), exact
+    cosine re-rank. Shuffle volume ∝ corpus × bands, not corpus ×
+    queries."""
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}vec"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        srp_signature(F.col(vec_col), planes, dim, bnd).alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}vec", "bb.band", "bb.bucket")
+
+    c = with_buckets(corpus, "neighbor")
+    q = with_buckets(queries, "query")
+    cands = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "queryvec", "neighborvec")
+        .distinct()
+    )
+    scored = cands.withColumn("sim", F.round(cosine(F.col("queryvec"), F.col("neighborvec")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+    Brute-force; swap the candidate source to SRP buckets at scale."""
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (JVM-side, codegen'd): language
+ID via marker-token scoring, quality scoring via length/stopword/
+punctuation ratios, token counting, and md5 document fingerprinting.
+These are first-class engine citizens (not ports of anything in the
+reference) — the operations a 100 TB text-corpus pipeline needs in
+front of dedup/routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker vocabularies for the n-gram/stopword language
+# heuristic; real corpora would use char-trigram profiles, same plumbing
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "los", "y", "que", "una"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs
+    and a healthy stopword ratio, penalizes punctuation soup."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(c) * 5, F.lit(0.0))
+    return F.round((len_score * 0.4 + stop_score * 0.3 + punct_pen * 0.3), 4)
+
+
+def lang_guess(col: str | Column = "text") -> Column:
+    """argmax over marker-token hit counts; deterministic tie-break by
+    language code order. Expression-only (no UDF)."""
+    toks = tokens(col)
+    scored = None
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        entry = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(entry["score"] > scored["score"], entry).otherwise(scored)
+    # strict > while iterating ascending ⇒ alphabetically-first wins ties
+    return scored["lang"]
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (A rolling/locality-sensitive variant lives in dedup.simhash.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_guess", lang_guess(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )

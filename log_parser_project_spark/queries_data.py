@@ -1,0 +1,259 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis)
+with DuckDB oracles, registered into the same ``QUERIES`` dict as the
+core operator queries. Non-SQL-expressible variants (MinHash-LSH,
+SimHash, SRP-LSH ANN, multimodal features) register with ``None``
+oracle → the driver records a rows-only check; their *exact*
+counterparts (n-gram Jaccard, brute-force top-k) are fully
+oracle-checked, and pytest cross-checks approx vs exact recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity
+from .operators.text import with_text_features
+from .queries import QUERIES, _register, _t
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@_register(
+    "q_dd_exact_unique",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def q_dd_exact_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: md5-fingerprint distinct counts per source."""
+    from .operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+    )
+
+
+@_register(
+    "q_dd_jaccard3_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(1.0 * i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def q_dd_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@_register("q_dd_minhash_pairs", None)  # approx — rows-only driver check
+def q_dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate→verify dedup (the 100 TB path); pytest
+    asserts it recovers the exact Jaccard pairs at threshold 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+@_register("q_dd_simhash_pairs", None)  # approx — rows-only driver check
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (hamming ≤ 3)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=6)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_TOKS_CTE = """
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    )
+"""
+
+
+@_register(
+    "q_tx_token_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per declared language."""
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+        F.max(token_count("text")).cast("long").alias("max_tokens"),
+    )
+
+
+@_register(
+    "q_tx_quality",
+    """
+    WITH q AS (
+      SELECT source,
+             ROUND(
+               LEAST(length(text) / 500.0, 1.0) * 0.4
+               + LEAST((CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) > 0
+                        THEN 1.0 * len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+                                       t -> t IN ('the','a','and','of','to','in','is','it')))
+                             / len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+                        ELSE 0.0 END) * 4, 1.0) * 0.3
+               + GREATEST(1.0 - (CASE WHEN length(text) > 0
+                                 THEN 1.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                                 ELSE 0.0 END) * 5, 0.0) * 0.3,
+             4) AS quality
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ROUND(quality * 10000)) AS BIGINT) AS sum_quality_e4
+    FROM q GROUP BY source
+    """,
+)
+def q_tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/stopword/punctuation heuristic) summed
+    per source in exact e4 fixed-point."""
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(quality_score("text") * 10000)).cast("long").alias("sum_quality_e4"),
+    )
+
+
+@_register(
+    "q_tx_langid",
+    _TOKS_CTE
+    + """,
+    scores AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             SUM(CASE WHEN tok IN ('der','die','und','das','ein') THEN 1 ELSE 0 END) AS s_de,
+             SUM(CASE WHEN tok IN ('the','and','of','is','a') THEN 1 ELSE 0 END) AS s_en,
+             SUM(CASE WHEN tok IN ('el','los','y','que','una') THEN 1 ELSE 0 END) AS s_es,
+             SUM(CASE WHEN tok IN ('le','la','et','de','un') THEN 1 ELSE 0 END) AS s_fr,
+             SUM(CASE WHEN tok IN ('的','是','了','在','我') THEN 1 ELSE 0 END) AS s_zh
+      FROM toks GROUP BY doc_id
+    )
+    SELECT lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           COUNT(*) AS n
+    FROM scores GROUP BY 1, 2
+    """,
+)
+def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID confusion counts (declared vs guessed)."""
+    from .operators.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", lang_guess("text").alias("lang_guess")).groupBy(
+        "lang", "lang_guess"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@_register(
+    "q_sim_topk",
+    """
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for query vectors vec_id < 5."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@_register(
+    "q_sim_neardup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(e, threshold=0.45)
+
+
+@_register("q_sim_lsh_topk", None)  # approx — rows-only driver check
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-3 (the scale path); pytest measures
+    recall against q_sim_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3, planes=4, bands=8)
+
+
+# ===========================================================================
+# Multimodal plumbing (stub decode kernels — see operators/multimodal.py)
+# ===========================================================================
+
+@_register("q_mm_features", None)  # synthetic media, rows-only
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (stub kernel)."""
+    media = multimodal.synth_media(spark, n=64)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

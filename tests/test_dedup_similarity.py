@@ -1,0 +1,97 @@
+"""Approximate-vs-exact checks for the scale-path operators:
+MinHash-LSH must recover the exact Jaccard pairs, SRP-LSH ANN must
+reach reasonable recall vs brute force, SimHash must find the
+known-duplicated docs, and the multimodal plumbing must round-trip.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from log_parser_project_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+def test_minhash_recovers_exact_jaccard_pairs(docs):
+    exact = {(r.a, r.b) for r in dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    approx = {
+        (r.a, r.b)
+        for r in dedup.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup docs"
+    # verification step filters candidates by exact jaccard → no false positives
+    assert approx <= exact
+    # banding (32 hashes / 8 bands) at j>=0.5: recall should be high
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_exact_dedup_keeps_min_representative(spark, docs):
+    # duplicate every doc with a shifted id; dedup must keep the originals
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    kept = dedup.exact_dedup(both)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_simhash_finds_near_identical_docs(docs):
+    exact = {(r.a, r.b) for r in dedup.jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    sim = {(r.a, r.b) for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
+    assert exact, "fixture should contain ~identical docs"
+    hit = len(sim & exact) / len(exact)
+    assert hit >= 0.8, f"simhash recall on near-identical docs {hit}"
+
+
+def test_lsh_ann_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_topk(emb, q, k=5, planes=4, bands=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.55, f"SRP-LSH avg recall {avg_recall}"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synth_media(spark, n=48)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic: same media id → same feature across runs
+    again = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=48)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    durations = {r.media_id: r.meta.duration_ms for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in got} == set(durations)
+    for r in got:
+        assert r.n == max(durations[r.media_id] // 1000, 1)
