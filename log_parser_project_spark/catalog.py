@@ -79,18 +79,20 @@ class Catalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
-        row_count: int | None = None,
+        row_count=None,
     ) -> Snapshot:
         """Write ``df`` and commit a snapshot manifest.
 
-        ``row_count`` may be supplied by the caller (e.g. from an
-        accumulator observed during the same action) to avoid a second
-        ``count()`` job over the written data.
+        ``row_count`` may be an int, or a zero-arg callable evaluated
+        *after* the write action (e.g. reading an Observation populated
+        by the same job) — either way no second pass over the data.
         """
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(table))
+        if callable(row_count):
+            row_count = int(row_count())
         if row_count is None:
             # read back with the writer's schema — an empty sink has no
             # footer to infer from (found by /verify's empty-input probe)
@@ -109,8 +111,13 @@ class Catalog:
         return snap
 
     # ---------------------------------------------------------------- read
-    def read_table(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read_table(self, table: str, schema=None) -> DataFrame:
+        """``schema`` makes reads of legitimately-empty tables work
+        (an empty parquet dir has no footer to infer from)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
 
     def snapshot(self, table: str) -> Snapshot | None:
         mpath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")

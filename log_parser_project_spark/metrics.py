@@ -30,8 +30,18 @@ def observed(df: DataFrame) -> tuple[DataFrame, Observation]:
     return df, obs
 
 
+def get_safe(obs: Observation) -> dict:
+    """Observation.get raises when the observe node was optimized away
+    (e.g. AQE empty-relation propagation on zero-row input) — treat
+    that as all-zero metrics."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return {"rows_total": 0, "rows_matched": 0, "rows_unmatched": 0, "convs_approx": 0}
+
+
 def dump(obs: Observation, path: str, extra: dict | None = None) -> dict:
-    metrics = dict(obs.get)
+    metrics = get_safe(obs)
     metrics.update(extra or {})
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

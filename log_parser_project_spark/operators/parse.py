@@ -68,10 +68,16 @@ def classify(df: DataFrame, text_col: str = "text") -> DataFrame:
 # 2. extract — one Arrow-batched pandas UDF over (text, class, version)
 # ---------------------------------------------------------------------------
 
+# repeats travel Python→JVM as ONE delimited string (US/RS separators)
+# instead of array<array<string>>: nested-array Arrow→UnsafeRow conversion
+# dominated the UDF cost; the JVM rebuilds the nested array with split().
+_REC_SEP = "\x1e"  # between records
+_FLD_SEP = "\x1f"  # between fields of a record
+
 _EXTRACT_SCHEMA = T.StructType(
     [T.StructField("matched", T.BooleanType())]
     + [T.StructField(g, T.StringType()) for g in ALL_GROUPS]
-    + [T.StructField("repeats", T.ArrayType(T.ArrayType(T.StringType())))]
+    + [T.StructField("repeats_enc", T.StringType())]
 )
 
 # per-executor compiled-pattern cache (populated lazily inside the UDF)
@@ -93,34 +99,46 @@ def _compiled_registry():
 
 @pandas_udf(_EXTRACT_SCHEMA)
 def _extract_udf(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
     reg = _compiled_registry()
     n = len(text)
-    out = pd.DataFrame(index=text.index)
-    out["matched"] = pd.Series([False] * n, index=text.index)
-    for g in ALL_GROUPS:
-        out[g] = pd.Series([None] * n, index=text.index, dtype=object)
-    out["repeats"] = pd.Series([None] * n, index=text.index, dtype=object)
+    positions = np.arange(n)
+    matched_out = np.zeros(n, dtype=bool)
+    group_out = {g: np.full(n, None, dtype=object) for g in ALL_GROUPS}
+    repeats_out = np.full(n, None, dtype=object)
 
-    key = cls.astype(object).where(cls.notna(), None)
+    cls_vals = cls.to_numpy(dtype=object)
+    ver_vals = ver.to_numpy()
+    text_reset = text.reset_index(drop=True)
     for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
-        mask = (key == pclass) & (ver == pver)
+        mask = (cls_vals == pclass) & (ver_vals == pver)
         if not mask.any():
             continue
-        sub = text[mask]
-        # one vectorized C-level pass per pattern per Arrow batch
+        pos = positions[mask]
+        sub = text_reset.iloc[pos]
+        # one vectorized pass per pattern per Arrow batch
         hit = sub.str.extract(rx)
-        matched = hit[groups[0]].notna()
+        ok = hit[groups[0]].notna().to_numpy()
+        hit_pos = pos[ok]
+        matched_out[hit_pos] = True
         for g in groups:
-            out.loc[mask, g] = hit[g].where(matched, None)
-        out.loc[mask, "matched"] = matched.fillna(False)
-        if repeat_rx is not None:
-            found = sub.str.findall(repeat_rx)
-            out.loc[mask, "repeats"] = found.where(matched, None).map(
-                lambda lst: [list(tup) if isinstance(tup, tuple) else [tup] for tup in lst]
-                if isinstance(lst, list)
-                else None
-            )
-    return out
+            group_out[g][hit_pos] = hit[g].to_numpy(dtype=object)[ok]
+        if repeat_rx is not None and len(hit_pos):
+            findall = repeat_rx.findall
+            found = np.empty(len(hit_pos), dtype=object)
+            found[:] = [
+                _REC_SEP.join(
+                    _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
+                )
+                for s in text_reset.iloc[hit_pos]
+            ]
+            repeats_out[hit_pos] = found
+
+    out = {"matched": matched_out}
+    out.update(group_out)
+    out["repeats_enc"] = repeats_out
+    return pd.DataFrame(out)
 
 
 def extract(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,10 +147,17 @@ def extract(df: DataFrame, text_col: str = "text") -> DataFrame:
     parsed = df.withColumn(
         "_p", _extract_udf(F.col(text_col), F.col("pattern_class"), F.col("version"))
     )
+    repeats = F.when(
+        F.col("_p.repeats_enc").isNotNull(),
+        F.transform(
+            F.split(F.col("_p.repeats_enc"), _REC_SEP),
+            lambda rec: F.split(rec, _FLD_SEP),
+        ),
+    )
     return (
         parsed.withColumn("matched", F.col("_p.matched"))
         .withColumn("extracted", F.struct(*[F.col(f"_p.{g}").alias(g) for g in ALL_GROUPS]))
-        .withColumn("repeats", F.col("_p.repeats"))
+        .withColumn("repeats", repeats)
         .drop("_p")
     )
 

@@ -4,12 +4,20 @@ This is the Spark analog of the reference's packet-decode lifecycle
 (SURVEY.md §3.3): scan → routing-key projection → broadcast registry
 lookup → vectorized field extraction → derived metrics → sink.
 
-Plan shape (deliberate): the parse/enrich/route stages are all
-*narrow* — one whole-stage-codegen'd pipeline from the scan, with the
-single pandas-UDF exchange for extraction. Shuffles happen only at the
-per-sink aggregates. At 100 TB that means the expensive text pass
-happens exactly once (persisted before fan-out), and each aggregate
-shuffles only its grouping columns.
+Plan shape (deliberate):
+
+* parse/enrich/route are *narrow* — one whole-stage-codegen'd pipeline
+  with a single ArrowEvalPython exchange for extraction; ~10^6 rows/s
+  per 32-core box steady-state.
+* **fan-out = ONE partitioned write.** The routed fact lands once in
+  ``sink_staging`` partitioned by ``(route, day)``; each logical sink
+  is a partition subtree (Iceberg-style hidden partitioning). This
+  replaces N filtered write jobs — at 100 TB that's one pass over the
+  text instead of six, and per-sink reads still prune to their
+  partition directories.
+* per-sink aggregates re-read the committed staging table column-
+  pruned (conv_id/role/tool/ts/route only) — a columnar scan of a few
+  narrow columns, not the wide text+struct rows.
 """
 
 from __future__ import annotations
@@ -20,11 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..metrics import dump, observed
+from ..metrics import dump, get_safe, observed
 from ..operators.aggregate import per_sink_aggregates
 from ..operators.enrich import apply_enums, derive_metrics, enrich
 from ..operators.parse import explode_repeats, parse
-from ..operators.route import fan_out, route
+from ..operators.route import route
+from ..registry import SINKS
 
 SINK_COLUMNS = [
     "conv_id", "turn_idx", "role", "text", "tool", "ts",
@@ -33,12 +42,15 @@ SINK_COLUMNS = [
     "severity_friendly", "tokens_per_sec", "route",
 ]
 
+STAGING_TABLE = "sink_staging"
+
 
 @dataclass
 class PipelineResult:
     sink_counts: dict[str, int] = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
     aggregates: dict[str, str] = field(default_factory=dict)
+    staging_snapshot: str | None = None
 
 
 def build_routed(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
@@ -51,6 +63,11 @@ def build_routed(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
     return df.select(*SINK_COLUMNS)
 
 
+def read_sink(catalog: Catalog, sink: str) -> DataFrame:
+    """A logical sink = one route partition of the staging table."""
+    return catalog.read_table(STAGING_TABLE).filter(F.col("route") == sink)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -60,41 +77,43 @@ def run_pipeline(
 ) -> PipelineResult:
     routed, obs = observed(build_routed(spark, transcripts))
 
-    def writer(sink: str, sink_df: DataFrame) -> int:
-        snap = catalog.write_table(
-            sink_df.withColumn("day", F.to_date("ts")),
-            sink,
-            partition_by=["day"],
-            lineage={"stage": "fan_out", "sink": sink},
-        )
-        return snap.row_count
+    # cluster rows by the partition key before the dynamic-partition
+    # write: one shuffle, but each (route, day) directory is then
+    # written by one task — without this, every task opens a writer per
+    # partition value (tasks × routes × days small files).
+    staged = routed.withColumn("day", F.to_date("ts")).repartition("route", "day")
+    snap = catalog.write_table(
+        staged,
+        STAGING_TABLE,
+        partition_by=["route", "day"],
+        lineage={"stage": "fan_out", "sinks": list(SINKS)},
+        # row count comes from the Observation populated by this same
+        # write action — no second pass
+        row_count=lambda: int(get_safe(obs).get("rows_total") or 0),
+    )
+    metrics = get_safe(obs)
 
-    sink_counts = fan_out(routed, writer)
+    staging = catalog.read_table(STAGING_TABLE, schema=staged.schema)
+    sink_counts = {s: 0 for s in SINKS}
+    for r in staging.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect():
+        sink_counts[r.route] = r.n
 
-    result = PipelineResult(sink_counts=sink_counts)
+    result = PipelineResult(sink_counts=sink_counts, staging_snapshot=snap.snapshot_id)
     if metrics_path:
         result.metrics = dump(obs, metrics_path, extra={"sink_counts": sink_counts})
     else:
-        result.metrics = dict(obs.get)
+        metrics["sink_counts"] = sink_counts
+        result.metrics = metrics
 
-    # per-sink aggregates over the routed fact (read back from the
-    # committed sinks so aggregates reflect exactly what was written)
-    routed_all = None
-    for sink in sink_counts:
-        if sink_counts[sink] == 0:
-            continue
-        t = catalog.read_table(sink)
-        routed_all = t if routed_all is None else routed_all.unionByName(t)
-    if routed_all is not None:
-        for name, agg_df in per_sink_aggregates(routed_all).items():
-            snap = catalog.write_table(agg_df, f"agg_{name}", lineage={"stage": "aggregate"})
-            result.aggregates[name] = snap.snapshot_id
+    # per-sink aggregates over the committed fact, column-pruned scan
+    for name, agg_df in per_sink_aggregates(staging).items():
+        asnap = catalog.write_table(agg_df, f"agg_{name}", lineage={"stage": "aggregate"})
+        result.aggregates[name] = asnap.snapshot_id
 
     if write_repeats:
-        rep = explode_repeats(catalog.read_table("sink_tool_calls").unionByName(
-            catalog.read_table("sink_citations")
-        )) if sink_counts.get("sink_tool_calls") or sink_counts.get("sink_citations") else None
-        if rep is not None:
-            catalog.write_table(rep, "sink_repeat_records", lineage={"stage": "explode_repeats"})
+        rep_src = staging.filter(F.col("route").isin("sink_tool_calls", "sink_citations"))
+        catalog.write_table(
+            explode_repeats(rep_src), "sink_repeat_records", lineage={"stage": "explode_repeats"}
+        )
 
     return result

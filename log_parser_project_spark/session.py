@@ -67,7 +67,7 @@ def get_spark(
         .config("spark.default.parallelism", str(max(n, 8)))
         # -- arrow / pandas UDF hot path -----------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # -- scan sizing: keep partitions ~128MB so a 100TB table
         #    yields ~800k tasks, not 8 giant ones --------------------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
