@@ -1,0 +1,162 @@
+"""Two-parallelism scaling benchmark (the in-sandbox stand-in for the
+N vs 4N executor criterion).
+
+Runs the identical parse→route→aggregate job over the identical
+pre-generated parquet input at ``local[N]`` and ``local[4N]`` (default
+8 and 32), shuffle partitions scaled with cores, best-of-3 timed runs
+after an untimed warmup, one fresh JVM per level (subprocess).
+
+Prints a JSON summary and (with ``--write-md``) records it in
+``BENCH/BASELINE.md``. Efficiency = throughput_4N / (4 × throughput_N).
+
+Usage::
+
+    python bench_scaling.py                 # full comparison
+    python bench_scaling.py --write-md      # also update BENCH/BASELINE.md
+    python bench_scaling.py --worker 8 --input /tmp/x  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+INPUT_FILES = 128  # fixed file count → identical scan splits at both levels
+
+
+def _worker(cores: int, input_dir: str, runs: int) -> None:
+    import pyspark.sql.functions as F
+
+    from log_parser_project_spark.operators.aggregate import per_sink_aggregates
+    from log_parser_project_spark.plans.pipeline import build_routed
+    from log_parser_project_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        parallelism=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    src = spark.read.parquet(input_dir)
+    n_rows = src.count()
+
+    from pyspark.storagelevel import StorageLevel
+
+    def job() -> None:
+        # mirror run_pipeline's shape: ONE parse pass materializing the
+        # routed fact (slim projection stands in for the staging write),
+        # then the 4 per-sink aggregates over the materialized fact
+        routed = build_routed(spark, src)
+        slim = routed.select(
+            "conv_id", "role", "tool", "ts", "route",
+            F.length("text").alias("text_len"), "matched",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        slim.count()
+        for adf in per_sink_aggregates(slim).values():
+            adf.count()
+        slim.unpersist()
+
+    job()  # warmup: python workers + code paths
+    best = min(_timed(job) for _ in range(runs))
+    print(json.dumps({"cores": cores, "rows": n_rows, "best_sec": round(best, 3),
+                      "rows_per_sec": round(n_rows / best, 1)}))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _gen_input(input_dir: str, n_convs: int) -> None:
+    from log_parser_project_spark.generate import make_transcripts
+    from log_parser_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-gen", parallelism=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    make_transcripts(spark, n_convs=n_convs, parts=INPUT_FILES).write.mode("overwrite").parquet(input_dir)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n", type=int, default=int(os.environ.get("SCALING_N", "8")))
+    ap.add_argument("--convs", type=int, default=int(os.environ.get("SCALING_CONVS", "300000")))
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+
+    if args.worker:
+        _worker(args.worker, args.input, args.runs)
+        return
+
+    input_dir = "/tmp/scaling_input"
+    if not os.path.isdir(input_dir) or os.environ.get("SCALING_REGEN"):
+        _gen_input(input_dir, args.convs)
+
+    results = {}
+    for cores in (args.n, args.n * 4):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cores), "--input", input_dir,
+             "--runs", str(args.runs)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    n, n4 = args.n, args.n * 4
+    eff = results[n4]["rows_per_sec"] / (4 * results[n]["rows_per_sec"])
+    summary = {
+        "metric": "scaling efficiency N->4N (turns/sec, parse->route->aggregate)",
+        "n_cores": n, "n4_cores": n4,
+        "rows": results[n]["rows"],
+        "throughput_n": results[n]["rows_per_sec"],
+        "throughput_4n": results[n4]["rows_per_sec"],
+        "sec_n": results[n]["best_sec"], "sec_4n": results[n4]["best_sec"],
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    if args.write_md:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+        md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Generated {stamp} by `python bench_scaling.py --write-md`.
+
+**Protocol** (BASELINE.md in-sandbox evidence): identical job — read
+pre-generated transcripts parquet ({summary["rows"]:,} rows, {INPUT_FILES}
+files) → classify → Arrow-batched regex extract → broadcast enrich →
+route → 4 per-sink aggregates (salted by_conv) — run at `local[{n}]`
+and `local[{n4}]`, `spark.sql.shuffle.partitions` scaled with cores,
+fresh JVM per level, best of 3 timed runs after an untimed warmup.
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[{n}] (N) | {summary["sec_n"]} | {summary["throughput_n"]:,} |
+| local[{n4}] (4N) | {summary["sec_4n"]} | {summary["throughput_4n"]:,} |
+
+**Scaling efficiency = throughput_4N / (4 × throughput_N) =
+{summary["efficiency"]}** — {"meets" if summary["pass"] else "BELOW"} the ≥ 0.8 gate.
+
+Caveats: single box, so N and 4N share memory bandwidth and the same
+OS; the workload is regex/CPU-bound by design to make core-scaling
+meaningful. On a real cluster the same job scales by executor count
+with the identical plan (no driver-side loops; one narrow pipeline +
+per-aggregate exchanges).
+"""
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""spark-submit entry point for the transcript pipeline.
+
+Usage (BASELINE.md launch mode)::
+
+    python -m zipfile -c /tmp/engine.zip log_parser_project_spark
+    spark-submit --master local[32] --py-files /tmp/engine.zip \
+        jobs/run_pipeline.py --warehouse /tmp/wh --convs 100000
+
+    # or over an existing transcripts parquet/Iceberg table:
+    spark-submit --py-files /tmp/engine.zip jobs/run_pipeline.py \
+        --warehouse /tmp/wh --input /data/transcripts
+
+    # resumable checkpointed mode (per-group lineage manifests):
+    ... jobs/run_pipeline.py --warehouse /tmp/wh --convs 100000 \
+        --checkpointed --groups 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--input", default=None, help="transcripts parquet dir (else synthetic)")
+    ap.add_argument("--convs", type=int, default=10000)
+    ap.add_argument("--hot-rows", type=int, default=0)
+    ap.add_argument("--checkpointed", action="store_true")
+    ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--job-id", default="default")
+    args = ap.parse_args()
+
+    # under spark-submit the session already exists; standalone we build one
+    spark = SparkSession.builder.appName("transcript-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.generate import make_transcripts
+    from log_parser_project_spark.plans.pipeline import run_pipeline
+    from log_parser_project_spark.streaming.checkpoint import CheckpointedPipeline
+
+    catalog = Catalog(spark, args.warehouse)
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+        fingerprint = args.input
+    else:
+        transcripts = make_transcripts(spark, n_convs=args.convs, hot_conv_rows=args.hot_rows)
+        fingerprint = f"synthetic:convs={args.convs}:hot={args.hot_rows}"
+
+    if args.checkpointed:
+        cp = CheckpointedPipeline(spark, catalog, n_groups=args.groups, job_id=args.job_id)
+        res = cp.run(transcripts, input_fingerprint=fingerprint)
+        print(json.dumps({"mode": "checkpointed", **res}))
+    else:
+        res = run_pipeline(
+            spark, transcripts, catalog,
+            metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
+        )
+        print(json.dumps({
+            "mode": "batch",
+            "sink_counts": res.sink_counts,
+            "metrics": {k: v for k, v in res.metrics.items() if k != "sink_counts"},
+            "staging_snapshot": res.staging_snapshot,
+        }, default=str))
+
+
+if __name__ == "__main__":
+    main()

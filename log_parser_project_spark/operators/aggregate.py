@@ -7,13 +7,15 @@ time bucket. All are stock hash aggregates — Catalyst already does
 partial (map-side) + final aggregation, so a count by a low-cardinality
 key like ``role`` shuffles only one row per partition per key.
 
-Skew: a hot ``conv_id`` (one conversation with 10^8 turns at design
-scale) makes one reducer the straggler. ``salted_count`` splits the
-hot key across S salt buckets (partial counts), then re-aggregates the
-S partial rows — the classic two-phase de-skew. For counts/sums the
-second phase is exact. AQE's skew handling only splits *join* and
-*sort* partitions, not aggregate hash partitions, so salting the
-aggregation key is still the required pattern.
+Skew: for **algebraic** aggregates (count/sum/min/max), Spark's
+map-side partial aggregation already neutralizes a hot key — each task
+ships at most one partial row per key, so a conversation with 10^8
+turns reaches its reducer as ~n_tasks rows, not 10^8. Salting every
+row would *destroy* that combine (keys × salt_buckets partials), so
+``per_sink_aggregates`` uses plain groupBy. ``salted_count`` exists
+for the cases partial aggregation can't save: holistic aggregates
+(collect_list/percentile), or keyed joins where AQE's skew splitting
+(enabled in the session) doesn't apply. The skew tests prove it exact.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFrame:
 def per_sink_aggregates(routed: DataFrame) -> dict[str, DataFrame]:
     """The north-star aggregate set over the routed fact."""
     return {
-        "by_conv": salted_count(routed, "conv_id"),
+        "by_conv": counts_by(routed, "conv_id"),
         "by_role": counts_by(routed, "route", "role"),
         "by_tool": counts_by(routed.filter(F.col("tool").isNotNull()), "route", "tool"),
         "by_hour": routed.groupBy(

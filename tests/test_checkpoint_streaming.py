@@ -1,0 +1,93 @@
+"""Checkpoint/resume and streaming semantics:
+
+* crash between groups → resume skips done groups, final output equals
+  a single-shot run (no dupes, no gaps)
+* crash mid-group (output written, manifest missing) → rerun
+  overwrites the partial group exactly once
+* availableNow streaming drains incrementally with exactly-once counts
+  across two file drops
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from log_parser_project_spark.catalog import Catalog
+from log_parser_project_spark.generate import make_transcripts
+from log_parser_project_spark.plans.pipeline import build_routed
+from log_parser_project_spark.streaming.checkpoint import CheckpointedPipeline
+from log_parser_project_spark.streaming.stream import stream_pipeline
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _route_counts(df):
+    return {r.route: r.n for r in df.groupBy("route").agg(F.count("*").alias("n")).collect()}
+
+
+def test_resume_after_crash_no_dupes_no_gaps(spark, transcripts_small, warehouse):
+    cat = Catalog(spark, warehouse)
+    cp = CheckpointedPipeline(spark, cat, n_groups=6, job_id="t1")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cp.run(transcripts_small, fail_after_group=1)
+    first_done = cp.done_groups()
+    assert 0 < len(first_done) < 6
+
+    res = cp.run(transcripts_small)
+    assert sorted(res["skipped"]) == sorted(first_done)
+    assert set(res["processed"]) == set(range(6)) - first_done
+
+    got = _route_counts(cp.read_output())
+    want = _route_counts(build_routed(spark, transcripts_small))
+    assert got == want
+
+    # idempotent: a third run processes nothing and changes nothing
+    res3 = cp.run(transcripts_small)
+    assert res3["processed"] == []
+    assert _route_counts(cp.read_output()) == want
+
+
+def test_midgroup_crash_rerun_overwrites_partial(spark, transcripts_small, warehouse):
+    cat = Catalog(spark, warehouse)
+    cp = CheckpointedPipeline(spark, cat, n_groups=4, job_id="t2")
+    cp.run(transcripts_small)
+    want = _route_counts(cp.read_output())
+
+    # simulate a crash where group 2's data landed but its manifest
+    # didn't: delete the manifest, leave the output in place
+    os.remove(cp._manifest_path(2))
+    res = cp.run(transcripts_small)
+    assert res["processed"] == [2]
+    assert _route_counts(cp.read_output()) == want  # overwrite, not append
+
+
+def test_stream_available_now_exactly_once(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(spark, wh)
+
+    batch1 = make_transcripts(spark, n_convs=40)
+    batch1.write.mode("append").parquet(input_dir)
+    stream_pipeline(spark, input_dir, cat, ckpt)
+    out1 = spark.read.parquet(cat.path("stream_staging"))
+    n1 = out1.count()
+    assert n1 == batch1.count()
+
+    # second drop: only the new files are processed
+    batch2 = make_transcripts(spark, n_convs=80).filter(F.col("conv_id") > "conv-00000039")
+    batch2.write.mode("append").parquet(input_dir)
+    stream_pipeline(spark, input_dir, cat, ckpt)
+    out2 = spark.read.parquet(cat.path("stream_staging"))
+    assert out2.count() == n1 + batch2.count()
+    # no duplicates: (conv_id, turn_idx) unique
+    assert out2.select("conv_id", "turn_idx").distinct().count() == out2.count()
+
+    # re-drain with nothing new: no change
+    stream_pipeline(spark, input_dir, cat, ckpt)
+    assert spark.read.parquet(cat.path("stream_staging")).count() == n1 + batch2.count()

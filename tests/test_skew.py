@@ -1,0 +1,45 @@
+"""Hot-key skew: one conversation carrying a large share of all rows
+must aggregate exactly and without a single-reducer hotspot (salted
+two-phase path), and the full pipeline must stay correct under skew.
+"""
+
+import pyspark.sql.functions as F
+
+from log_parser_project_spark.generate import make_transcripts
+from log_parser_project_spark.operators.aggregate import per_sink_aggregates, salted_count
+from log_parser_project_spark.plans.pipeline import build_routed
+
+
+def test_salted_count_exact_under_skew(spark):
+    df = make_transcripts(spark, n_convs=200, hot_conv_rows=20_000)
+    naive = {r.conv_id: r.n for r in df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    salted = {r.conv_id: r.n for r in salted_count(df, "conv_id", salt_buckets=32).collect()}
+    assert salted == naive
+    assert salted["conv-hot-0000"] == 20_000
+
+
+def test_pipeline_correct_under_skew(spark):
+    df = make_transcripts(spark, n_convs=100, hot_conv_rows=5_000)
+    routed = build_routed(spark, df)
+    aggs = per_sink_aggregates(routed)
+    by_conv = {r.conv_id: r.n for r in aggs["by_conv"].collect()}
+    assert by_conv["conv-hot-0000"] == 5_000
+    assert sum(by_conv.values()) == df.count()
+    # hot conv rows all classified/routed like any other rows
+    hot = routed.filter(F.col("conv_id") == "conv-hot-0000")
+    assert hot.filter(F.col("route").isNull()).count() == 0
+
+
+def test_salt_spreads_hot_key(spark):
+    """The salted partial phase must actually split the hot key across
+    buckets (that's the whole point)."""
+    df = make_transcripts(spark, n_convs=50, hot_conv_rows=10_000)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
+    )
+    buckets = (
+        salted.filter(F.col("conv_id") == "conv-hot-0000")
+        .groupBy("_salt").agg(F.count("*").alias("n"))
+    ).collect()
+    assert len(buckets) == 32
+    assert max(r.n for r in buckets) < 10_000 * 0.2  # no bucket hogs the key
