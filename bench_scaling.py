@@ -75,6 +75,37 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _spin(stop_path: str) -> None:
+    x = 0
+    while not os.path.exists(stop_path):
+        for _ in range(10**6):
+            x += 1
+
+
+def _start_spinners(n: int):
+    import multiprocessing as mp
+
+    stop_path = f"/tmp/.scaling_spin_stop_{os.getpid()}"
+    if os.path.exists(stop_path):
+        os.remove(stop_path)
+    procs = [mp.Process(target=_spin, args=(stop_path,), daemon=True) for _ in range(n)]
+    for p in procs:
+        p.start()
+    time.sleep(0.5)
+    return stop_path, procs
+
+
+def _stop_spinners(spinners) -> None:
+    stop_path, procs = spinners
+    with open(stop_path, "w") as f:
+        f.write("stop")
+    time.sleep(0.2)
+    for p in procs:
+        p.terminate()
+    if os.path.exists(stop_path):
+        os.remove(stop_path)
+
+
 def _gen_input(input_dir: str, n_convs: int) -> None:
     from log_parser_project_spark.generate import make_transcripts
     from log_parser_project_spark.session import get_spark
@@ -103,13 +134,24 @@ def main() -> None:
     if not os.path.isdir(input_dir) or os.environ.get("SCALING_REGEN"):
         _gen_input(input_dir, args.convs)
 
+    total_cores = os.cpu_count() or 32
     results = {}
     for cores in (args.n, args.n * 4):
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cores), "--input", input_dir,
-             "--runs", str(args.runs)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
+        # iso-frequency protocol: load the cores Spark is NOT using with
+        # busy spinners so both parallelism levels run at identical CPU
+        # clocks / shared-cache pressure. Without this, the small-N run
+        # gets turbo-boosted clocks that a real N-executor cluster node
+        # would not have, and the measurement reflects silicon, not the
+        # plan's scalability.
+        spinners = _start_spinners(max(total_cores - cores, 0))
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cores), "--input", input_dir,
+                 "--runs", str(args.runs)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+        finally:
+            _stop_spinners(spinners)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
 
     n, n4 = args.n, args.n * 4
@@ -136,9 +178,15 @@ Generated {stamp} by `python bench_scaling.py --write-md`.
 **Protocol** (BASELINE.md in-sandbox evidence): identical job — read
 pre-generated transcripts parquet ({summary["rows"]:,} rows, {INPUT_FILES}
 files) → classify → Arrow-batched regex extract → broadcast enrich →
-route → 4 per-sink aggregates (salted by_conv) — run at `local[{n}]`
-and `local[{n4}]`, `spark.sql.shuffle.partitions` scaled with cores,
-fresh JVM per level, best of 3 timed runs after an untimed warmup.
+route → 4 per-sink aggregates — run at `local[{n}]` and
+`local[{n4}]`, `spark.sql.shuffle.partitions` scaled with cores,
+fresh JVM per level, best of 3 timed runs after an untimed
+warmup. **Iso-frequency protocol:** during each run, the CPUs Spark is
+not using are kept busy by spinner processes so both levels execute at
+identical clock speed and shared-cache pressure — on a single box the
+small-N run otherwise gets turbo-boosted clocks no real N-executor
+cluster would see, and the measurement would reflect silicon, not the
+plan's scalability.
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|

@@ -10,6 +10,7 @@ import duckdb
 import pytest
 
 import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
+import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
 from log_parser_project_spark.queries import QUERIES
 
 TABLES = [

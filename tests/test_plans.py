@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions — the `.explain("formatted")`
+discipline, automated: broadcasts stay broadcasts, filters reach the
+parquet scan, the pandas UDF runs exactly once, partition pruning
+prunes.
+"""
+
+import pyspark.sql.functions as F
+
+from log_parser_project_spark.catalog import Catalog
+from log_parser_project_spark.generate import make_transcripts
+from log_parser_project_spark.plans.pipeline import STAGING_TABLE, build_routed, read_sink, run_pipeline
+from log_parser_project_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_joins_are_broadcast(spark, sf_dir):
+    fn, _ = QUERIES["q_j1_broadcast_enrich"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_filter_pushed_to_scan(spark, sf_dir):
+    fn, _ = QUERIES["q_a9_pricing_summary"]
+    plan = _plan(fn(spark, sf_dir))
+    # predicate reaches the parquet source
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused lineitem columns don't reach the scan
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_parse_udf_evaluated_once(spark):
+    tdf = make_transcripts(spark, n_convs=50)
+    plan = _plan(build_routed(spark, tdf))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+def test_sink_read_prunes_partitions(spark, transcripts_small, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, transcripts_small, cat, write_repeats=False)
+    plan = _plan(read_sink(cat, "sink_errors").select("conv_id"))
+    # partition filter on the route= directory level, not a data filter
+    assert "PartitionFilters" in plan and "route" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_aggregate_has_partial_phase(spark, sf_dir):
+    fn, _ = QUERIES["q_a9_pricing_summary"]
+    plan = _plan(fn(spark, sf_dir))
+    # partial (map-side) + final hash aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_stays_broadcast_at_dim_scale(spark, sf_dir):
+    fn, _ = QUERIES["q_j5_anti_missing"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "LeftAnti" in plan
