@@ -11,6 +11,7 @@ import pytest
 
 import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
 import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
+import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
 from log_parser_project_spark.queries import QUERIES
 
 TABLES = [
