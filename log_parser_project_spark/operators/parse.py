@@ -207,3 +207,81 @@ def explode_repeats(df: DataFrame) -> DataFrame:
         name2[key].alias("field2_name"),
         F.col("record")[1].alias("field2_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. extract_builtin — pure-JVM alternative path (no Python at all)
+# ---------------------------------------------------------------------------
+
+def _group_index(regex: str, group: str) -> int:
+    """1-based capture-group index of a named group (regexp_extract
+    addresses groups by index)."""
+    import re
+
+    return re.compile(regex).groupindex[group]
+
+
+def _java_rx(regex: str) -> str:
+    """Python regex → Java regex: named groups → anonymous (Java
+    rejects ``(?P<``; its named groups forbid underscores), and ``(?U)``
+    so Java's ASCII-only ``\\w``/``\\d`` match Python's Unicode-default
+    classes (divergence found by hypothesis: ``CALL µ args={}``)."""
+    import re
+
+    return "(?U)" + re.sub(r"\(\?P<\w+>", "(", regex)
+
+
+def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Registry extraction with built-in expressions only — one
+    ``regexp_extract`` per (pattern, group), dispatched by the classify
+    columns. Same output contract as :func:`extract`; equivalence is
+    asserted by ``tests/test_extract_equivalence.py``.
+
+    ~10× the pandas-UDF path on this box (whole-stage codegen, no Arrow
+    round-trip). The UDF path stays the default because the registry
+    is *data* there (new patterns without plan changes, arbitrary
+    Python-regex features); this path compiles the registry into the
+    plan — right when the registry is static and throughput is king.
+    """
+    t = F.col(text_col)
+    cls, ver = F.col("pattern_class"), F.col("version")
+
+    matched = F.lit(False)
+    for p in PATTERNS:
+        matched = F.when((cls == p.pattern_class) & (ver == p.version), t.rlike(_java_rx(p.regex))).otherwise(matched)
+
+    group_cols = []
+    for g in ALL_GROUPS:
+        expr = F.lit(None).cast("string")
+        for p in PATTERNS:
+            if g in p.groups:
+                idx = _group_index(p.regex, g)
+                expr = F.when(
+                    (cls == p.pattern_class) & (ver == p.version) & t.rlike(_java_rx(p.regex)),
+                    F.regexp_extract(t, _java_rx(p.regex), idx),
+                ).otherwise(expr)
+        group_cols.append(expr.alias(g))
+
+    repeats = F.lit(None).cast("array<array<string>>")
+    for p in PATTERNS:
+        if not p.repeat_group:
+            continue
+        n_fields = len(p.repeat_fields)
+        parts = [
+            F.regexp_extract_all(t, F.lit(p.repeat_group), i + 1) for i in range(n_fields)
+        ]
+        zipped = F.zip_with(parts[0], parts[1], lambda a, b: F.array(a, b)) if n_fields == 2 else F.transform(parts[0], lambda a: F.array(a))
+        repeats = F.when(
+            (cls == p.pattern_class) & (ver == p.version) & t.rlike(_java_rx(p.regex)), zipped
+        ).otherwise(repeats)
+
+    return (
+        df.withColumn("matched", matched)
+        .withColumn("extracted", F.struct(*group_cols))
+        .withColumn("repeats", repeats)
+    )
+
+
+def parse_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """classify + extract_builtin (the all-JVM pipeline variant)."""
+    return extract_builtin(classify(df, text_col), text_col)

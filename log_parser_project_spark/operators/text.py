@@ -84,3 +84,11 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_guess(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+def subword_token_count(col: str | Column = "text") -> Column:
+    """BPE-style pre-tokenization count: word runs + individual
+    punctuation marks (the GPT-2-ish ``\\w+|[^\\w\\s]`` split) —
+    the cheap token estimator a training pipeline budgets with."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))

@@ -31,7 +31,7 @@ from ..catalog import Catalog
 from ..metrics import dump, get_safe, observed
 from ..operators.aggregate import per_sink_aggregates
 from ..operators.enrich import apply_enums, derive_metrics, enrich
-from ..operators.parse import explode_repeats, parse
+from ..operators.parse import explode_repeats, parse, parse_builtin
 from ..operators.route import route
 from ..registry import SINKS
 
@@ -53,9 +53,19 @@ class PipelineResult:
     staging_snapshot: str | None = None
 
 
-def build_routed(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
-    """The narrow portion of the plan: everything before any shuffle."""
-    df = parse(transcripts)
+def build_routed(
+    spark: SparkSession, transcripts: DataFrame, extractor: str = "pandas"
+) -> DataFrame:
+    """The narrow portion of the plan: everything before any shuffle.
+
+    ``extractor="pandas"`` (default) is the Arrow-batched UDF registry;
+    ``extractor="jvm"`` compiles the registry into built-in expressions
+    (~10× faster, registry fixed at plan time) — outputs are identical
+    (tests/test_extract_equivalence.py).
+    """
+    if extractor not in ("pandas", "jvm"):
+        raise ValueError(f"unknown extractor {extractor!r}; use 'pandas' or 'jvm'")
+    df = parse(transcripts) if extractor == "pandas" else parse_builtin(transcripts)
     df = enrich(df, spark)
     df = apply_enums(df)
     df = derive_metrics(df)

@@ -257,3 +257,23 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@_register(
+    "q_tx_bpe_tokens",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT) AS sum_subword_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_tx_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting per source."""
+    from .operators.text import subword_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(subword_token_count("text")).cast("long").alias("sum_subword_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

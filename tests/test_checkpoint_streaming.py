@@ -91,3 +91,46 @@ def test_stream_available_now_exactly_once(spark, tmp_path):
     # re-drain with nothing new: no change
     stream_pipeline(spark, input_dir, cat, ckpt)
     assert spark.read.parquet(cat.path("stream_staging")).count() == n1 + batch2.count()
+
+
+def test_watermarked_windowed_counts(spark, tmp_path):
+    """Event-time windowed counts under a watermark: append-mode emits
+    exactly the finalized windows (window end < final watermark), and
+    their counts equal the batch ground truth."""
+    from log_parser_project_spark.streaming.stream import TRANSCRIPT_SCHEMA, with_watermarked_counts
+    from log_parser_project_spark.operators.parse import parse_builtin
+    from log_parser_project_spark.operators.route import route as route_fn
+
+    input_dir = str(tmp_path / "in")
+    batch = make_transcripts(spark, n_convs=60)
+    batch.write.parquet(input_dir)
+
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    routed_stream = route_fn(parse_builtin(src))
+    agg = with_watermarked_counts(routed_stream)
+    q = (
+        agg.writeStream.format("memory").queryName("wm_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r.window_start, r.route): r.n for r in spark.sql("select * from wm_counts").collect()
+    }
+
+    truth_df = (
+        route_fn(parse_builtin(batch))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "route", "n")
+    )
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    truth = {(r.ws, r.route): r.n for r in truth_df.collect()}
+    finalized = {
+        (r.ws, r.route): r.n
+        for r in truth_df.collect()
+        if (max_ts - r.we).total_seconds() >= 600  # window closed before watermark
+    }
+    # every emitted window is correct, and every finalized window was emitted
+    assert emitted.items() <= truth.items()
+    assert finalized.items() <= emitted.items()
+    assert len(emitted) > 0
