@@ -72,21 +72,33 @@ def main() -> None:
     tdf.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = tdf.count()  # materialize input outside the timed window
     # spin up the executor python workers (pandas/numpy imports) so the
-    # measurement reflects steady-state, not interpreter cold start
-    build_routed(spark, make_transcripts(spark, n_convs=50)).count()
+    # measurement reflects steady-state, not interpreter cold start.
+    # The aggregate must reference UDF-derived columns ("matched") —
+    # count() alone lets Catalyst prune the ArrowEvalPython node and the
+    # workers never start (the timed run would then pay ~25s cold-start).
+    import pyspark.sql.functions as F
 
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
-    try:
-        t0 = time.perf_counter()
-        run_pipeline(spark, tdf, Catalog(spark, wh), write_repeats=True)
-        pipeline_sec = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-        tdf.unpersist()
+    warm = build_routed(spark, make_transcripts(spark, n_convs=2000, parts=cpus * 2))
+    warm.agg(F.sum(F.col("matched").cast("long")), F.sum(F.length("route"))).collect()
+
+    # one untimed warm run, then best-of-2 timed (same protocol as
+    # bench_scaling.py): the first full run in a JVM pays one-time costs
+    # (codegen JIT, committer setup, page-cache state) that a long-lived
+    # cluster job never sees per-batch, and /tmp write noise is real.
+    pipeline_sec = float("inf")
+    for trial in range(3):
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            t0 = time.perf_counter()
+            run_pipeline(spark, tdf, Catalog(spark, wh), write_repeats=True)
+            if trial > 0:
+                pipeline_sec = min(pipeline_sec, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    tdf.unpersist()
     timings["pipeline_parse_route_aggregate"] = round(pipeline_sec, 3)
 
     # JVM-compiled registry variant (same outputs, no Python) for comparison
-    import pyspark.sql.functions as F
     jvm = build_routed(spark, tdf2 := make_transcripts(spark, n_convs=n_convs, parts=cpus * 2), extractor="jvm")
     t0 = time.perf_counter()
     jvm.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1))).collect()

@@ -55,8 +55,13 @@ def classify(df: DataFrame, text_col: str = "text") -> DataFrame:
     # version resolution: the payload is self-describing — a "v=N"
     # marker selects the layout (analog of version_resolver.py:13-56);
     # absent marker → version 1 (the coalesce fallback of J2).
+    # ASCII-explicit boundaries (no \b/\d): Java and Python disagree on
+    # Unicode word/digit tables (different Unicode versions), so the
+    # registry spec pins the marker charset — identical in any engine.
     version = F.coalesce(
-        F.nullif(F.regexp_extract(t, r"\bv=(\d+)\b", 1), F.lit("")).cast("int"),
+        F.nullif(
+            F.regexp_extract(t, r"(?<![A-Za-z0-9_])v=([0-9]+)(?![A-Za-z0-9_])", 1), F.lit("")
+        ).cast("int"),
         F.lit(1),
     )
     return df.withColumn("pattern_class", pattern_class).withColumn(
@@ -223,12 +228,16 @@ def _group_index(regex: str, group: str) -> int:
 
 def _java_rx(regex: str) -> str:
     """Python regex → Java regex: named groups → anonymous (Java
-    rejects ``(?P<``; its named groups forbid underscores), and ``(?U)``
-    so Java's ASCII-only ``\\w``/``\\d`` match Python's Unicode-default
-    classes (divergence found by hypothesis: ``CALL µ args={}``)."""
+    rejects ``(?P<``; its named groups forbid underscores). Registry
+    regexes use explicit ASCII classes instead of ``\\w``/``\\d`` —
+    hypothesis found both a flag divergence (``CALL µ args={}``: Java
+    ASCII vs Python Unicode classes) and, with ``(?U)``, a Unicode
+    *version* divergence (``CALL 𝼀 args={}``: U+1DF00 is a word char in
+    Python 3.11's Unicode 14 tables but not Java 17's Unicode 13) —
+    explicit classes are engine- and version-independent."""
     import re
 
-    return "(?U)" + re.sub(r"\(\?P<\w+>", "(", regex)
+    return re.sub(r"\(\?P<\w+>", "(", regex)
 
 
 def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -52,14 +52,26 @@ def brute_force_topk(
     join), then one shuffle for the per-query rank window. Tie-break
     on rounded similarity then neighbor id → fully deterministic.
     """
+    # norms are per-vector, not per-pair: compute them once on each side
+    # of the join (|C| + |Q| aggregates) instead of inside the pair
+    # expression (3·|C|·|Q| array scans via cosine()).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -112,6 +124,7 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}vec"),
+            norm(F.col(vec_col)).alias(f"{prefix}_n"),
             F.explode(
                 F.array(*[
                     F.struct(
@@ -121,17 +134,23 @@ def lsh_topk(
                     for bnd in range(bands)
                 ])
             ).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}vec", "bb.band", "bb.bucket")
+        ).select(f"{prefix}_id", f"{prefix}vec", f"{prefix}_n", "bb.band", "bb.bucket")
 
     c = with_buckets(corpus, "neighbor")
     q = with_buckets(queries, "query")
     cands = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "queryvec", "neighborvec")
+        .select("query_id", "neighbor_id", "queryvec", "neighborvec", "query_n", "neighbor_n")
         .distinct()
     )
-    scored = cands.withColumn("sim", F.round(cosine(F.col("queryvec"), F.col("neighborvec")), 4))
+    scored = cands.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("queryvec"), F.col("neighborvec")) / (F.col("query_n") * F.col("neighbor_n")),
+            4,
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -148,12 +167,18 @@ def neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
     Brute-force; swap the candidate source to SRP buckets at scale."""
-    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
-    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    a = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), norm(F.col(vec_col)).alias("an")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), norm(F.col(vec_col)).alias("bn")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), 4))
+        .withColumn(
+            "sim", F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 4)
+        )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )

@@ -27,7 +27,8 @@ _CLASS_PREFIXES = [
     ("latency_ms=", "metric"),
     ("HANDOFF ", "handoff"),
 ]
-_VERSION_RX = re.compile(r"\bv=(\d+)\b")
+# ASCII-explicit boundaries — must mirror operators/parse.py classify()
+_VERSION_RX = re.compile(r"(?<![A-Za-z0-9_])v=([0-9]+)(?![A-Za-z0-9_])")
 _REG = {(p.pattern_class, p.version): p for p in PATTERNS}
 _ROLE_CLASS = {r: (c, w) for r, c, w in DIM_ROLES}
 _TOOL_FAM = {t: (f, rl) for t, f, rl in DIM_TOOLS}

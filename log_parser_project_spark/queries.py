@@ -35,6 +35,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the scan arrived with fewer partitions
+    than cores — a small single-file table otherwise runs CPU-heavy
+    derived work (shingling, cosine) single-threaded. At real scale the
+    scan already has ≥ cores partitions and this is a no-op (no shuffle
+    inserted)."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 # ===========================================================================
 # Aggregations (SURVEY §2.4) — the per-sink hash-aggregate family
 # ===========================================================================

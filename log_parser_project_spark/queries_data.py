@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity
 from .operators.text import with_text_features
-from .queries import QUERIES, _register, _t
+from .queries import QUERIES, _register, _spread, _t
 
 # ===========================================================================
 # Deduplication
@@ -33,7 +33,7 @@ def q_dd_exact_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting: md5-fingerprint distinct counts per source."""
     from .operators.text import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fingerprint("text")).alias("n_unique"),
@@ -70,7 +70,7 @@ def q_dd_exact_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dd_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(d, n=3, threshold=0.5)
 
 
@@ -78,14 +78,14 @@ def q_dd_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate→verify dedup (the 100 TB path); pytest
     asserts it recovers the exact Jaccard pairs at threshold 0.5."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.minhash_dedup_pairs(d, n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
 @_register("q_dd_simhash_pairs", None)  # approx — rows-only driver check
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (hamming ≤ 3)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash_pairs(d, max_hamming=6)
 
 
@@ -120,7 +120,7 @@ def q_tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per declared language."""
     from .operators.text import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("long").alias("sum_tokens"),
@@ -156,7 +156,7 @@ def q_tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source in exact e4 fixed-point."""
     from .operators.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.round(quality_score("text") * 10000)).cast("long").alias("sum_quality_e4"),
@@ -190,7 +190,7 @@ def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID confusion counts (declared vs guessed)."""
     from .operators.text import lang_guess
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("lang", lang_guess("text").alias("lang_guess")).groupBy(
         "lang", "lang_guess"
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -217,7 +217,7 @@ def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 for query vectors vec_id < 5."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
@@ -232,7 +232,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.45)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.neardup_pairs(e, threshold=0.45)
 
 
@@ -240,7 +240,7 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-3 (the scale path); pytest measures
     recall against q_sim_topk."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3, planes=4, bands=8)
 
 
@@ -272,7 +272,7 @@ def q_tx_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenization counting per source."""
     from .operators.text import subword_token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.groupBy("source").agg(
         F.sum(subword_token_count("text")).cast("long").alias("sum_subword_tokens"),
         F.count(F.lit(1)).alias("n_docs"),

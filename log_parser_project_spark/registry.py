@@ -57,16 +57,16 @@ PATTERNS: tuple[Pattern, ...] = (
     Pattern(
         pattern_class="tool_call",
         version=1,
-        regex=r"^CALL (?P<tool_name>\w+) args=\{(?P<args>[^}]*)\}$",
+        regex=r"^CALL (?P<tool_name>[A-Za-z0-9_]+) args=\{(?P<args>[^}]*)\}$",
         groups=("tool_name", "args"),
         route="sink_tool_calls",
-        repeat_group=r"(\w+)=(\d+)",
+        repeat_group=r"([A-Za-z0-9_]+)=([0-9]+)",
         repeat_fields=("arg_key", "arg_val"),
     ),
     Pattern(
         pattern_class="error",
         version=1,
-        regex=r"^ERROR code=(?P<code>\d+) severity=(?P<severity>\d) msg='(?P<msg>[^']*)'$",
+        regex=r"^ERROR code=(?P<code>[0-9]+) severity=(?P<severity>[0-9]) msg='(?P<msg>[^']*)'$",
         groups=("code", "severity", "msg"),
         route="sink_errors",
         enum_field="severity",
@@ -75,30 +75,30 @@ PATTERNS: tuple[Pattern, ...] = (
     Pattern(
         pattern_class="citation",
         version=1,
-        regex=r"^see (?P<cites>\[doc-\d+#\d+\](?: and \[doc-\d+#\d+\])*)$",
+        regex=r"^see (?P<cites>\[doc-[0-9]+#[0-9]+\](?: and \[doc-[0-9]+#[0-9]+\])*)$",
         groups=("cites",),
         route="sink_citations",
-        repeat_group=r"\[doc-(\d+)#(\d+)\]",
+        repeat_group=r"\[doc-([0-9]+)#([0-9]+)\]",
         repeat_fields=("doc", "page"),
     ),
     Pattern(
         pattern_class="metric",
         version=1,
-        regex=r"^latency_ms=(?P<latency_ms>[\d.]+) tokens=(?P<tokens>\d+)$",
+        regex=r"^latency_ms=(?P<latency_ms>[0-9.]+) tokens=(?P<tokens>[0-9]+)$",
         groups=("latency_ms", "tokens"),
         route="sink_metrics",
     ),
     Pattern(
         pattern_class="handoff",
         version=1,
-        regex=r"^HANDOFF to=(?P<to_role>\w+) reason=(?P<reason>\w+)$",
+        regex=r"^HANDOFF to=(?P<to_role>[A-Za-z0-9_]+) reason=(?P<reason>[A-Za-z0-9_]+)$",
         groups=("to_role", "reason"),
         route="sink_handoffs",
     ),
     Pattern(
         pattern_class="handoff",
         version=2,
-        regex=r"^HANDOFF v=2 to=(?P<to_role>\w+) reason=(?P<reason>\w+) priority=(?P<priority>\d)$",
+        regex=r"^HANDOFF v=2 to=(?P<to_role>[A-Za-z0-9_]+) reason=(?P<reason>[A-Za-z0-9_]+) priority=(?P<priority>[0-9])$",
         groups=("to_role", "reason", "priority"),
         route="sink_handoffs",
     ),
