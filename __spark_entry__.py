@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
 import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
 import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
+import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
 from log_parser_project_spark.queries import QUERIES
 
 SF0001 = "/root/testdata/sf0.001"

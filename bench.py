@@ -30,6 +30,7 @@ from log_parser_project_spark.session import get_spark
 import log_parser_project_spark.queries_data  # noqa: F401,E402 — registers data queries
 import log_parser_project_spark.queries_ops  # noqa: F401,E402 — registers ops queries
 import log_parser_project_spark.queries_hex  # noqa: F401,E402 — registers hex queries
+import log_parser_project_spark.queries_ops2  # noqa: F401,E402 — registers batch-4 queries
 
 HEADLINE = [
     "q_a9_pricing_summary",

@@ -159,6 +159,83 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The deterministic quantizer takes the first ``n_cells`` corpus
+    vectors (by id) as centroids — at real scale you'd k-means them,
+    but the *plan shape* is identical: corpus vectors are assigned to
+    their nearest centroid cell (argmax cosine, computed as dot against
+    unit-norm centroid literals — all expression-side), queries probe
+    their ``n_probe`` nearest cells, candidates come from a cell-key
+    equi-join, and the exact cosine re-rank runs only within probed
+    cells. Shuffle volume ∝ corpus (one cell key per vector), not
+    corpus × queries.
+    """
+    import math
+
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    cents = []
+    for r in cent_rows:
+        v = [float(x) for x in r[vec_col]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / nrm for x in v])
+
+    def cell_sims(vec: Column) -> Column:
+        return F.array(*[dot(F.array(*[F.lit(x) for x in c]), vec) for c in cents])
+
+    def corpus_cell(vec: Column) -> Column:
+        s = cell_sims(vec)
+        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+    def probe_cells(vec: Column) -> Column:
+        s = cell_sims(vec)
+        ranked = F.array_sort(
+            F.zip_with(
+                s,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda sim, i: F.struct((-sim).alias("neg"), i.cast("int").alias("cell")),
+            )
+        )
+        return F.slice(F.transform(ranked, lambda x: x["cell"]), 1, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+        corpus_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,

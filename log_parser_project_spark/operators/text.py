@@ -77,6 +77,27 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Position-weighted polynomial fingerprint over a token array
+    (the rolling-hash document fingerprint): Σᵢ h(tokᵢ)·i mod p, with
+    h = first 8 hex chars of md5 — portable across engines (md5 and
+    64-bit integer arithmetic behave identically in Spark and DuckDB,
+    unlike xxhash64 which DuckDB lacks). Expression-only; order-
+    sensitive, so reordered tokens change the fingerprint while the
+    bag-of-words md5 :func:`fingerprint` would not."""
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    weighted = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: tok_hash(t) * i.cast("long"),
+    )
+    acc = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
+    return F.when(F.size(toks) > 0, acc % ROLLING_MOD).otherwise(F.lit(0).cast("long"))
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(col))

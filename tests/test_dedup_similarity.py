@@ -75,6 +75,31 @@ def test_lsh_ann_recall_vs_brute_force(emb):
     assert avg_recall >= 0.55, f"SRP-LSH avg recall {avg_recall}"
 
 
+def test_ivf_ann_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # probing 4/16 cells; random-ish synthetic vectors → recall well
+    # above the 25% a uniform probe would give
+    assert avg_recall >= 0.5, f"IVF avg recall {avg_recall}"
+    # every approx neighbor must carry the exact cosine (re-rank is exact)
+    exact_sim = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sim:
+            assert abs(r.sim - exact_sim[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synth_media(spark, n=48)
     feats = multimodal.extract_features(media)

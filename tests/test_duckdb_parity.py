@@ -12,6 +12,7 @@ import pytest
 import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
 import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
 import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
+import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
 from log_parser_project_spark.queries import QUERIES
 
 TABLES = [
