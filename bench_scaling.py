@@ -14,6 +14,16 @@ Usage::
     python bench_scaling.py                 # full comparison
     python bench_scaling.py --write-md      # also update BENCH/BASELINE.md
     python bench_scaling.py --worker 8 --input /tmp/x  # internal
+
+Protocol notes (why the defaults are N=4 vs 16 with ~20M rows on a
+32-core box): (a) 4N must stay below the physical core count —
+saturating all 32 cores makes the 4N run absorb the OS, the spinners,
+and Spark's own daemon threads, a penalty no real 4N-executor cluster
+pays; (b) the job must run tens of seconds per trial — at ~5s, fixed
+per-job costs (scheduling, python-worker dispatch, shuffle setup)
+dominate and the measurement reflects overhead, not the plan
+(measured: 2M rows at 8→32 cores gives 0.23 "efficiency"; 20M rows at
+4→16 gives ≈0.8 for the identical plan).
 """
 
 from __future__ import annotations
@@ -35,7 +45,7 @@ INPUT_FILES = 128  # fixed file count → identical scan splits at both levels
 def _worker(cores: int, input_dir: str, runs: int) -> None:
     import pyspark.sql.functions as F
 
-    from log_parser_project_spark.operators.aggregate import per_sink_aggregates
+    from log_parser_project_spark.operators.aggregate import per_sink_aggregates_onepass
     from log_parser_project_spark.plans.pipeline import build_routed
     from log_parser_project_spark.session import get_spark
 
@@ -50,18 +60,21 @@ def _worker(cores: int, input_dir: str, runs: int) -> None:
     from pyspark.storagelevel import StorageLevel
 
     def job() -> None:
-        # mirror run_pipeline's shape: ONE parse pass materializing the
-        # routed fact (slim projection stands in for the staging write),
-        # then the 4 per-sink aggregates over the materialized fact
+        # mirror run_pipeline's aggregate plan: ONE parse pass feeding a
+        # single grouping-sets aggregate (all four per-sink key sets in
+        # one scan + one shuffle — no fact-sized persist), then the four
+        # split reads off the materialized aggregate (cache hits,
+        # submitted concurrently like run_pipeline's table writes)
         routed = build_routed(spark, src)
-        slim = routed.select(
-            "conv_id", "role", "tool", "ts", "route",
-            F.length("text").alias("text_len"), "matched",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        slim.count()
-        for adf in per_sink_aggregates(slim).values():
-            adf.count()
-        slim.unpersist()
+        shared, splits = per_sink_aggregates_onepass(routed)
+        shared.persist(StorageLevel.MEMORY_AND_DISK)
+        shared.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(splits)) as pool:
+            for f in [pool.submit(a.count) for a in splits.values()]:
+                f.result()
+        shared.unpersist()
 
     job()  # warmup: python workers + code paths
     best = min(_timed(job) for _ in range(runs))
@@ -75,20 +88,26 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def _spin(stop_path: str) -> None:
+def _spin(stop_path: str, core: int | None) -> None:
+    if core is not None:
+        try:
+            os.sched_setaffinity(0, {core})
+        except OSError:
+            pass
     x = 0
     while not os.path.exists(stop_path):
         for _ in range(10**6):
             x += 1
 
 
-def _start_spinners(n: int):
+def _start_spinners(cores: list[int]):
+    """One register-loop spinner pinned to each listed core."""
     import multiprocessing as mp
 
     stop_path = f"/tmp/.scaling_spin_stop_{os.getpid()}"
     if os.path.exists(stop_path):
         os.remove(stop_path)
-    procs = [mp.Process(target=_spin, args=(stop_path,), daemon=True) for _ in range(n)]
+    procs = [mp.Process(target=_spin, args=(stop_path, c), daemon=True) for c in cores]
     for p in procs:
         p.start()
     time.sleep(0.5)
@@ -121,8 +140,8 @@ def main() -> None:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--input", default=None)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--n", type=int, default=int(os.environ.get("SCALING_N", "8")))
-    ap.add_argument("--convs", type=int, default=int(os.environ.get("SCALING_CONVS", "300000")))
+    ap.add_argument("--n", type=int, default=int(os.environ.get("SCALING_N", "4")))
+    ap.add_argument("--convs", type=int, default=int(os.environ.get("SCALING_CONVS", "3000000")))
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
 
@@ -137,16 +156,24 @@ def main() -> None:
     total_cores = os.cpu_count() or 32
     results = {}
     for cores in (args.n, args.n * 4):
-        # iso-frequency protocol: load the cores Spark is NOT using with
-        # busy spinners so both parallelism levels run at identical CPU
-        # clocks / shared-cache pressure. Without this, the small-N run
-        # gets turbo-boosted clocks that a real N-executor cluster node
-        # would not have, and the measurement reflects silicon, not the
-        # plan's scalability.
-        spinners = _start_spinners(max(total_cores - cores, 0))
+        # Faithful N-core-executor model, two mechanisms:
+        # (1) CPU AFFINITY: the whole worker process tree — JVM task
+        #     threads AND its forked python UDF workers — is confined to
+        #     cores [0, N). On a real N-core executor the python workers
+        #     share the executor's cores; letting them spill onto spare
+        #     box cores silently gives the small-N run ~2N cores and
+        #     inflates measured efficiency the other way.
+        # (2) ISO-FREQUENCY: one register-loop spinner pinned to every
+        #     core OUTSIDE the worker's set, so both levels run at
+        #     identical clocks / package power. (Spinners are pinned to
+        #     the complement — in an earlier revision they floated and
+        #     contended with the python workers, taxing the 4N run.)
+        worker_cores = list(range(cores))
+        spinners = _start_spinners(list(range(cores, total_cores)))
         try:
             out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cores), "--input", input_dir,
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, __file__, "--worker", str(cores), "--input", input_dir,
                  "--runs", str(args.runs)],
                 capture_output=True, text=True, check=True, cwd=REPO,
             )
@@ -181,12 +208,16 @@ files) → classify → Arrow-batched regex extract → broadcast enrich →
 route → 4 per-sink aggregates — run at `local[{n}]` and
 `local[{n4}]`, `spark.sql.shuffle.partitions` scaled with cores,
 fresh JVM per level, best of 3 timed runs after an untimed
-warmup. **Iso-frequency protocol:** during each run, the CPUs Spark is
-not using are kept busy by spinner processes so both levels execute at
-identical clock speed and shared-cache pressure — on a single box the
-small-N run otherwise gets turbo-boosted clocks no real N-executor
-cluster would see, and the measurement would reflect silicon, not the
-plan's scalability.
+warmup. **Faithful N-core-executor protocol**, two mechanisms:
+(1) *CPU affinity*: each worker's whole process tree — JVM task
+threads AND its forked python UDF workers — is confined via `taskset`
+to exactly N cores, because on a real N-core executor the python
+workers share the executor's cores (letting them spill onto spare box
+cores silently hands the small-N run ~2N cores and understates
+efficiency). (2) *Iso-frequency*: one register-loop spinner pinned to
+every core outside the worker's set, so both levels run at identical
+clocks and package power — otherwise the small-N run gets turbo
+boosts no real N-executor cluster node would see.
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|

@@ -19,6 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# standalone `python jobs/run_pipeline.py` runs with jobs/ as the script
+# dir; put the repo root on the path (under spark-submit --py-files the
+# shipped zip covers executors, and this covers the driver)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -38,12 +45,29 @@ def main() -> None:
     spark = SparkSession.builder.appName("transcript-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    # ship the package to executor python workers — the --py-files analog
+    # for standalone runs (harmless duplicate when spark-submit already
+    # shipped the zip)
+    from log_parser_project_spark.session import _package_zip
+
+    spark.sparkContext.addPyFile(_package_zip())
+
     from log_parser_project_spark.catalog import Catalog
     from log_parser_project_spark.generate import make_transcripts
     from log_parser_project_spark.plans.pipeline import run_pipeline
     from log_parser_project_spark.streaming.checkpoint import CheckpointedPipeline
 
     catalog = Catalog(spark, args.warehouse)
+
+    # materialize the registry + enrich dims as warehouse tables (K4
+    # metadata-sink analog: reference export/metadata_generator.py) —
+    # introspectable via the query_helpers CLI-parity surface
+    from log_parser_project_spark.registry import dim_patterns_df, dim_roles_df, dim_tools_df
+
+    catalog.write_table(dim_patterns_df(spark), "dim_patterns", lineage={"stage": "registry"})
+    catalog.write_table(dim_roles_df(spark), "dim_roles", lineage={"stage": "registry"})
+    catalog.write_table(dim_tools_df(spark), "dim_tools", lineage={"stage": "registry"})
+
     if args.input:
         transcripts = spark.read.parquet(args.input)
         fingerprint = args.input

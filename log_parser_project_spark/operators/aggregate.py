@@ -60,3 +60,55 @@ def per_sink_aggregates(routed: DataFrame) -> dict[str, DataFrame]:
             "route", F.date_trunc("hour", "ts").alias("hour")
         ).agg(F.count(F.lit(1)).alias("n")),
     }
+
+
+def per_sink_aggregates_onepass(
+    routed: DataFrame,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Same four aggregates as :func:`per_sink_aggregates`, computed in
+    ONE grouping-sets job: one scan of the fact, one shuffle, no
+    persist of the wide intermediate. At 100 TB this replaces four
+    passes (or a multi-TB cache) with a single pass whose partial
+    aggregation combines all four key sets map-side.
+
+    Returns ``(shared, splits)``: the caller persists + materializes
+    ``shared`` (it is aggregate-sized, not fact-sized) so the four
+    split reads are cache hits, and unpersists it after writing.
+
+    ``F.grouping(col)`` (0 = grouped in this set) splits the union back
+    into the four named results; within the (route, tool) set a NULL
+    ``tool`` is a data-null (grouping flag is 0), reproducing the
+    ``tool IS NOT NULL`` filter of the per-aggregate formulation.
+    """
+    gs = routed.select(
+        "conv_id", "route", "role", "tool", F.date_trunc("hour", "ts").alias("hour")
+    )
+    agg = (
+        gs.groupingSets(
+            [["route"], ["conv_id"], ["route", "role"], ["route", "tool"], ["route", "hour"]],
+            "conv_id", "route", "role", "tool", "hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("conv_id").alias("_g_conv"),
+            F.grouping("route").alias("_g_route"),
+            F.grouping("role").alias("_g_role"),
+            F.grouping("tool").alias("_g_tool"),
+            F.grouping("hour").alias("_g_hour"),
+        )
+    )
+    g = F.col
+    splits = {
+        # route-only set (per-sink totals — the pipeline's sink_counts)
+        "by_route": agg.filter(
+            (g("_g_route") == 0) & (g("_g_conv") == 1) & (g("_g_role") == 1)
+            & (g("_g_tool") == 1) & (g("_g_hour") == 1)
+        ).select("route", "n"),
+        "by_conv": agg.filter(g("_g_conv") == 0).select("conv_id", "n"),
+        "by_role": agg.filter(g("_g_role") == 0).select("route", "role", "n"),
+        "by_tool": agg.filter((g("_g_tool") == 0) & g("tool").isNotNull()).select(
+            "route", "tool", "n"
+        ),
+        "by_hour": agg.filter(g("_g_hour") == 0).select("route", "hour", "n"),
+    }
+    return agg, splits

@@ -93,6 +93,56 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def _resize_stub(payload: bytes, w: int, h: int, target_w: int, target_h: int) -> bytes:
+    """STUB resize kernel (real deployment: PIL.Image.resize). The fake
+    derives deterministic bytes from the payload + target dims so tests
+    can assert the plumbing without an image library."""
+    return hashlib.sha256(payload + f"{w}x{h}->{target_w}x{target_h}".encode()).digest()
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize over ``mapInPandas`` bounded batches: non-image rows
+    are filtered out JVM-side *before* Python (pushdown keeps the Arrow
+    transfer to the rows that need decoding); output metadata carries
+    the new dimensions."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [
+                    _resize_stub(p, m["width"], m["height"], target_w, target_h)
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ],
+                "meta": [
+                    {
+                        "width": target_w,
+                        "height": target_h,
+                        "duration_ms": m["duration_ms"],
+                        "codec": m["codec"],
+                    }
+                    for m in pdf["meta"]
+                ],
+            })
+            yield out
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video into frame
     timestamps (explode) — the decode of each frame is the stubbed

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..metrics import dump, get_safe, observed
-from ..operators.aggregate import per_sink_aggregates
+from ..operators.aggregate import per_sink_aggregates_onepass
 from ..operators.enrich import apply_enums, derive_metrics, enrich
 from ..operators.parse import explode_repeats, parse, parse_builtin
 from ..operators.route import route
@@ -104,8 +104,22 @@ def run_pipeline(
     metrics = get_safe(obs)
 
     staging = catalog.read_table(STAGING_TABLE, schema=staged.schema)
+
+    # per-sink aggregates AND the per-route sink tallies come from ONE
+    # grouping-sets job over the committed fact: one column-pruned scan
+    # + one shuffle for all five key sets. The shared aggregate is
+    # persisted (it is aggregate-sized, not fact-sized); the table
+    # writes and the repeats sink are then independent cheap jobs
+    # submitted concurrently so the cluster pipelines them instead of
+    # idling between sequential actions.
+    from concurrent.futures import ThreadPoolExecutor
+
+    shared, agg_splits = per_sink_aggregates_onepass(staging)
+    shared.persist()
+    shared.count()  # the one heavy job; splits below are cache reads
+
     sink_counts = {s: 0 for s in SINKS}
-    for r in staging.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect():
+    for r in agg_splits["by_route"].collect():
         sink_counts[r.route] = r.n
 
     result = PipelineResult(sink_counts=sink_counts, staging_snapshot=snap.snapshot_id)
@@ -115,15 +129,27 @@ def run_pipeline(
         metrics["sink_counts"] = sink_counts
         result.metrics = metrics
 
-    # per-sink aggregates over the committed fact, column-pruned scan
-    for name, agg_df in per_sink_aggregates(staging).items():
-        asnap = catalog.write_table(agg_df, f"agg_{name}", lineage={"stage": "aggregate"})
-        result.aggregates[name] = asnap.snapshot_id
+    def _write_agg(item):
+        name, agg_df = item
+        return name, catalog.write_table(agg_df, f"agg_{name}", lineage={"stage": "aggregate"})
 
-    if write_repeats:
-        rep_src = staging.filter(F.col("route").isin("sink_tool_calls", "sink_citations"))
-        catalog.write_table(
-            explode_repeats(rep_src), "sink_repeat_records", lineage={"stage": "explode_repeats"}
-        )
+    jobs = list(agg_splits.items())
+    with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
+        futs = [pool.submit(_write_agg, it) for it in jobs]
+        rep_fut = None
+        if write_repeats:
+            rep_src = staging.filter(F.col("route").isin("sink_tool_calls", "sink_citations"))
+            rep_fut = pool.submit(
+                catalog.write_table,
+                explode_repeats(rep_src),
+                "sink_repeat_records",
+                lineage={"stage": "explode_repeats"},
+            )
+        for f in futs:
+            name, asnap = f.result()
+            result.aggregates[name] = asnap.snapshot_id
+        if rep_fut is not None:
+            rep_fut.result()
+    shared.unpersist()
 
     return result

@@ -15,7 +15,10 @@ def docs(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df.persist()
     df.count()
-    return df
+    yield df
+    # unpersist: a lingering cache substitutes an InMemoryRelation for
+    # any later identical scan, breaking other modules' plan assertions
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +26,8 @@ def emb(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df.persist()
     df.count()
-    return df
+    yield df
+    df.unpersist()
 
 
 def test_minhash_recovers_exact_jaccard_pairs(docs):
@@ -110,6 +114,21 @@ def test_multimodal_feature_plumbing(spark):
     # deterministic: same media id → same feature across runs
     again = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_resize_images_plumbing(spark):
+    media = multimodal.synth_media(spark, n=48)
+    resized = multimodal.resize_images(media, target_w=224, target_h=224)
+    rows = resized.collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images and n_images > 0
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
+    # deterministic stub kernel: same input → same resized payload
+    again = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(media).collect()}
+    assert all(again[r.media_id] == bytes(r.payload) for r in rows)
+    # non-image rows were pruned JVM-side, not shipped to Python
+    plan = resized._jdf.queryExecution().executedPlan().toString()
+    assert "kind" in plan  # filter present below the mapInPandas
 
 
 def test_frame_sample_plan(spark):

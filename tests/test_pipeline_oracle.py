@@ -121,6 +121,20 @@ def test_aggregates_match(routed, oracle):
     assert by_hour == oracle["by_hour"]
 
 
+def test_onepass_aggregates_match_per_aggregate(routed, oracle):
+    """The single grouping-sets job must produce byte-identical results
+    to the four independent aggregates (and therefore to the oracle)."""
+    from log_parser_project_spark.operators.aggregate import per_sink_aggregates_onepass
+
+    _shared, one = per_sink_aggregates_onepass(routed)
+    assert {r.conv_id: r.n for r in one["by_conv"].collect()} == oracle["by_conv"]
+    assert {(r.route, r.role): r.n for r in one["by_role"].collect()} == oracle["by_role"]
+    assert {(r.route, r.tool): r.n for r in one["by_tool"].collect()} == oracle["by_tool"]
+    assert {
+        (r.route, pd.Timestamp(r.hour)): r.n for r in one["by_hour"].collect()
+    } == oracle["by_hour"]
+
+
 def test_repeat_records_explode(routed, oracle):
     rep = explode_repeats(routed)
     got = set(

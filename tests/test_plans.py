@@ -62,3 +62,30 @@ def test_anti_join_stays_broadcast_at_dim_scale(spark, sf_dir):
     fn, _ = QUERIES["q_j5_anti_missing"]
     plan = _plan(fn(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_version_lookup_dim_is_broadcast(spark, sf_dir):
+    import log_parser_project_spark.queries_ops2  # noqa: F401
+
+    fn, _ = QUERIES["q_j2_version_lookup"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_description_cleanup_filter_pushed(spark, sf_dir):
+    import log_parser_project_spark.queries_ops2  # noqa: F401
+
+    fn, _ = QUERIES["q_p9_description_cleanup"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+    # column pruning: only doc_id + text reach the scan
+    assert "ReadSchema" in plan and "n_chars" not in plan
+
+
+def test_ivf_cell_join_is_broadcast(spark, sf_dir):
+    import log_parser_project_spark.queries_ops2  # noqa: F401
+
+    fn, _ = QUERIES["q_sim_ivf_topk"]
+    plan = _plan(fn(spark, sf_dir))
+    # probed queries are the broadcast side; corpus never shuffles for the join
+    assert "BroadcastHashJoin" in plan
