@@ -64,6 +64,124 @@ def q_s5_hex_le_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_s5_field_decode",
+    f"""
+    WITH pkt AS (
+      SELECT printf('%02x%02x%02x%02x',
+                    {_K} % 256, ({_K} * 7) % 256, ({_K} * 13) % 256, ({_K} * 31) % 256) AS ph
+      FROM events
+    ),
+    b AS (
+      SELECT ('0x' || substr(ph, 1, 2))::BIGINT AS b0,
+             ('0x' || substr(ph, 3, 2))::BIGINT AS b1,
+             ('0x' || substr(ph, 5, 2))::BIGINT AS b2,
+             ('0x' || substr(ph, 7, 2))::BIGINT AS b3
+      FROM pkt
+    ),
+    d AS (
+      SELECT b0 AS f_count,
+             ((b1 >> 0) & 1) = 1 AS f_flag,
+             (b1 >> 1) & 7 AS lvl,
+             CASE WHEN (((b1 + b2 * 256) >> 4) & 255) >= 128
+                  THEN (((b1 + b2 * 256) >> 4) & 255) - 256
+                  ELSE ((b1 + b2 * 256) >> 4) & 255 END AS f_delta,
+             ((b2 + b3 * 256) >> 4) & 4095 AS f_word
+      FROM b
+    )
+    SELECT CASE WHEN lvl = 0 THEN 'off' WHEN lvl = 1 THEN 'low' WHEN lvl = 2 THEN 'mid'
+                WHEN lvl = 3 THEN 'high' ELSE 'UNKNOWN(' || lvl || ')' END AS f_level_friendly,
+           COUNT(*) AS n,
+           CAST(SUM(f_count) AS BIGINT) AS sum_count,
+           CAST(SUM(CASE WHEN f_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           CAST(SUM(f_delta) AS BIGINT) AS sum_delta,
+           CAST(SUM(f_word) AS BIGINT) AS sum_word
+    FROM d GROUP BY 1
+    """,
+)
+def q_s5_field_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-table-driven typed payload decode (the reference's core:
+    ``payload_decoder.py`` field loop → one expression per FieldDef):
+    uint / bool-bit / enum+friendly / two's-complement int / 12-bit
+    word sliced from a little-endian payload, rolled up per enum label.
+    The DuckDB oracle reconstructs every field arithmetically."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    ph = F.format_string(
+        "%02x%02x%02x%02x", k % 256, (k * 7) % 256, (k * 13) % 256, (k * 31) % 256
+    )
+    layout = [
+        hex_ingest.FieldDef("f_count", 0, 8, "uint"),
+        hex_ingest.FieldDef("f_flag", 8, 1, "bool"),
+        hex_ingest.FieldDef(
+            "f_level", 9, 3, "enum", {0: "off", 1: "low", 2: "mid", 3: "high"}
+        ),
+        hex_ingest.FieldDef("f_delta", 12, 8, "int"),
+        hex_ingest.FieldDef("f_word", 20, 12, "uint"),
+    ]
+    dec = hex_ingest.decode_fields(ev.select(ph.alias("payload_hex")), layout)
+    return dec.groupBy("f_level_friendly").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f_count").alias("sum_count"),
+        F.sum(F.when(F.col("f_flag"), 1).otherwise(0)).alias("n_flag"),
+        F.sum("f_delta").alias("sum_delta"),
+        F.sum("f_word").alias("sum_word"),
+    )
+
+
+@_register(
+    "q_x28_repeat_decode",
+    f"""
+    WITH pkt AS (
+      SELECT {_K} % 5 AS cnt,
+             [{_K} % 256, ({_K} * 3) % 256, ({_K} * 7) % 256,
+              ({_K} * 11) % 256, ({_K} * 13) % 256, ({_K} * 17) % 256] AS b
+      FROM events
+    ),
+    r AS (
+      SELECT cnt, b, unnest(range(least(cnt, 3))) AS idx
+      FROM pkt WHERE least(cnt, 3) > 0
+    )
+    SELECT CAST(idx AS BIGINT) AS record_idx,
+           COUNT(*) AS n,
+           CAST(SUM(b[idx * 2 + 1]) AS BIGINT) AS sum_lo,
+           CAST(SUM(b[idx * 2 + 2] & 127) AS BIGINT) AS sum_hi,
+           CAST(SUM(b[idx * 2 + 2] >> 7) AS BIGINT) AS n_flag
+    FROM r GROUP BY 1
+    """,
+)
+def q_x28_repeat_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeating-record decode from a binary payload (§2.8): count field
+    in byte 0 (J6), 2-byte records from byte 1, clamped to what fits
+    (3 here), posexploded with a real record_idx; the oracle rebuilds
+    every record arithmetically from the same synthesized bytes."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    ph = F.format_string(
+        "%02x%02x%02x%02x%02x%02x%02x",
+        k % 5, k % 256, (k * 3) % 256, (k * 7) % 256,
+        (k * 11) % 256, (k * 13) % 256, (k * 17) % 256,
+    )
+    pkts = hex_ingest.decode_fields(
+        ev.select(ph.alias("payload_hex")),
+        [hex_ingest.FieldDef("num_rec", 0, 8, "uint")],
+    )
+    rec_layout = [
+        hex_ingest.FieldDef("r_lo", 0, 8, "uint"),
+        hex_ingest.FieldDef("r_hi", 8, 7, "uint"),
+        hex_ingest.FieldDef("r_flag", 15, 1, "bool"),
+    ]
+    out = hex_ingest.decode_repeating(
+        pkts, rec_layout, count_col=F.col("num_rec"), base_offset_bytes=1
+    )
+    return out.groupBy("record_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_lo").alias("sum_lo"),
+        F.sum("r_hi").alias("sum_hi"),
+        F.sum(F.when(F.col("r_flag"), 1).otherwise(0)).alias("n_flag"),
+    )
+
+
 @_register("q_s5_packet_decode", None)  # synthetic corpus — rows-only
 def q_s5_packet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full packet path: synth corpus → validate (quarantine reasons) →

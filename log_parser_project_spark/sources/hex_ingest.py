@@ -71,6 +71,155 @@ def payload_hex(df: DataFrame, hex_col: str = "packet_hex") -> DataFrame:
     return df.withColumn("payload_hex", F.expr(f"substring({hex_col}, {HEADER_HEX_LEN + 1})"))
 
 
+from dataclasses import dataclass, field as _dc_field
+
+
+@dataclass(frozen=True)
+class FieldDef:
+    """One row of a field-layout table — the schema-as-data analog of
+    ``hex_decoder_module/models/icd.py:27-37`` ``FieldDefinition``."""
+
+    name: str
+    offset_bits: int
+    length_bits: int
+    type_name: str = "uint"  # uint | int | bool | enum
+    enum_map: dict[int, str] = _dc_field(default_factory=dict)
+
+
+def _slice_payload_bits(payload_hex: Column, offset_bits: int, length_bits: int) -> Column:
+    """``slice_bits`` over a little-endian hex payload, expression-only
+    (``utils/byte_ops.py:31-66``): the payload as a little-endian
+    integer, shifted right by ``offset_bits``, masked to ``length_bits``.
+    Implemented windowed — only the containing bytes are converted, so
+    payloads of any length work as long as one field spans ≤ 7 bytes
+    (the reference's practical limit for non-byte-aligned fields)."""
+    start_byte = offset_bits // 8
+    bit_in_window = offset_bits % 8
+    window_bytes = (bit_in_window + length_bits + 7) // 8
+    if window_bytes > 7:
+        raise ValueError("field window exceeds 7 bytes (56 bits)")
+    window = _le_bytes_to_long(payload_hex, start_byte, window_bytes)
+    mask = (1 << length_bits) - 1
+    return F.shiftright(window, bit_in_window).bitwiseAND(F.lit(mask))
+
+
+def decode_fields(
+    df: DataFrame, layout: list[FieldDef], payload_col: str = "payload_hex"
+) -> DataFrame:
+    """Schema-table-driven payload decode — the vectorized analog of the
+    reference's per-field loop (``decoder/payload_decoder.py:80-114`` +
+    ``decoder/field_decoder.py:14-114``): every ``FieldDef`` in the
+    layout becomes one typed column, all whole-stage-codegen'd
+    expressions (shift/mask/two's-complement/enum map), no Python.
+
+    Type dispatch mirrors ``field_decoder``: ``uint`` (default, and the
+    unknown-type fallback), ``int`` (two's complement,
+    ``type_converters.py:88-111``), ``bool`` (single-bit test,
+    ``type_converters.py:40-58``), ``enum`` (raw + ``<name>_friendly``
+    with ``UNKNOWN(v)`` default, ``type_converters.py:61-85``).
+    """
+    p = F.col(payload_col)
+    out = df
+    for fld in layout:
+        raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
+        if fld.type_name == "bool":
+            if fld.length_bits != 1:
+                raise ValueError(f"bool field {fld.name} must be 1 bit")
+            out = out.withColumn(fld.name, raw == 1)
+        elif fld.type_name == "int":
+            sign_bit = 1 << (fld.length_bits - 1)
+            out = out.withColumn(
+                fld.name,
+                F.when(raw >= sign_bit, raw - (1 << fld.length_bits)).otherwise(raw),
+            )
+        elif fld.type_name == "enum":
+            m = F.create_map(
+                *[F.lit(x) for k, v in fld.enum_map.items() for x in (k, v)]
+            )
+            out = out.withColumn(fld.name, raw).withColumn(
+                f"{fld.name}_friendly",
+                F.coalesce(
+                    m[raw], F.concat(F.lit("UNKNOWN("), raw.cast("string"), F.lit(")"))
+                ),
+            )
+        else:  # uint + unknown-type fallback (field_decoder.py:95-103)
+            out = out.withColumn(fld.name, raw)
+    return out
+
+
+def _le_bytes_to_long_at(hexcol: Column, byte_off: Column, n_bytes: int) -> Column:
+    """Like ``_le_bytes_to_long`` but with a *dynamic* (per-row) byte
+    offset — used for repeating-record strides."""
+    pairs = [
+        F.substring(hexcol, byte_off * 2 + 1 + i * 2, F.lit(2)) for i in range(n_bytes)
+    ]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+
+def decode_repeating(
+    df: DataFrame,
+    record_layout: list[FieldDef],
+    count_col: Column,
+    base_offset_bytes: int = 0,
+    payload_col: str = "payload_hex",
+) -> DataFrame:
+    """Repeating-record expansion over a binary payload (§2.8, the
+    reference's most intricate operator — ``payload_decoder.py:133-209``
+    + ``metadata_payload_parser.py:144-286``), fully expression-side:
+
+    * stride = ``ceil(max(offset+len)/8)`` bytes over the record layout
+      (``payload_decoder.py:166-170``);
+    * actual count = ``least(logical_count, (payload_len − base) //
+      stride)`` — clamped to what physically fits
+      (``payload_decoder.py:174-185``); the logical count is a column,
+      so the J6 coalesce chain (count field → popcount → 1) plugs in;
+    * each record decodes at ``base + i*stride`` via ``transform`` over
+      a ``sequence``, then ``posexplode`` yields one row per record
+      with a real ``record_idx`` instead of the reference's
+      ``"{name} (Record {i})"`` name-mangling.
+
+    Records are byte-aligned (as in the reference, where stride is
+    whole bytes); fields inside a record may still be bit-granular.
+    """
+    stride_bits = max(f.offset_bits + f.length_bits for f in record_layout)
+    stride_bytes = (stride_bits + 7) // 8
+    p = F.col(payload_col)
+    fits = F.floor((F.length(p) / 2 - base_offset_bytes) / stride_bytes).cast("long")
+    actual = F.greatest(F.least(count_col.cast("long"), fits), F.lit(0))
+
+    def record_struct(i: Column) -> Column:
+        rec_base = F.lit(base_offset_bytes) + i * stride_bytes
+        fields = []
+        for fld in record_layout:
+            start = rec_base + fld.offset_bits // 8
+            bit = fld.offset_bits % 8
+            wb = (bit + fld.length_bits + 7) // 8
+            window = _le_bytes_to_long_at(p, start, wb)
+            raw = F.shiftright(window, bit).bitwiseAND(F.lit((1 << fld.length_bits) - 1))
+            if fld.type_name == "int":
+                sign = 1 << (fld.length_bits - 1)
+                raw = F.when(raw >= sign, raw - (1 << fld.length_bits)).otherwise(raw)
+            elif fld.type_name == "bool":
+                raw = raw == 1
+            fields.append(raw.alias(fld.name))
+        return F.struct(*fields)
+
+    recs = F.when(
+        actual > 0,
+        F.transform(F.sequence(F.lit(0), actual - 1), record_struct),
+    ).otherwise(F.array().cast(
+        "array<struct<" + ",".join(
+            f"{f.name}:{'boolean' if f.type_name == 'bool' else 'bigint'}"
+            for f in record_layout
+        ) + ">>"
+    ))
+    return (
+        df.withColumn("_recs", recs)
+        .select("*", F.posexplode("_recs").alias("record_idx", "record"))
+        .select(*df.columns, "record_idx", "record.*")
+    )
+
+
 def synth_packets(spark: SparkSession, n: int = 1000, parts: int = 8) -> DataFrame:
     """Deterministic synthetic packet corpus (little-endian hex), with
     ~5% corrupt rows exercising every reject reason."""

@@ -10,6 +10,44 @@ from log_parser_project_spark.streaming.stateful import sessionize
 from log_parser_project_spark.streaming.stream import TRANSCRIPT_SCHEMA
 
 
+def test_sessionize_idle_timeout_closes_sessions(spark, tmp_path):
+    """With a continuous trigger and idle_timeout_ms, every conversation
+    eventually emits a closed=True row and drops its state."""
+    import time
+
+    tdf = make_transcripts(spark, n_convs=12)
+    src = str(tmp_path / "src_t")
+    tdf.write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (
+        sessionize(classify(stream), idle_timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("sess_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        closed = set()
+        while time.time() < deadline:
+            closed = {
+                r.conv_id
+                for r in spark.sql(
+                    "SELECT conv_id FROM sess_timeout WHERE closed"
+                ).collect()
+            }
+            if len(closed) >= 12:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    want = {r.conv_id for r in tdf.select("conv_id").distinct().collect()}
+    assert closed == want, f"expected all {len(want)} conversations closed, got {len(closed)}"
+
+
 def test_sessionize_accumulates_across_microbatches(spark, tmp_path):
     tdf = make_transcripts(spark, n_convs=40)
     src = str(tmp_path / "src")
