@@ -182,6 +182,47 @@ def q_x28_repeat_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_j2_versioned_payload",
+    f"""
+    WITH pkt AS (
+      SELECT {_K} % 3 + 1 AS ver, ({_K} * 5) % 256 AS b1, ({_K} * 9) % 256 AS b2
+      FROM events
+    ),
+    d AS (
+      SELECT CASE WHEN ver IN (1, 2) THEN ver ELSE 1 END AS layout_version, b1, b2
+      FROM pkt
+    )
+    SELECT layout_version,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN layout_version = 1 THEN b1 ELSE b2 END) AS BIGINT) AS sum_x,
+           CAST(SUM(CASE WHEN layout_version = 2 THEN
+                  CASE WHEN b1 >= 128 THEN b1 - 256 ELSE b1 END END) AS BIGINT) AS sum_y
+    FROM d GROUP BY 1
+    """,
+)
+def q_j2_versioned_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row version-resolved payload decode (J2 on the payload path,
+    version_resolver.py:13-56): the version byte inside the payload
+    selects which field layout applies, unknown versions fall back to
+    the first layout; rolled up per resolved version."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    ph = F.format_string("%02x%02x%02x", k % 3 + 1, (k * 5) % 256, (k * 9) % 256)
+    v1 = [hex_ingest.FieldDef("x", 8, 8, "uint")]
+    v2 = [hex_ingest.FieldDef("x", 16, 8, "uint"), hex_ingest.FieldDef("y", 8, 8, "int")]
+    dec = hex_ingest.decode_versioned(
+        ev.select(ph.alias("payload_hex")),
+        F.conv(F.substring("payload_hex", 1, 2), 16, 10).cast("long"),
+        {1: v1, 2: v2},
+    )
+    return dec.groupBy("layout_version").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+
+
 @_register("q_s5_packet_decode", None)  # synthetic corpus — rows-only
 def q_s5_packet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full packet path: synth corpus → validate (quarantine reasons) →

@@ -147,6 +147,89 @@ def decode_fields(
     return out
 
 
+def flatten_layout(
+    layout: list[FieldDef | tuple[str, int]],
+    tables: dict[str, list[FieldDef]] | None = None,
+    prefix: str = "",
+    base_bits: int = 0,
+) -> list[FieldDef]:
+    """Wrapper-table expansion at registry-build time (J3/J4 on the
+    payload path — ``icd_parser/icd_query.py:173-228`` inlines a
+    referenced table's fields with offset rebasing; the reference
+    resolves the dependency graph once at parse time,
+    ``DESIGN_SUMMARY.md:67-75``, and so do we: driver-side, before any
+    executor sees the layout).
+
+    ``layout`` entries are either ``FieldDef``s or ``(table_name,
+    offset_bits)`` references into ``tables``; references expand
+    recursively with offsets rebased onto the wrapper's base and names
+    dotted (``wrapper.field`` instead of the reference's name-mangling).
+    """
+    tables = tables or {}
+    out: list[FieldDef] = []
+    for entry in layout:
+        if isinstance(entry, FieldDef):
+            out.append(
+                FieldDef(
+                    f"{prefix}{entry.name}",
+                    base_bits + entry.offset_bits,
+                    entry.length_bits,
+                    entry.type_name,
+                    entry.enum_map,
+                )
+            )
+        else:
+            ref, off = entry
+            if ref not in tables:
+                raise KeyError(f"unknown table reference {ref!r}")
+            out.extend(
+                flatten_layout(
+                    tables[ref], tables, f"{prefix}{ref}_", base_bits + off
+                )
+            )
+    return out
+
+
+def decode_versioned(
+    df: DataFrame,
+    version_col: Column,
+    version_layouts: dict[int, list[FieldDef]],
+    payload_col: str = "payload_hex",
+) -> DataFrame:
+    """Per-row version-resolved payload decode (J2 on the payload path —
+    ``decoder/version_resolver.py:13-56``: the version value read from
+    the payload selects which field-layout table applies). Every field
+    of every version becomes a column, dispatched by a ``when`` chain
+    on the version (fields absent from a row's version are NULL), plus
+    ``layout_version`` with the fallback-to-first semantics of
+    ``icd_query.py:144-153``.
+
+    The union-of-columns shape mirrors the engine's text registry
+    (``extracted`` struct holds every group of every pattern).
+    """
+    p = F.col(payload_col)
+    versions = sorted(version_layouts)
+    fallback = versions[0]
+    resolved = F.coalesce(
+        *[F.when(version_col == v, F.lit(v)) for v in versions], F.lit(fallback)
+    )
+    out = df.withColumn("layout_version", resolved)
+    all_fields: dict[str, list[tuple[int, FieldDef]]] = {}
+    for v, layout in version_layouts.items():
+        for fld in layout:
+            all_fields.setdefault(fld.name, []).append((v, fld))
+    for name, variants in all_fields.items():
+        expr = F.lit(None).cast("long")
+        for v, fld in variants:
+            raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
+            if fld.type_name == "int":
+                sign = 1 << (fld.length_bits - 1)
+                raw = F.when(raw >= sign, raw - (1 << fld.length_bits)).otherwise(raw)
+            expr = F.when(F.col("layout_version") == v, raw).otherwise(expr)
+        out = out.withColumn(name, expr)
+    return out
+
+
 def _le_bytes_to_long_at(hexcol: Column, byte_off: Column, n_bytes: int) -> Column:
     """Like ``_le_bytes_to_long`` but with a *dynamic* (per-row) byte
     offset — used for repeating-record strides."""

@@ -132,3 +132,46 @@ def test_repeating_record_decode_clamped(spark):
     all_ids = {r.packet_id for r in pkts.select("packet_id").collect()}
     zero_ids = all_ids - {pid for (pid, _ph) in got}
     assert zero_ids  # corpus contains zero-count packets too
+
+
+def test_flatten_layout_rebases_offsets():
+    from log_parser_project_spark.sources.hex_ingest import FieldDef, flatten_layout
+
+    tables = {
+        "inner": [FieldDef("a", 0, 4), FieldDef("b", 4, 4)],
+        "outer": [FieldDef("head", 0, 8), ("inner", 8), ("inner", 16)],
+    }
+    flat = flatten_layout(tables["outer"], tables)
+    got = [(f.name, f.offset_bits, f.length_bits) for f in flat]
+    assert got == [
+        ("head", 0, 8),
+        ("inner_a", 8, 4), ("inner_b", 12, 4),
+        ("inner_a", 16, 4), ("inner_b", 20, 4),
+    ]
+    import pytest
+    with pytest.raises(KeyError):
+        flatten_layout([("missing", 0)], tables)
+
+
+def test_versioned_decode_dispatch(spark):
+    """decode_versioned: the version read from the payload picks the
+    layout per row; unknown versions fall back to the first layout
+    (icd_query.py:144-153 semantics)."""
+    from log_parser_project_spark.sources.hex_ingest import FieldDef, decode_versioned
+    import pyspark.sql.functions as F
+
+    # payload: byte0 = version, bytes 1-2 = data
+    rows = [(1, "01" + "ab" + "cd"), (2, "02" + "ab" + "cd"), (3, "09" + "ab" + "cd")]
+    df = spark.createDataFrame(rows, "pid int, payload_hex string")
+    v1 = [FieldDef("x", 8, 8, "uint")]                 # x = byte1
+    v2 = [FieldDef("x", 16, 8, "uint"), FieldDef("y", 8, 8, "int")]
+    out = decode_versioned(
+        df, F.conv(F.substring("payload_hex", 1, 2), 16, 10).cast("long"),
+        {1: v1, 2: v2},
+    ).collect()
+    by_pid = {r.pid: r for r in out}
+    assert by_pid[1].layout_version == 1 and by_pid[1].x == 0xAB and by_pid[1].y is None
+    assert by_pid[2].layout_version == 2 and by_pid[2].x == 0xCD
+    assert by_pid[2].y == 0xAB - 256  # int8 two's complement of 0xab
+    # version 9 unknown -> fallback to first (v1)
+    assert by_pid[3].layout_version == 1 and by_pid[3].x == 0xAB
