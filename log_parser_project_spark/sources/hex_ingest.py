@@ -303,6 +303,52 @@ def decode_repeating(
     )
 
 
+def decode_packet_json(
+    spark: SparkSession,
+    hex_input: str,
+    version_layouts: dict[int, list[FieldDef]],
+    version_offset_bits: int = 0,
+    version_length_bits: int = 8,
+) -> dict:
+    """One-shot CLI-parity decode (the reference's §3.3 lifecycle:
+    ``hex_decoder_module/cli.py:19-53`` — parse → validate → header →
+    version-resolve → field decode → JSON dict), as a single 1-row run
+    of the same DataFrame plan the batch pipeline uses. Returns the
+    ``{valid, reject_reason?, header{...}, layout_version, fields{...},
+    metadata{decode_time_ms}}`` dict (K3 + R6 analog)."""
+    import json
+    import time
+
+    t0 = time.perf_counter()
+    df = spark.createDataFrame([(hex_input.strip().lower(),)], "packet_hex string")
+    v = validate_packets(df)
+    row = v.first()
+    if not row.valid:
+        return {"valid": False, "reject_reason": row.reject_reason}
+    dec = payload_hex(decode_header(v))
+    version = _slice_payload_bits(
+        F.col("payload_hex"), version_offset_bits, version_length_bits
+    )
+    out = decode_versioned(dec, version, version_layouts)
+    r = out.first()
+    field_names = {f.name for layout in version_layouts.values() for f in layout}
+    result = {
+        "valid": True,
+        "header": {
+            "pkt_length": r.pkt_length,
+            "logcode": r.logcode,
+            "logcode_hex": r.logcode_hex,
+            "sequence": r.sequence,
+            "timestamp_raw": r.timestamp_raw,
+        },
+        "layout_version": r.layout_version,
+        "fields": {n: getattr(r, n) for n in sorted(field_names)},
+        "metadata": {"decode_time_ms": round((time.perf_counter() - t0) * 1000, 2)},
+    }
+    json.dumps(result)  # guarantee serializable (FileWriter contract)
+    return result
+
+
 def synth_packets(spark: SparkSession, n: int = 1000, parts: int = 8) -> DataFrame:
     """Deterministic synthetic packet corpus (little-endian hex), with
     ~5% corrupt rows exercising every reject reason."""

@@ -175,3 +175,32 @@ def test_versioned_decode_dispatch(spark):
     assert by_pid[2].y == 0xAB - 256  # int8 two's complement of 0xab
     # version 9 unknown -> fallback to first (v1)
     assert by_pid[3].layout_version == 1 and by_pid[3].x == 0xAB
+
+
+def test_decode_packet_json_cli_parity(spark):
+    """One-shot packet -> JSON decode (cli.py:19-53 lifecycle): header,
+    version-resolved fields, decode timing metadata; bad packets land
+    in the reject channel instead of raising."""
+    from log_parser_project_spark.sources.hex_ingest import FieldDef, decode_packet_json
+
+    def le(v, nb):
+        return v.to_bytes(nb, "little").hex()
+
+    # header: length=3 (payload bytes), logcode=0x1C07, seq=42, ts=7
+    # payload: version=2, then bytes 0x0f 0x83
+    pkt = le(3, 2) + le(0x1C07, 2) + le(42, 4) + le(7, 4) + "02" + "0f" + "83"
+    layouts = {
+        1: [FieldDef("speed", 8, 8, "uint")],
+        2: [FieldDef("speed", 8, 8, "uint"), FieldDef("temp", 16, 8, "int")],
+    }
+    out = decode_packet_json(spark, pkt, layouts)
+    assert out["valid"] is True
+    assert out["header"]["logcode_hex"] == "0x1C07"
+    assert out["header"]["sequence"] == 42
+    assert out["layout_version"] == 2
+    assert out["fields"]["speed"] == 0x0F
+    assert out["fields"]["temp"] == 0x83 - 256
+    assert out["metadata"]["decode_time_ms"] > 0
+
+    bad = decode_packet_json(spark, "zz" + pkt, layouts)
+    assert bad == {"valid": False, "reject_reason": "bad_charset"}
