@@ -24,7 +24,25 @@ from log_parser_project_spark.queries import QUERIES
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """The driver may hand us a session built without this repo on the
+    executor python path; pandas-UDF queries then fail to unpickle on
+    workers. Ship the package zip defensively (idempotent; addPyFile
+    of an already-added file is tolerated)."""
+    try:
+        from log_parser_project_spark.session import _package_zip
+
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added, or a session where this is unnecessary
+
+
 def entry(spark: SparkSession) -> DataFrame:
+    _ensure_pkg_shipped(spark)
+    return _entry(spark)
+
+
+def _entry(spark: SparkSession) -> DataFrame:
     """Flagship: validate → route → aggregate over the events stream
     (the transcript-pipeline shape on driver-provided data)."""
     ev = spark.read.parquet(f"{SF0001}/events.parquet")
@@ -49,7 +67,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    def _shipped(fn):
+        def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pkg_shipped(spark)
+            return fn(spark, sf_dir)
+
+        g.__name__ = fn.__name__
+        g.__doc__ = fn.__doc__
+        return g
+
+    return {name: _shipped(fn) for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
