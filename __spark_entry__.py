@@ -19,6 +19,7 @@ import log_parser_project_spark.queries_data  # noqa: F401 — registers data qu
 import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
 import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
 import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
+import log_parser_project_spark.queries_ops3  # noqa: F401 — registers batch-5 queries
 from log_parser_project_spark.queries import QUERIES
 
 SF0001 = "/root/testdata/sf0.001"

@@ -31,6 +31,7 @@ import log_parser_project_spark.queries_data  # noqa: F401,E402 — registers da
 import log_parser_project_spark.queries_ops  # noqa: F401,E402 — registers ops queries
 import log_parser_project_spark.queries_hex  # noqa: F401,E402 — registers hex queries
 import log_parser_project_spark.queries_ops2  # noqa: F401,E402 — registers batch-4 queries
+import log_parser_project_spark.queries_ops3  # noqa: F401,E402 — registers batch-5 queries
 
 HEADLINE = [
     "q_a9_pricing_summary",

@@ -1,0 +1,349 @@
+"""Fifth query batch: the flagship parse→enrich→route pipeline under
+the STRONG oracle gate.
+
+The earlier ``q_pipeline_routed`` runs over the in-engine synthetic
+generator and can only get the driver's rows-only check. Here the
+transcripts input is *derived deterministically from the driver's
+``events`` parquet table* with engine-portable expressions (integer
+arithmetic + printf-style formatting only — no float formatting, no
+locale, no Unicode classes), so DuckDB can construct the identical
+input and the whole pipeline — classify (header-decode analog,
+``decoder/header_decoder.py:21-60``), per-row version resolution
+(``decoder/version_resolver.py:13-56``), Arrow-batched registry
+extraction (``decoder/field_decoder.py:14-114``), broadcast dim
+enrich, enum mapping (``utils/enum_mapper.py:8-24``), derived metrics
+(``decoder/field_post_processor.py:19-148``), and quarantine routing —
+is value-hash-checked end to end, including the repeat-group explode
+(``decoder/payload_decoder.py:133-209``).
+
+Every route is exercised: tool_call (with repeat args), error (with
+enum severity incl. the UNKNOWN(v) default), citation (1- and 2-cite
+repeats), metric (derived tokens_per_sec), handoff v1+v2 (version
+marker), and sink_unmatched (classified-but-malformed rows,
+``payload_decoder.py:111-113`` warn-and-continue analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import QUERIES, _register, _t
+
+# ---------------------------------------------------------------------------
+# deterministic transcripts derived from the events table (both engines)
+# ---------------------------------------------------------------------------
+
+# One CTE string shared by the oracles below: conv_id/turn_idx/role/
+# tool/text built from (user_id, event_id, event_type, value, props)
+# with integer-only arithmetic. `k` comes out of the props JSON; cents
+# = floor(value*100 + 0.5) is exact for the 2-decimal synthetic values.
+_TURNS_CTE = """
+    base AS (
+      SELECT 'conv-' || CAST(user_id AS VARCHAR)          AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS INTEGER)                             AS turn_idx,
+             user_id, event_id, event_type,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)     AS cents
+      FROM events
+    ),
+    turns AS (
+      SELECT conv_id, turn_idx,
+        CASE event_type WHEN 'click' THEN 'user' WHEN 'error' THEN 'system'
+             WHEN 'view' THEN 'assistant' WHEN 'purchase' THEN 'tool'
+             ELSE 'assistant' END AS role,
+        CASE WHEN event_type = 'click' THEN 'search'
+             WHEN event_type = 'purchase' THEN 'sql' END AS tool,
+        CASE
+          WHEN event_type = 'click'
+            THEN printf('CALL search args={q=%d n=%d}', k, cents % 10)
+          WHEN event_type = 'error' AND event_id % 13 = 0
+            THEN printf('ERROR malformed %d', event_id)
+          WHEN event_type = 'error'
+            THEN printf('ERROR code=%d severity=%d msg=''event %d''',
+                        cents % 1000, k % 6 + 1, event_id)
+          WHEN event_type = 'view' AND k % 2 = 0
+            THEN printf('see [doc-%d#%d] and [doc-%d#%d]',
+                        k, event_id % 7, k + 1, event_id % 5)
+          WHEN event_type = 'view'
+            THEN printf('see [doc-%d#%d]', k, event_id % 7)
+          WHEN event_type = 'purchase'
+            THEN printf('latency_ms=%d tokens=%d', cents, k)
+          WHEN k % 3 = 0
+            THEN printf('HANDOFF v=2 to=agent%d reason=escalation priority=%d',
+                        k % 4, k % 10)
+          ELSE printf('HANDOFF to=agent%d reason=timeout', k % 4)
+        END AS text
+      FROM base
+    )
+"""
+
+# the registry regexes, RE2-compatible (named groups dropped; group
+# numbering identical to registry.py — asserted by tests)
+_RX = {
+    "tool_call": r"^CALL ([A-Za-z0-9_]+) args=\{([^}]*)\}$",
+    "error": r"^ERROR code=([0-9]+) severity=([0-9]) msg=''([^'']*)''$",
+    "citation": r"^see (\[doc-[0-9]+#[0-9]+\](?: and \[doc-[0-9]+#[0-9]+\])*)$",
+    "metric": r"^latency_ms=([0-9.]+) tokens=([0-9]+)$",
+    "handoff1": r"^HANDOFF to=([A-Za-z0-9_]+) reason=([A-Za-z0-9_]+)$",
+    "handoff2": r"^HANDOFF v=2 to=([A-Za-z0-9_]+) reason=([A-Za-z0-9_]+) priority=([0-9])$",
+}
+
+
+def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the shared construction above. Column-for-
+    column identical to the ``turns`` CTE (tests/test_duckdb_parity)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    et = F.col("event_type")
+    eid = F.col("event_id")
+    text = (
+        F.when(et == "click",
+               F.format_string("CALL search args={q=%d n=%d}", k, cents % 10))
+        .when((et == "error") & (eid % 13 == 0),
+              F.format_string("ERROR malformed %d", eid))
+        .when(et == "error",
+              F.format_string("ERROR code=%d severity=%d msg='event %d'",
+                              cents % 1000, k % 6 + 1, eid))
+        .when((et == "view") & (k % 2 == 0),
+              F.format_string("see [doc-%d#%d] and [doc-%d#%d]",
+                              k, eid % 7, k + 1, eid % 5))
+        .when(et == "view", F.format_string("see [doc-%d#%d]", k, eid % 7))
+        .when(et == "purchase", F.format_string("latency_ms=%d tokens=%d", cents, k))
+        .when(k % 3 == 0,
+              F.format_string("HANDOFF v=2 to=agent%d reason=escalation priority=%d",
+                              k % 4, k % 10))
+        .otherwise(F.format_string("HANDOFF to=agent%d reason=timeout", k % 4))
+    )
+    role = (
+        F.when(et == "click", "user")
+        .when(et == "error", "system")
+        .when(et == "view", "assistant")
+        .when(et == "purchase", "tool")
+        .otherwise("assistant")
+    )
+    tool = F.when(et == "click", "search").when(et == "purchase", "sql")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the flagship pipeline, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+_PIPELINE_SQL = f"""
+    WITH {_TURNS_CTE},
+    classified AS (
+      SELECT *,
+        CASE WHEN text LIKE 'CALL %' THEN 'tool_call'
+             WHEN text LIKE 'ERROR %' THEN 'error'
+             WHEN text LIKE 'see [%' THEN 'citation'
+             WHEN text LIKE 'latency_ms=%' THEN 'metric'
+             WHEN text LIKE 'HANDOFF %' THEN 'handoff' END AS pattern_class
+      FROM turns
+    ),
+    versioned AS (
+      SELECT *,
+        CASE WHEN pattern_class IS NULL THEN NULL
+             WHEN regexp_matches(text, ' v=([0-9]+) ')
+               THEN CAST(regexp_extract(text, ' v=([0-9]+) ', 1) AS INTEGER)
+             ELSE 1 END AS version
+      FROM classified
+    ),
+    parsed AS (
+      SELECT *,
+        CASE pattern_class
+          WHEN 'tool_call' THEN regexp_matches(text, '{_RX["tool_call"]}')
+          WHEN 'error'     THEN regexp_matches(text, '{_RX["error"]}')
+          WHEN 'citation'  THEN regexp_matches(text, '{_RX["citation"]}')
+          WHEN 'metric'    THEN regexp_matches(text, '{_RX["metric"]}')
+          WHEN 'handoff'   THEN CASE WHEN version = 2
+                 THEN regexp_matches(text, '{_RX["handoff2"]}')
+                 ELSE regexp_matches(text, '{_RX["handoff1"]}') END
+          ELSE FALSE END AS matched
+      FROM versioned
+    ),
+    extracted AS (
+      SELECT conv_id, turn_idx, role, tool, pattern_class, version, matched,
+        CASE WHEN matched AND pattern_class = 'tool_call'
+             THEN regexp_extract(text, '{_RX["tool_call"]}', 1) END AS tool_name,
+        CASE WHEN matched AND pattern_class = 'tool_call'
+             THEN regexp_extract(text, '{_RX["tool_call"]}', 2) END AS args,
+        CASE WHEN matched AND pattern_class = 'error'
+             THEN regexp_extract(text, '{_RX["error"]}', 1) END AS code,
+        CASE WHEN matched AND pattern_class = 'error'
+             THEN regexp_extract(text, '{_RX["error"]}', 2) END AS severity,
+        CASE WHEN matched AND pattern_class = 'error'
+             THEN regexp_extract(text, '{_RX["error"]}', 3) END AS msg,
+        CASE WHEN matched AND pattern_class = 'citation'
+             THEN regexp_extract(text, '{_RX["citation"]}', 1) END AS cites,
+        CASE WHEN matched AND pattern_class = 'metric'
+             THEN regexp_extract(text, '{_RX["metric"]}', 1) END AS latency_ms,
+        CASE WHEN matched AND pattern_class = 'metric'
+             THEN regexp_extract(text, '{_RX["metric"]}', 2) END AS tokens,
+        CASE WHEN matched AND pattern_class = 'handoff' THEN
+             CASE WHEN version = 2 THEN regexp_extract(text, '{_RX["handoff2"]}', 1)
+                  ELSE regexp_extract(text, '{_RX["handoff1"]}', 1) END END AS to_role,
+        CASE WHEN matched AND pattern_class = 'handoff' THEN
+             CASE WHEN version = 2 THEN regexp_extract(text, '{_RX["handoff2"]}', 2)
+                  ELSE regexp_extract(text, '{_RX["handoff1"]}', 2) END END AS reason,
+        CASE WHEN matched AND pattern_class = 'handoff' AND version = 2
+             THEN regexp_extract(text, '{_RX["handoff2"]}', 3) END AS priority
+      FROM parsed
+    )
+    SELECT e.conv_id, e.turn_idx, e.role, e.tool, e.pattern_class, e.version,
+           e.matched,
+           CASE WHEN e.pattern_class IS NULL OR NOT e.matched THEN 'sink_unmatched'
+                ELSE CASE e.pattern_class
+                  WHEN 'tool_call' THEN 'sink_tool_calls'
+                  WHEN 'error' THEN 'sink_errors'
+                  WHEN 'citation' THEN 'sink_citations'
+                  WHEN 'metric' THEN 'sink_metrics'
+                  WHEN 'handoff' THEN 'sink_handoffs' END END AS route,
+           dr.role_class, dr.weight, dt.tool_family, dt.risk_level,
+           e.tool_name, e.args, e.code, e.severity,
+           CASE WHEN e.severity IS NULL THEN NULL
+                WHEN e.severity = '1' THEN 'debug'
+                WHEN e.severity = '2' THEN 'info'
+                WHEN e.severity = '3' THEN 'warn'
+                WHEN e.severity = '4' THEN 'error'
+                WHEN e.severity = '5' THEN 'fatal'
+                ELSE 'UNKNOWN(' || e.severity || ')' END AS severity_friendly,
+           e.msg, e.cites, e.latency_ms, e.tokens, e.to_role, e.reason,
+           e.priority,
+           CASE WHEN e.pattern_class = 'metric' AND e.latency_ms IS NOT NULL
+                     AND CAST(e.latency_ms AS DOUBLE) > 0
+                THEN ROUND(CAST(e.tokens AS BIGINT)
+                           / (CAST(e.latency_ms AS DOUBLE) / 1000.0), 2)
+           END AS tokens_per_sec
+    FROM extracted e
+    LEFT JOIN (VALUES ('user','human',1),('assistant','model',1),
+                      ('system','infra',0),('tool','infra',2))
+           AS dr(role, role_class, weight) ON e.role = dr.role
+    LEFT JOIN (VALUES ('search','retrieval',1),('bash','exec',3),
+                      ('editor','exec',2),('browser','retrieval',1),
+                      ('sql','query',2))
+           AS dt(tool, tool_family, risk_level) ON e.tool = dt.tool
+"""
+
+
+@_register("q_pl_routed_events", _PIPELINE_SQL)
+def q_pl_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pipeline (Arrow-batched pandas-UDF extraction path) over
+    events-derived transcripts, flattened for the oracle compare."""
+    from .plans.pipeline import build_routed
+
+    routed = build_routed(spark, events_transcripts(spark, sf_dir))
+    ex = lambda g: F.col(f"extracted.{g}").alias(g)  # noqa: E731
+    return routed.select(
+        "conv_id", "turn_idx", "role", "tool", "pattern_class", "version",
+        "matched", "route", "role_class", "weight", "tool_family", "risk_level",
+        ex("tool_name"), ex("args"), ex("code"), ex("severity"),
+        "severity_friendly", ex("msg"), ex("cites"), ex("latency_ms"),
+        ex("tokens"), ex("to_role"), ex("reason"), ex("priority"),
+        "tokens_per_sec",
+    )
+
+
+# ---------------------------------------------------------------------------
+# repeat-group explode over the same derived input (§2.8, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_REPEATS_SQL = f"""
+    WITH {_TURNS_CTE},
+    hits AS (
+      SELECT conv_id, turn_idx, 'tool_call' AS pattern_class, 1 AS version,
+             'arg_key' AS field1_name, 'arg_val' AS field2_name,
+             regexp_extract_all(text, '([A-Za-z0-9_]+)=([0-9]+)', 1) AS k1,
+             regexp_extract_all(text, '([A-Za-z0-9_]+)=([0-9]+)', 2) AS k2
+      FROM turns WHERE regexp_matches(text, '{_RX["tool_call"]}')
+      UNION ALL
+      SELECT conv_id, turn_idx, 'citation', 1, 'doc', 'page',
+             regexp_extract_all(text, '\\[doc-([0-9]+)#([0-9]+)\\]', 1),
+             regexp_extract_all(text, '\\[doc-([0-9]+)#([0-9]+)\\]', 2)
+      FROM turns WHERE regexp_matches(text, '{_RX["citation"]}')
+    ),
+    numbered AS (
+      SELECT conv_id, turn_idx, pattern_class, version,
+             field1_name, field2_name, k1, k2,
+             unnest(generate_series(1, len(k1))) AS idx
+      FROM hits
+    )
+    SELECT conv_id, turn_idx, pattern_class, version,
+           CAST(idx - 1 AS INTEGER) AS record_idx,
+           field1_name, k1[idx] AS field1_value,
+           field2_name, k2[idx] AS field2_value
+    FROM numbered
+"""
+
+
+@_register("q_pl_repeat_records", _REPEATS_SQL)
+def q_pl_repeat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_repeats`` (the repeating-record expansion of
+    ``payload_decoder.py:133-209``) on the events-derived transcripts,
+    against a DuckDB unnest-with-ordinality oracle."""
+    from .operators.parse import explode_repeats, parse
+
+    parsed = parse(events_transcripts(spark, sf_dir))
+    return explode_repeats(parsed)
+
+
+# ---------------------------------------------------------------------------
+# W1/W5 window features over events (oracle-checked ordered-window ops)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_w1_event_features",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INTEGER) AS turn_number,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+             - lag(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)) OVER w
+             AS seconds_since_prev,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_event,
+           SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_value,
+           COUNT(*)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conv-partitioned, turn-ordered window features (W1 stable order +
+    W5 running context + running decimal sum) over the events table —
+    the oracle-checked sibling of ``q_w1_turn_features``."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("int").alias("turn_number"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (secs - F.lag(secs).over(w)).alias("seconds_since_prev"),
+        F.last(F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True)
+        .over(cum).alias("last_purchase_event"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(cum).alias("running_value"),
+        F.count(F.lit(1)).over(cum).alias("running_cnt"),
+    )
