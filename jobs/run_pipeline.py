@@ -52,12 +52,14 @@ def main() -> None:
 
     spark.sparkContext.addPyFile(_package_zip())
 
-    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.catalog import SnapshotCatalog
     from log_parser_project_spark.generate import make_transcripts
     from log_parser_project_spark.plans.pipeline import run_pipeline
     from log_parser_project_spark.streaming.checkpoint import CheckpointedPipeline
 
-    catalog = Catalog(spark, args.warehouse)
+    # production entry uses the snapshot-committing catalog: every run is
+    # a new snapshot (time-travelable, expirable), never an in-place clobber
+    catalog = SnapshotCatalog(spark, args.warehouse)
 
     # materialize the registry + enrich dims as warehouse tables (K4
     # metadata-sink analog: reference export/metadata_generator.py) —

@@ -41,13 +41,24 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 @dataclass
 class Snapshot:
-    """One committed write — the parquet analog of an Iceberg snapshot."""
+    """One committed write — the parquet analog of an Iceberg snapshot.
+
+    ``state`` (SnapshotCatalog only) is the manifest: the list of data
+    directories (warehouse-relative) whose files make up the table at
+    this snapshot, each with partition-subpath ``exclude`` prefixes for
+    manifest-level partition replacement (Iceberg's overwrite-by-filter
+    without touching old files).
+    """
 
     snapshot_id: str
     table: str
     row_count: int
     committed_at_unix: float
     lineage: dict = field(default_factory=dict)
+    parent_id: str | None = None
+    op: str = "overwrite"
+    state: list = field(default_factory=list)
+    sequence: int = 0
 
 
 class Catalog:
@@ -125,3 +136,207 @@ class Catalog:
             return None
         with open(mpath) as f:
             return Snapshot(**json.load(f))
+
+
+class SnapshotCatalog(Catalog):
+    """Iceberg-table semantics on plain parquet: snapshot isolation,
+    time travel, append, manifest-level dynamic partition overwrite,
+    incremental scan, and snapshot expiry.
+
+    The reference's store is overwrite-in-place SQLite
+    (``src/datastore.py:148-212``); Iceberg (named by the north rule)
+    adds a snapshot log — this class supplies those semantics without
+    the (unavailable offline) ``iceberg-spark-runtime`` jar:
+
+    * every commit writes into a fresh ``<table>/snap-<seq>-<id>/``
+      directory and appends a manifest line to
+      ``_manifests/<table>.log.jsonl``; the commit point is an atomic
+      ``os.replace`` of the ``<table>.json`` pointer (readers never see
+      a half-written snapshot);
+    * a snapshot's ``state`` lists the directories (and partition-
+      subpath exclusions) that make up the table — scan planning is
+      manifest-driven, like Iceberg's manifest lists, so `overwrite`
+      never deletes files and old snapshots stay readable (time travel)
+      until :meth:`expire_snapshots`;
+    * ``replace_partitions`` = Iceberg's dynamic overwrite: the new
+      snapshot masks the replaced partition subtrees of earlier
+      directories via ``exclude`` prefixes and adds the new directory —
+      an idempotent, exactly-once-per-partition commit primitive for
+      resume (SURVEY.md §7.4 risk 7);
+    * ``read_table(..., since=snap)`` is the incremental (CDC-style)
+      scan over directories added by append commits after ``snap``.
+    """
+
+    # ------------------------------------------------------------ manifests
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.log.jsonl")
+
+    def history(self, table: str) -> list[Snapshot]:
+        """All committed snapshots, oldest first (torn/uncommitted
+        trailing lines are skipped)."""
+        out: list[Snapshot] = []
+        p = self._log_path(table)
+        if not os.path.exists(p):
+            return out
+        with open(p) as f:
+            for line in f:
+                try:
+                    out.append(Snapshot(**json.loads(line)))
+                except (json.JSONDecodeError, TypeError):
+                    continue  # torn append from a crash — uncommitted
+        return out
+
+    def _resolve(self, table: str, as_of: str | None = None) -> Snapshot | None:
+        if as_of is None:
+            return self.snapshot(table)
+        for s in self.history(table):
+            if s.snapshot_id == as_of:
+                return s
+        raise LookupError(f"no snapshot {as_of!r} for table {table!r} (expired?)")
+
+    # ---------------------------------------------------------------- write
+    def _partition_leaves(self, absdir: str) -> list[str]:
+        """Relative ``key=value[/key=value...]`` leaf-partition paths
+        under a freshly written snapshot directory."""
+        leaves: set[str] = set()
+        for root, _dirs, files in os.walk(absdir):
+            if any(f.endswith(".parquet") for f in files):
+                rel = os.path.relpath(root, absdir)
+                if rel != "." and all("=" in part for part in rel.split(os.sep)):
+                    leaves.add(rel)
+        return sorted(leaves)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        lineage: dict | None = None,
+        row_count=None,
+    ) -> Snapshot:
+        if mode not in ("overwrite", "append", "replace_partitions"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "replace_partitions" and not partition_by:
+            raise ValueError("replace_partitions requires partition_by")
+        prev = self.snapshot(table)
+        seq = (prev.sequence if prev else 0) + 1
+        snap_id = uuid.uuid4().hex[:16]
+        rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
+        abs_dir = os.path.join(self.warehouse, rel_dir)
+
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(abs_dir)
+
+        if callable(row_count):
+            row_count = int(row_count())
+        if row_count is None:
+            row_count = self.spark.read.schema(df.schema).parquet(abs_dir).count()
+
+        new_entry = {"dir": rel_dir, "exclude": []}
+        if mode == "overwrite" or prev is None:
+            state = [new_entry]
+        elif mode == "append":
+            state = list(prev.state) + [new_entry]
+        else:  # replace_partitions: mask replaced subtrees in old dirs
+            replaced = self._partition_leaves(abs_dir)
+            state = [
+                {"dir": e["dir"], "exclude": sorted(set(e["exclude"]) | set(replaced))}
+                for e in prev.state
+            ] + [new_entry]
+
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            table=table,
+            row_count=row_count,
+            committed_at_unix=time.time(),
+            lineage=lineage or {},
+            parent_id=prev.snapshot_id if prev else None,
+            op=mode,
+            state=state,
+            sequence=seq,
+        )
+        # append to the log first, then atomically flip the pointer —
+        # the pointer replace is the commit point
+        with open(self._log_path(table), "a") as f:
+            f.write(json.dumps(asdict(snap)) + "\n")
+        ppath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")
+        tmp = f"{ppath}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(snap), f, indent=2)
+        os.replace(tmp, ppath)
+        return snap
+
+    # ----------------------------------------------------------------- read
+    def _entry_df(self, entry: dict, schema) -> DataFrame | None:
+        absdir = os.path.join(self.warehouse, entry["dir"])
+        reader = self.spark.read.option("basePath", absdir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if not entry["exclude"]:
+            return reader.parquet(absdir)
+        excl = tuple(e + os.sep for e in entry["exclude"])
+        files = [
+            os.path.join(root, fn)
+            for root, _d, fns in os.walk(absdir)
+            for fn in fns
+            if fn.endswith(".parquet")
+            and not (os.path.relpath(root, absdir) + os.sep).startswith(excl)
+        ]
+        if not files:
+            return None
+        return reader.parquet(*files)
+
+    def read_table(
+        self,
+        table: str,
+        schema=None,
+        as_of: str | None = None,
+        since: str | None = None,
+    ) -> DataFrame:
+        """Current table state; ``as_of`` = time travel to a snapshot
+        id; ``since`` = incremental scan (directories committed after
+        that snapshot — append/replace deltas only)."""
+        snap = self._resolve(table, as_of)
+        if snap is None or not snap.state:
+            return super().read_table(table, schema=schema)  # non-snapshot table
+        entries = snap.state
+        if since is not None:
+            before = self._resolve(table, since)
+            seen = {e["dir"] for e in before.state}
+            entries = [e for e in snap.state if e["dir"] not in seen]
+        dfs = [d for e in entries if (d := self._entry_df(e, schema)) is not None]
+        if not dfs:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            raise ValueError(f"table {table!r} is empty at this snapshot; pass schema=")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # --------------------------------------------------------------- expire
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots; delete data
+        directories no live snapshot references. Returns removed dirs."""
+        import shutil
+
+        hist = self.history(table)
+        if len(hist) <= keep_last:
+            return []
+        keep, drop = hist[-keep_last:], hist[:-keep_last]
+        live = {e["dir"] for s in keep for e in s.state}
+        removed = []
+        for s in drop:
+            for e in s.state:
+                if e["dir"] not in live and os.path.isdir(
+                    os.path.join(self.warehouse, e["dir"])
+                ):
+                    shutil.rmtree(os.path.join(self.warehouse, e["dir"]))
+                    removed.append(e["dir"])
+        with open(self._log_path(table), "w") as f:
+            for s in keep:
+                f.write(json.dumps(asdict(s)) + "\n")
+        return sorted(set(removed))

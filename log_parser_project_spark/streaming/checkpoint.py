@@ -104,7 +104,12 @@ class CheckpointedPipeline:
             part = grouped.filter(F.col("_group") == g).drop("_group")
             routed, obs = observed(build_routed(self.spark, part))
             out = routed.withColumn("day", F.to_date("ts")).repartition("route")
-            snap = self.catalog.write_table(
+            # per-group atomic overwrite IS the commit mechanism here
+            # (exactly-once per group); use the base flat layout even on a
+            # SnapshotCatalog — read_output partition-discovers the whole
+            # group=*/route=* tree, which snapshot subdirs would break
+            snap = Catalog.write_table(
+                self.catalog,
                 out,
                 f"{GROUPS_TABLE}/group={g}",
                 partition_by=["route"],

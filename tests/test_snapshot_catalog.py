@@ -1,0 +1,127 @@
+"""SnapshotCatalog: Iceberg-table semantics on parquet — snapshot
+isolation, time travel, append + incremental scan, manifest-level
+dynamic partition overwrite (idempotent), and snapshot expiry.
+
+The reference overwrites SQLite in place (``src/datastore.py:148-212``);
+the north rule asks for Iceberg sinks with resumable, exactly-once
+commits — these tests pin those semantics.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from log_parser_project_spark.catalog import SnapshotCatalog
+
+
+def _df(spark, rows, schema="k int, route string, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+
+def _vals(df):
+    return sorted((r.k, r.route, r.v) for r in df.collect())
+
+
+def test_overwrite_keeps_old_snapshot_readable(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    s2 = cat.write_table(_df(spark, [(3, "a", "z")]), "t")
+    assert _vals(cat.read_table("t")) == [(3, "a", "z")]
+    # time travel to the pre-overwrite state
+    assert _vals(cat.read_table("t", as_of=s1.snapshot_id)) == [(1, "a", "x"), (2, "b", "y")]
+    hist = cat.history("t")
+    assert [h.snapshot_id for h in hist] == [s1.snapshot_id, s2.snapshot_id]
+    assert hist[1].parent_id == s1.snapshot_id and hist[1].sequence == 2
+
+
+def test_append_and_incremental_scan(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]
+    # incremental: only directories committed after s1
+    assert _vals(cat.read_table("t", since=s1.snapshot_id)) == [(2, "b", "y"), (3, "c", "z")]
+    assert _vals(cat.read_table("t", since=s2.snapshot_id)) == [(3, "c", "z")]
+
+
+def test_replace_partitions_is_idempotent_and_time_travels(spark, cat):
+    s1 = cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "y2")]),
+        "t",
+        partition_by=["route"],
+    )
+    new = _df(spark, [(9, "b", "NEW")])
+    s2 = cat.write_table(new, "t", mode="replace_partitions", partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (9, "b", "NEW")]
+    # crash-retry: replaying the same partition commit cannot double-write
+    cat.write_table(new, "t", mode="replace_partitions", partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (9, "b", "NEW")]
+    # untouched partition still served from the ORIGINAL files
+    assert _vals(cat.read_table("t", as_of=s1.snapshot_id)) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "b", "y2"),
+    ]
+    assert cat.snapshot("t").op == "replace_partitions"
+    assert s2.parent_id == s1.snapshot_id
+
+
+def test_expire_snapshots_drops_unreferenced_dirs(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    old_dir = os.path.join(cat.warehouse, s1.state[0]["dir"])
+    assert os.path.isdir(old_dir)
+    removed = cat.expire_snapshots("t", keep_last=1)
+    assert removed == [s1.state[0]["dir"]] and not os.path.isdir(old_dir)
+    assert _vals(cat.read_table("t")) == [(2, "b", "y")]
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of=s1.snapshot_id)
+
+
+def test_torn_log_line_is_ignored(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    with open(cat._log_path("t"), "a") as f:
+        f.write('{"snapshot_id": "deadbeef", "tabl')  # crash mid-append
+    assert [h.snapshot_id for h in cat.history("t")] == [s1.snapshot_id]
+    assert _vals(cat.read_table("t")) == [(1, "a", "x")]
+
+
+def test_empty_append_delta_and_empty_table(spark, cat):
+    schema = "k int, route string, v string"
+    s1 = cat.write_table(_df(spark, [], schema), "t")
+    assert cat.read_table("t", schema=schema).count() == 0
+    cat.write_table(_df(spark, [(1, "a", "x")], schema), "t", mode="append")
+    assert _vals(cat.read_table("t", schema=schema)) == [(1, "a", "x")]
+    assert cat.read_table("t", schema=schema, since=s1.snapshot_id).count() == 1
+
+
+def test_pipeline_runs_on_snapshot_catalog(spark, transcripts_small, tmp_path):
+    """The flagship job is catalog-agnostic: same sink counts, reads
+    resolve through the snapshot pointer, partition pruning intact."""
+    from log_parser_project_spark.plans.pipeline import read_sink, run_pipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, transcripts_small, cat, write_repeats=False)
+    errors = read_sink(cat, "sink_errors")
+    assert errors.count() == res.sink_counts["sink_errors"] > 0
+    plan = errors.select("conv_id")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "route" in plan.split("PartitionFilters", 1)[1][:200]
+    # a second run commits a new snapshot; the first stays readable
+    first = cat.snapshot("sink_staging").snapshot_id
+    run_pipeline(spark, transcripts_small, cat, write_repeats=False)
+    assert cat.snapshot("sink_staging").parent_id == first
+    assert cat.read_table("sink_staging", as_of=first).count() == sum(
+        res.sink_counts.values()
+    )
+
+
+def test_manifest_pointer_is_valid_json(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    p = os.path.join(cat._manifest_dir, "t.json")
+    with open(p) as f:
+        d = json.load(f)
+    assert d["op"] == "overwrite" and d["state"][0]["dir"].startswith("t/snap-00001-")
