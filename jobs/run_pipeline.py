@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--input", default=None, help="transcripts parquet dir (else synthetic)")
     ap.add_argument("--convs", type=int, default=10000)
     ap.add_argument("--hot-rows", type=int, default=0)
+    ap.add_argument(
+        "--extractor", choices=["pandas", "jvm"], default="pandas",
+        help="registry extraction path: Arrow-batched pandas UDF (registry-as-"
+             "data, default) or the proven-equivalent compiled JVM expressions",
+    )
     ap.add_argument("--checkpointed", action="store_true")
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--job-id", default="default")
@@ -85,6 +90,7 @@ def main() -> None:
         res = run_pipeline(
             spark, transcripts, catalog,
             metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
+            extractor=args.extractor,
         )
         print(json.dumps({
             "mode": "batch",

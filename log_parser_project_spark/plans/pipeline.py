@@ -84,8 +84,9 @@ def run_pipeline(
     catalog: Catalog,
     metrics_path: str | None = None,
     write_repeats: bool = True,
+    extractor: str = "pandas",
 ) -> PipelineResult:
-    routed, obs = observed(build_routed(spark, transcripts))
+    routed, obs = observed(build_routed(spark, transcripts, extractor=extractor))
 
     # cluster rows by the partition key before the dynamic-partition
     # write: one shuffle, but each (route, day) directory is then

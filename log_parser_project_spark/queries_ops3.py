@@ -347,3 +347,35 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(cum).alias("running_value"),
         F.count(F.lit(1)).over(cum).alias("running_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew: salted two-phase aggregate under the strong gate
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_skew_salted_counts",
+    """
+    SELECT l_returnflag AS k, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregate over a deliberately skewed key
+    (3 distinct l_returnflag values over all of lineitem — exactly the
+    hot-conv_id shape): phase 1 spreads each key over salt buckets,
+    phase 2 de-salts. The salt must vanish from the result — the oracle
+    is the plain one-phase GROUP BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
+    )
+    partial = salted.groupBy(F.col("l_returnflag").alias("k"), "_salt").agg(
+        F.count(F.lit(1)).alias("_pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_pq"),
+    )
+    return partial.groupBy("k").agg(
+        F.sum("_pn").alias("n"),
+        F.sum("_pq").cast("decimal(18,2)").alias("sum_qty"),
+    )
