@@ -110,11 +110,14 @@ def main() -> None:
     tdf.unpersist()
     timings["pipeline_parse_route_aggregate"] = round(pipeline_sec, 3)
 
-    # JVM-compiled registry variant (same outputs, no Python) for comparison
-    jvm = build_routed(spark, tdf2 := make_transcripts(spark, n_convs=n_convs, parts=cpus * 2), extractor="jvm")
-    t0 = time.perf_counter()
-    jvm.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1))).collect()
-    timings["pipeline_jvm_extract_pass"] = round(time.perf_counter() - t0, 3)
+    # alternate extractor passes (same outputs, proven equivalent):
+    # RE2-over-Arrow inside the UDF, and the compiled pure-JVM registry
+    tdf2 = make_transcripts(spark, n_convs=n_convs, parts=cpus * 2)
+    for ex in ("arrow", "jvm"):
+        d = build_routed(spark, tdf2, extractor=ex)
+        t0 = time.perf_counter()
+        d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1))).collect()
+        timings[f"pipeline_{ex}_extract_pass"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -146,11 +146,81 @@ def _extract_udf(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFram
     return pd.DataFrame(out)
 
 
-def extract(df: DataFrame, text_col: str = "text") -> DataFrame:
+# ---------------------------------------------------------------------------
+# 2b. Arrow-native variant: RE2 over Arrow string arrays (pyarrow.compute)
+# ---------------------------------------------------------------------------
+
+def _re2_rx(regex: str) -> str:
+    """Python-re pattern → RE2 with identical semantics for the registry
+    grammar (ASCII classes, named groups, ``^...$`` anchors). The one
+    divergence: Python's ``$`` also matches just before a single
+    trailing newline, RE2's does not — translate a trailing ``$`` to
+    ``(?:\\n)?\\z`` (the optional newline sits outside every capture
+    group, so extracted fields are unchanged). Equivalence on all three
+    engines is fuzz-asserted (tests/test_property_parse.py)."""
+    return regex[:-1] + r"(?:\n)?\z" if regex.endswith("$") else regex
+
+
+@pandas_udf(_EXTRACT_SCHEMA)
+def _extract_udf_arrow(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+    """Same contract as :func:`_extract_udf`, but the per-pattern match
+    runs in RE2 via ``pyarrow.compute.extract_regex`` — a single C++
+    pass over the Arrow string array per pattern per batch (~10× the
+    pandas ``str.extract`` Python-re loop). The north star's "batched
+    re2-style matching over Arrow string arrays", literally. Only the
+    repeat-group findall (matched tool_call/citation rows) stays in
+    Python re."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    reg = _compiled_registry()
+    n = len(text)
+    positions = np.arange(n)
+    matched_out = np.zeros(n, dtype=bool)
+    group_out = {g: np.full(n, None, dtype=object) for g in ALL_GROUPS}
+    repeats_out = np.full(n, None, dtype=object)
+
+    cls_vals = cls.to_numpy(dtype=object)
+    ver_vals = ver.to_numpy()
+    text_reset = text.reset_index(drop=True)
+    for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
+        mask = (cls_vals == pclass) & (ver_vals == pver)
+        if not mask.any():
+            continue
+        pos = positions[mask]
+        sub = text_reset.iloc[pos]
+        res = pc.extract_regex(pa.array(sub, type=pa.string()), pattern=_re2_rx(rx.pattern))
+        ok = res.is_valid().to_numpy(zero_copy_only=False)
+        hit_pos = pos[ok]
+        matched_out[hit_pos] = True
+        for g in groups:
+            group_out[g][hit_pos] = res.field(g).to_numpy(zero_copy_only=False)[ok]
+        if repeat_rx is not None and len(hit_pos):
+            findall = repeat_rx.findall
+            found = np.empty(len(hit_pos), dtype=object)
+            found[:] = [
+                _REC_SEP.join(
+                    _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
+                )
+                for s in text_reset.iloc[hit_pos]
+            ]
+            repeats_out[hit_pos] = found
+
+    out = {"matched": matched_out}
+    out.update(group_out)
+    out["repeats_enc"] = repeats_out
+    return pd.DataFrame(out)
+
+
+def extract(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
     """Apply the registry; adds ``matched``, group columns (under
-    ``extracted.*``), and ``repeats``."""
+    ``extracted.*``), and ``repeats``. ``impl="arrow"`` switches the
+    per-pattern matcher from pandas ``str.extract`` to RE2 over Arrow
+    arrays; outputs are identical (fuzz-asserted)."""
+    udf = {"pandas": _extract_udf, "arrow": _extract_udf_arrow}[impl]
     parsed = df.withColumn(
-        "_p", _extract_udf(F.col(text_col), F.col("pattern_class"), F.col("version"))
+        "_p", udf(F.col(text_col), F.col("pattern_class"), F.col("version"))
     )
     repeats = F.when(
         F.col("_p.repeats_enc").isNotNull(),
@@ -167,9 +237,9 @@ def extract(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def parse(df: DataFrame, text_col: str = "text") -> DataFrame:
+def parse(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
     """classify + extract in one call."""
-    return extract(classify(df, text_col), text_col)
+    return extract(classify(df, text_col), text_col, impl=impl)
 
 
 # ---------------------------------------------------------------------------

@@ -58,14 +58,23 @@ def build_routed(
 ) -> DataFrame:
     """The narrow portion of the plan: everything before any shuffle.
 
-    ``extractor="pandas"`` (default) is the Arrow-batched UDF registry;
-    ``extractor="jvm"`` compiles the registry into built-in expressions
-    (~10× faster, registry fixed at plan time) — outputs are identical
-    (tests/test_extract_equivalence.py).
+    ``extractor="pandas"`` (default) is the Arrow-batched UDF registry
+    with pandas ``str.extract`` matching; ``extractor="arrow"`` is the
+    same UDF with RE2 over Arrow string arrays (pyarrow.compute —
+    ~10× the match step, north-star-literal); ``extractor="jvm"``
+    compiles the registry into built-in expressions (registry fixed at
+    plan time). Outputs are identical across all three
+    (tests/test_extract_equivalence.py, tests/test_property_parse.py).
     """
-    if extractor not in ("pandas", "jvm"):
-        raise ValueError(f"unknown extractor {extractor!r}; use 'pandas' or 'jvm'")
-    df = parse(transcripts) if extractor == "pandas" else parse_builtin(transcripts)
+    if extractor not in ("pandas", "arrow", "jvm"):
+        raise ValueError(
+            f"unknown extractor {extractor!r}; use 'pandas', 'arrow' or 'jvm'"
+        )
+    df = (
+        parse_builtin(transcripts)
+        if extractor == "jvm"
+        else parse(transcripts, impl=extractor)
+    )
     df = enrich(df, spark)
     df = apply_enums(df)
     df = derive_metrics(df)
