@@ -379,3 +379,88 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_pn").alias("n"),
         F.sum("_pq").cast("decimal(18,2)").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data prep: deterministic split / sample / packing (oracle-checked)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_td_hash_split",
+    """
+    WITH b AS (
+      SELECT source,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_td_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (90/5/5): leakage-free,
+    rerun- and partitioning-stable, reproduced bit-for-bit by the
+    DuckDB oracle (md5 agrees across engines; xxhash64 would not)."""
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 90, "val": 5, "test": 5})
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "q_td_deterministic_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < 7
+    """,
+)
+def q_td_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~7% content-hash sample — the same rows on every run at every
+    parallelism (RNG-free)."""
+    from .operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 7).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "q_td_pack_sequences",
+    """
+    WITH packed AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS start
+      FROM documents
+    )
+    SELECT source,
+           CAST(floor(start / 4000) AS INTEGER) AS pack_bin,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_packed,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_bin
+    """,
+)
+def q_td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into 4000-char bins per source
+    (the context-window packing step of a training pipeline), rolled up
+    per bin."""
+    from .operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    p = pack_sequences(d, group="source", order="doc_id", size_col="n_chars", max_len=4000)
+    return p.groupBy("source", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_packed"),
+        F.min("doc_id").alias("first_doc"),
+    )
