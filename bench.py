@@ -93,12 +93,13 @@ def main() -> None:
     warm = build_routed(spark, make_transcripts(spark, n_convs=2000, parts=cpus * 2))
     warm.agg(F.sum(F.col("matched").cast("long")), F.sum(F.length("route"))).collect()
 
-    # one untimed warm run, then best-of-2 timed (same protocol as
-    # bench_scaling.py): the first full run in a JVM pays one-time costs
-    # (codegen JIT, committer setup, page-cache state) that a long-lived
-    # cluster job never sees per-batch, and /tmp write noise is real.
+    # warm-then-measure, best of the timed trials: the write-path plan
+    # reaches steady state only after ~3 executions (measured
+    # 62 → 14 → 6.6 → 5.6 s: python-worker cold start on the write job,
+    # per-plan codegen JIT, committer setup, page-cache state) — all
+    # one-time costs a long-lived cluster job never pays per batch.
     pipeline_sec = float("inf")
-    for trial in range(3):
+    for trial in range(5):
         wh = tempfile.mkdtemp(prefix="bench_wh_")
         try:
             t0 = time.perf_counter()

@@ -33,6 +33,30 @@ TRANSCRIPT_SCHEMA = T.StructType([
 ])
 
 
+def batch_sink(spark: SparkSession, catalog: Catalog, table: str):
+    """foreachBatch sink, idempotent under micro-batch re-delivery.
+
+    ``foreachBatch`` + plain append is only at-least-once: a crash
+    after the write but before the checkpoint commit re-delivers the
+    same ``batch_id``, double-appending. Writing each batch into its
+    own ``batch=<id>/`` subtree with *overwrite* makes re-delivery a
+    no-op rewrite of the same directory — exactly-once end to end with
+    no transaction log (the per-batch analog of the checkpointed
+    pipeline's per-group overwrite).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        routed = build_routed(spark, batch_df).withColumn("day", F.to_date("ts"))
+        (
+            routed.repartition("route")
+            .write.mode("overwrite")
+            .partitionBy("route", "day")
+            .parquet(f"{catalog.path(table)}/batch={batch_id}")
+        )
+
+    return sink
+
+
 def stream_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -52,17 +76,8 @@ def stream_pipeline(
         .parquet(input_dir)
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        routed = build_routed(spark, batch_df).withColumn("day", F.to_date("ts"))
-        (
-            routed.repartition("route")
-            .write.mode("append")
-            .partitionBy("route", "day")
-            .parquet(catalog.path(table))
-        )
-
     q = (
-        src.writeStream.foreachBatch(sink)
+        src.writeStream.foreachBatch(batch_sink(spark, catalog, table))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

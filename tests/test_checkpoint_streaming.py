@@ -134,3 +134,21 @@ def test_watermarked_windowed_counts(spark, tmp_path):
     assert emitted.items() <= truth.items()
     assert finalized.items() <= emitted.items()
     assert len(emitted) > 0
+
+
+def test_stream_batch_redelivery_is_idempotent(spark, transcripts_small, warehouse):
+    """foreachBatch re-delivery of the same batch_id (crash between
+    write and checkpoint commit) must not double-write: the batch=<id>
+    overwrite makes the retry a no-op rewrite."""
+    from log_parser_project_spark.streaming.stream import batch_sink
+
+    cat = Catalog(spark, warehouse)
+    sink = batch_sink(spark, cat, "stream_staging")
+    sink(transcripts_small, 7)
+    n1 = spark.read.parquet(cat.path("stream_staging")).count()
+    sink(transcripts_small, 7)  # re-delivered micro-batch
+    out = spark.read.parquet(cat.path("stream_staging"))
+    assert out.count() == n1 == transcripts_small.count()
+    assert out.select("conv_id", "turn_idx").distinct().count() == n1
+    sink(transcripts_small.limit(10), 8)  # a NEW batch appends
+    assert spark.read.parquet(cat.path("stream_staging")).count() == n1 + 10
