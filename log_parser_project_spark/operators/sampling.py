@@ -54,7 +54,7 @@ def deterministic_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
 
 def pack_sequences(
     df: DataFrame,
-    group: str,
+    group: str | list[str],
     order: str,
     size_col: str,
     max_len: int,
@@ -67,7 +67,7 @@ def pack_sequences(
     beyond the groupBy exchange (vs. greedy best-fit, which needs
     sequential state and cannot parallelize per group).
     """
-    w = Window.partitionBy(group).orderBy(order)
+    w = Window.partitionBy(*([group] if isinstance(group, str) else group)).orderBy(order)
     cum = F.sum(size_col).over(w)
     start = (cum - F.col(size_col)).cast("long")
     return (

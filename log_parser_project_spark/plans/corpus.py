@@ -1,0 +1,86 @@
+"""The training-corpus curation job: the second flagship pipeline.
+
+Composes the training-data operators into the end-to-end flow a
+pretraining-data team runs over a raw 100 TB document crawl:
+
+    score (quality/lang/tokens) → filter → exact-dedup (md5, min-id
+    rep) → leakage-free hash split (train/val/test) → contiguous-fill
+    context packing → curated table + per-(source, split) stats
+
+Plan shape: three shuffles total — the dedup exchange on the md5
+fingerprint (uniform → no skew), the semi-join back, and the
+(source, split) window for packing; everything else is narrow,
+expression-only, codegen'd. All stages are content-deterministic
+(md5-driven), so the curated set is identical at any parallelism —
+and the DuckDB oracle reproduces the whole composite bit-for-bit
+(``q_corpus_stats``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.sampling import hash_split, pack_sequences
+from ..operators.text import with_text_features
+
+SPLITS = {"train": 90, "val": 5, "test": 5}
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_len: int = 4000,
+) -> DataFrame:
+    """The full curation flow; returns the curated doc set with
+    ``quality, lang_guess, fingerprint, split, pack_bin, pack_offset``.
+    """
+    feats = with_text_features(docs)
+    kept = feats.filter(F.col("quality") >= min_quality)
+    # exact dedup, min-id representative per fingerprint: one uniform
+    # hash aggregate + a semi join (never a per-key collect)
+    reps = kept.join(
+        kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")),
+        ["fingerprint", "doc_id"],
+        "left_semi",
+    )
+    split = hash_split(reps, "doc_id", SPLITS)
+    return pack_sequences(
+        split, group=["source", "split"], order="doc_id",
+        size_col="n_chars", max_len=max_len,
+    )
+
+
+def corpus_stats(curated: DataFrame) -> DataFrame:
+    """Per-(source, split) curation stats — the job's scoreboard."""
+    return curated.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("pack_bin") + 1).cast("int").alias("n_bins"),
+        F.sum("n_chars").cast("long").alias("chars_packed"),
+        F.sum(F.round(F.col("quality") * 10000)).cast("long").alias("sum_quality_e4"),
+    )
+
+
+def run_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: Catalog,
+    min_quality: float = 0.5,
+    max_len: int = 4000,
+) -> dict[str, int]:
+    """Curate and commit: ``corpus_docs`` partitioned by split (so a
+    trainer's scan of one split prunes to its subtree) + the stats
+    table. Returns {split: n_docs}."""
+    curated = curate(docs, min_quality, max_len)
+    catalog.write_table(
+        curated, "corpus_docs", partition_by=["split"],
+        lineage={"stage": "curate", "min_quality": min_quality, "max_len": max_len},
+    )
+    stats = corpus_stats(catalog.read_table("corpus_docs", schema=curated.schema))
+    catalog.write_table(stats, "corpus_stats", lineage={"stage": "corpus_stats"})
+    return {
+        r.split: r.n
+        for r in catalog.read_table("corpus_docs", schema=curated.schema)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

@@ -464,3 +464,67 @@ def q_td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_packed"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the corpus-curation composite (second flagship), oracle-checked
+# ---------------------------------------------------------------------------
+
+_QUALITY_EXPR = """
+  ROUND(
+    LEAST(length(text) / 500.0, 1.0) * 0.4
+    + LEAST((CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) > 0
+             THEN 1.0 * len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+                            t -> t IN ('the','a','and','of','to','in','is','it')))
+                  / len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+             ELSE 0.0 END) * 4, 1.0) * 0.3
+    + GREATEST(1.0 - (CASE WHEN length(text) > 0
+                      THEN 1.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                      ELSE 0.0 END) * 5, 0.0) * 0.3,
+  4)
+"""
+
+@_register(
+    "q_corpus_stats",
+    f"""
+    WITH q AS (
+      SELECT source, doc_id, n_chars,
+             {_QUALITY_EXPR} AS quality,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    kept AS (SELECT * FROM q WHERE quality >= 0.5),
+    reps AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ),
+    sp AS (
+      SELECT *, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+      FROM (SELECT *,
+              CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 AS b
+            FROM reps)
+    ),
+    packed AS (
+      SELECT source, split, n_chars, quality,
+             SUM(n_chars) OVER (PARTITION BY source, split ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS start
+      FROM sp
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(MAX(floor(start / 4000)) + 1 AS INTEGER) AS n_bins,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_packed,
+           CAST(SUM(ROUND(quality * 10000)) AS BIGINT) AS sum_quality_e4
+    FROM packed GROUP BY source, split
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation composite end to end (quality filter →
+    md5 exact-dedup → hash split → context packing → stats) — the
+    training-data flagship under the strong gate."""
+    from .plans.corpus import corpus_stats, curate
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_stats(curate(d, min_quality=0.5, max_len=4000))
