@@ -233,7 +233,15 @@ meaningful. On a real cluster the same job scales by executor count
 with the identical plan (no driver-side loops; one narrow pipeline +
 per-aggregate exchanges).
 """
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # preserve the hand-maintained protocol-validation study across
+        # regenerations (everything from its header onward)
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        marker = "## How the protocol was validated"
+        if os.path.exists(path):
+            old = open(path).read()
+            if marker in old:
+                md = md.rstrip("\n") + "\n\n" + old[old.index(marker):]
+        with open(path, "w") as f:
             f.write(md)
 
 
