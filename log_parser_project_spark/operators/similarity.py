@@ -259,3 +259,68 @@ def neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+def gemm_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine via a BLAS kernel: the scale-path *exact*
+    variant.
+
+    ``brute_force_topk`` scores pairs with per-element ``zip_with``
+    expressions — clean, but O(dim) interpreted work per pair. Here
+    each corpus partition multiplies its (rows × dim) block against the
+    broadcast unit-normalized query matrix in one ``numpy`` GEMM
+    (``mapInPandas`` → Arrow batch → float64 matmul), emits only its
+    per-batch top-k candidates per query, and a tiny global window
+    merge ranks the ≤ partitions×k survivors — the canonical
+    distributed exact-kNN: compute is vectorized C, shuffle volume is
+    candidates, never pairs. Results are identical to
+    ``brute_force_topk`` (same rounding and tie-break; asserted in
+    tests and by sharing its DuckDB oracle).
+    """
+    import numpy as np
+
+    q_local = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_local], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_local], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            S = np.round((C / cn) @ Qn.T, 4)  # rows × queries, rounded like F.round
+            kk = min(k, S.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self
+                top = np.lexsort((ids, -col))[:kk]  # sim desc, id asc
+                keep = top[np.isfinite(col[top])]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(col[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cand = corpus.mapInPandas(part, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

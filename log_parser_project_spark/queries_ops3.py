@@ -528,3 +528,33 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return corpus_stats(curate(d, min_quality=0.5, max_len=4000))
+
+
+# ---------------------------------------------------------------------------
+# exact ANN via BLAS kernel — same oracle as the expression-based exact path
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_sim_gemm_topk",
+    """
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def q_sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 via the per-partition GEMM kernel + global
+    candidate merge — must equal the expression-based exact path
+    (shares q_sim_topk's oracle)."""
+    from .operators import similarity
+    from .queries import _spread
+
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.gemm_topk(e, e.filter(F.col("vec_id") < 5), k=3)

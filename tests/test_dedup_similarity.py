@@ -139,3 +139,15 @@ def test_frame_sample_plan(spark):
     assert {r.media_id for r in got} == set(durations)
     for r in got:
         assert r.n == max(durations[r.media_id] // 1000, 1)
+
+
+def test_gemm_topk_equals_bruteforce(spark, sf_dir):
+    """The BLAS-kernel exact path must reproduce the expression-based
+    exact path row for row (same rounding, same tie-break)."""
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.brute_force_topk(e, q, k=5).collect()))
+    b = sorted(map(tuple, similarity.gemm_topk(e, q, k=5).collect()))
+    assert a == b
