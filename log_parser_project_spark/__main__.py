@@ -1,0 +1,90 @@
+"""CLI entry — ``python -m log_parser_project_spark <command>``.
+
+Command-for-command parity with the reference's two CLIs:
+
+* ``src/app.py`` (``list / versions / query / search`` over the schema
+  store, `app.py:282-381`) → the same commands over the pattern
+  registry and routed sinks;
+* ``python -m hex_decoder_module.cli --input pkt.hex`` (one-shot
+  packet decode, ``cli.py:19-53``) → ``decode`` over a hex file using
+  the schema-table-driven decoder in ``sources/hex_ingest``;
+* ``app.py parse <pdf>`` (build the store) → ``run`` (the pipeline
+  itself, same flags as ``jobs/run_pipeline.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m log_parser_project_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="pattern classes with versions and routes")
+
+    p_v = sub.add_parser("versions", help="version map of one pattern class")
+    p_v.add_argument("pattern_class")
+
+    p_q = sub.add_parser("query", help="field layout of one pattern version")
+    p_q.add_argument("pattern_class")
+    p_q.add_argument("version", type=int, nargs="?", default=1)
+
+    p_s = sub.add_parser("search", help="LIKE search over classes/routes/fields")
+    p_s.add_argument("term")
+
+    p_sink = sub.add_parser("sinks", help="per-sink summary of a warehouse")
+    p_sink.add_argument("--warehouse", required=True)
+
+    p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
+    p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
+    p_d.add_argument(
+        "--metadata", required=True,
+        help="schema-registry JSON (version layouts) — the reference's "
+             "pre-generated-metadata decode path",
+    )
+    p_d.add_argument("-o", "--output", default=None)
+
+    args = ap.parse_args(argv)
+
+    from . import query_helpers as qh
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    if args.cmd == "decode":
+        from .sources.hex_ingest import decode_packet_json, load_layouts_json
+
+        layouts, voff, vlen = load_layouts_json(args.metadata)
+        with open(args.input) as f:
+            result = decode_packet_json(spark, f.read(), layouts, voff, vlen)
+        out = json.dumps(result, indent=2, default=str)
+        if args.output:
+            with open(args.output, "w") as fo:
+                fo.write(out)
+        else:
+            print(out)
+        return 0
+
+    if args.cmd == "list":
+        df = qh.list_patterns(spark)
+    elif args.cmd == "versions":
+        df = qh.versions_of(spark, args.pattern_class)
+    elif args.cmd == "query":
+        df = qh.describe_pattern(spark, args.pattern_class, args.version)
+    elif args.cmd == "search":
+        df = qh.search_patterns(spark, args.term)
+    elif args.cmd == "sinks":
+        from .catalog import SnapshotCatalog
+
+        df = qh.sink_summary(SnapshotCatalog(spark, args.warehouse))
+    else:  # pragma: no cover
+        ap.error(f"unknown command {args.cmd}")
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    print(json.dumps(rows, default=str, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

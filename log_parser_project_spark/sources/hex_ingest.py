@@ -380,3 +380,43 @@ def synth_packets(spark: SparkSession, n: int = 1000, parts: int = 8) -> DataFra
         .otherwise(good)
     )
     return df.select(i.alias("packet_id"), packet.alias("packet_hex"))
+
+
+def load_layouts_json(source) -> tuple[dict[int, list[FieldDef]], int, int]:
+    """Load a schema-registry JSON — the pre-generated-metadata decode
+    path of the reference ("1000× faster", ``metadata_payload_parser.
+    py:19-32``). Accepts a path or an already-parsed dict shaped::
+
+        {"version_offset_bits": 0, "version_length_bits": 8,
+         "layouts": {"1": [{"name": "u8", "offset_bits": 0,
+                            "length_bits": 8, "type": "uint",
+                            "enum": {"0": "off"}}, ...]}}
+
+    Returns (version→FieldDef list, version_offset_bits,
+    version_length_bits) ready for :func:`decode_versioned` /
+    :func:`decode_packet_json`.
+    """
+    import json as _json
+
+    meta = source
+    if isinstance(source, str):
+        with open(source) as f:
+            meta = _json.load(f)
+    layouts = {
+        int(ver): [
+            FieldDef(
+                name=fd["name"],
+                offset_bits=int(fd["offset_bits"]),
+                length_bits=int(fd["length_bits"]),
+                type_name=fd.get("type", "uint"),
+                enum_map={int(k): v for k, v in (fd.get("enum") or {}).items()},
+            )
+            for fd in fields
+        ]
+        for ver, fields in meta["layouts"].items()
+    }
+    return (
+        layouts,
+        int(meta.get("version_offset_bits", 0)),
+        int(meta.get("version_length_bits", 8)),
+    )

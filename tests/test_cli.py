@@ -1,0 +1,58 @@
+"""The ``python -m log_parser_project_spark`` CLI — command parity
+with the reference's ``app.py`` and ``hex_decoder_module.cli``."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(*args: str) -> str:
+    r = subprocess.run(
+        [sys.executable, "-m", "log_parser_project_spark", *args],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    return r.stdout
+
+
+def test_cli_list_versions_query_search(tmp_path):
+    rows = json.loads(_run("list"))
+    assert {r["pattern_class"] for r in rows} == {
+        "tool_call", "error", "citation", "metric", "handoff"
+    }
+    handoff = [r for r in rows if r["pattern_class"] == "handoff"][0]
+    assert handoff["n_versions"] == 2 and handoff["versions"] == [1, 2]
+
+    v = json.loads(_run("versions", "handoff"))
+    assert [r["version"] for r in v] == [1, 2]
+
+    q = json.loads(_run("query", "handoff", "2"))
+    assert [r["field_name"] for r in q] == ["to_role", "reason", "priority"]
+
+    s = json.loads(_run("search", "severity"))
+    assert {r["pattern_class"] for r in s} == {"error"}
+
+
+def test_cli_decode_packet(tmp_path):
+    # little-endian packet: payload len 3, logcode 0x1C07, seq 1, ts 2;
+    # payload = version byte 01 + two data bytes (u8=0x2A, s8=-1)
+    meta = {
+        "version_offset_bits": 0,
+        "version_length_bits": 8,
+        "layouts": {
+            "1": [
+                {"name": "u8", "offset_bits": 8, "length_bits": 8, "type": "uint"},
+                {"name": "s8", "offset_bits": 16, "length_bits": 8, "type": "int"},
+            ]
+        },
+    }
+    mpath = tmp_path / "meta.json"
+    mpath.write_text(json.dumps(meta))
+    hexfile = tmp_path / "pkt.hex"
+    hexfile.write_text("0300" + "071c" + "01000000" + "02000000" + "012aff")
+    out = json.loads(_run("decode", "--input", str(hexfile), "--metadata", str(mpath)))
+    assert out["valid"] is True
+    assert out["header"]["logcode_hex"] == "0x1C07"
+    assert out["layout_version"] == 1
+    assert out["fields"] == {"u8": 42, "s8": -1}
+    assert out["metadata"]["decode_time_ms"] > 0
