@@ -260,13 +260,14 @@ def explode_repeats(df: DataFrame) -> DataFrame:
     field_map = {
         (p.pattern_class, p.version): p.repeat_fields for p in reg.values() if p.repeat_group
     }
-    # registry is tiny → express field naming as a literal map lookup
-    exploded = (
-        df.filter(F.col("repeats").isNotNull() & (F.size("repeats") > 0))
-        .select(
-            "conv_id", "turn_idx", "pattern_class", "version",
-            F.posexplode("repeats").alias("record_idx", "record"),
-        )
+    # registry is tiny → express field naming as a literal map lookup.
+    # No pre-filter: posexplode already drops null/empty arrays, and a
+    # filter on the UDF-derived column would make Catalyst extract the
+    # parse UDF TWICE (once for the filter stage, once for the project —
+    # measured as 2 ArrowEvalPython nodes, i.e. 2× the parse cost).
+    exploded = df.select(
+        "conv_id", "turn_idx", "pattern_class", "version",
+        F.posexplode("repeats").alias("record_idx", "record"),
     )
     name1 = F.create_map(
         *[x for (c, v), flds in field_map.items() for x in (F.lit(f"{c}:{v}"), F.lit(flds[0]))]

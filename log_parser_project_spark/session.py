@@ -65,6 +65,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.default.parallelism", str(max(n, 8)))
+        # InferFiltersFromGenerate would re-insert a size(col)>0 filter
+        # under every posexplode; when the exploded array is pandas-UDF-
+        # derived (the repeats column), the filter forces a SECOND
+        # ArrowEvalPython extraction — 2× the whole parse cost for a
+        # micro-optimization that only skips empty-array Generate calls
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # -- arrow / pandas UDF hot path -----------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")

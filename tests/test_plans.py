@@ -89,3 +89,14 @@ def test_ivf_cell_join_is_broadcast(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     # probed queries are the broadcast side; corpus never shuffles for the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_repeat_explode_evaluates_parse_udf_once(spark):
+    """posexplode over the UDF-derived repeats array must not trigger a
+    second ArrowEvalPython (InferFiltersFromGenerate is excluded — it
+    would re-insert a size()>0 filter that doubles the parse cost)."""
+    from log_parser_project_spark.operators.parse import explode_repeats, parse
+
+    tdf = make_transcripts(spark, n_convs=50)
+    plan = _plan(explode_repeats(parse(tdf)))
+    assert plan.count("ArrowEvalPython") == 1
