@@ -42,7 +42,10 @@ HEADLINE = [
     "q_dd_jaccard3_pairs",
     "q_dd_minhash_pairs",
     "q_sim_topk",
+    "q_sim_gemm_topk",
     "q_tx_quality",
+    "q_corpus_stats",
+    "q_pl_routed_events",
 ]
 
 
