@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import PATTERNS, dim_roles_df, dim_tools_df
+from ..registry import PATTERNS, Pattern, dim_roles_df, dim_tools_df
 
 
 def enrich(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -31,7 +31,7 @@ def enrich(df: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-def apply_enums(df: DataFrame) -> DataFrame:
+def apply_enums(df: DataFrame, patterns: tuple[Pattern, ...] = PATTERNS) -> DataFrame:
     """Map raw enum values to friendly labels (J10).
 
     The registry's enum maps are tiny and known at plan time, so they
@@ -41,7 +41,7 @@ def apply_enums(df: DataFrame) -> DataFrame:
     (``utils/enum_mapper.py:8-24``).
     """
     out = df
-    for p in PATTERNS:
+    for p in patterns:
         if not p.enum_map or not p.enum_field:
             continue
         m = F.create_map(*[F.lit(x) for kv in p.enum_map.items() for x in kv])

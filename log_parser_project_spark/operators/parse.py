@@ -8,17 +8,25 @@ Two sub-stages, mirroring the reference's decode pipeline
    ``version`` with cheap built-in column expressions (prefix tests,
    ``rlike``). Kept JVM-side deliberately: Catalyst folds these into
    the scan stage (whole-stage codegen) and the routing key is then
-   available for pruning and routing *without* touching Python.
+   available for pruning and routing *without* touching Python. The
+   prefix dispatch is registry DATA (``Pattern.prefix``), not code.
 
 2. **extract** — the field-decoder analog
    (``decoder/field_decoder.py:14-114``): ONE Arrow-batched pandas UDF
    applies the compiled registry. Per (class, version) it runs a
-   single vectorized ``Series.str.extract`` over the masked slice of
-   the batch — one C-level regex pass per pattern per batch, no
-   per-row Python dispatch (north-star requirement). Patterns are
-   compiled once per executor process via a module-level cache, the
-   analog of the reference's LRU metadata cache
-   (``icd_parser/cache.py``) — except immutable, so no eviction.
+   single vectorized pass over the masked slice of the batch — pandas
+   ``str.extract`` (``impl="pandas"``) or RE2 over Arrow string arrays
+   via ``pyarrow.compute.extract_regex`` (``impl="arrow"``) — no
+   per-row Python dispatch (north-star requirement). Patterns compile
+   once per executor process via a spec-keyed module cache, the analog
+   of the reference's LRU metadata cache (``icd_parser/cache.py``) —
+   except immutable, so no eviction.
+
+**The registry is injectable**: every stage (classify, both UDF
+extractors, the compiled-JVM extractor, repeat explode, enums, route)
+takes a ``patterns`` tuple defaulting to the module registry — a new
+or extended registry needs no code or plan changes
+(tests/test_custom_registry.py runs a disjoint registry end to end).
 
 Output layout: instead of the reference's name-mangled flat fields
 (``"{name} (Record {i})"``), extraction lands in a typed struct column
@@ -35,22 +43,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..registry import ALL_GROUPS, PATTERNS, by_class_version
+from ..registry import PATTERNS, Pattern, class_prefixes
 
 # ---------------------------------------------------------------------------
 # 1. classify — routing-key + version derivation, all built-in expressions
 # ---------------------------------------------------------------------------
 
-def classify(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add ``pattern_class`` and ``version`` columns (JVM-side only)."""
+def classify(
+    df: DataFrame, text_col: str = "text", patterns: tuple[Pattern, ...] = PATTERNS
+) -> DataFrame:
+    """Add ``pattern_class`` and ``version`` columns (JVM-side only).
+    The dispatch chain is built from the registry's ``prefix`` data."""
     t = F.col(text_col)
+    pattern_class = None
+    for prefix, cls in class_prefixes(patterns):
+        cond = t.startswith(prefix)
+        pattern_class = (
+            F.when(cond, cls) if pattern_class is None else pattern_class.when(cond, cls)
+        )
     pattern_class = (
-        F.when(t.startswith("CALL "), "tool_call")
-        .when(t.startswith("ERROR "), "error")
-        .when(t.startswith("see ["), "citation")
-        .when(t.startswith("latency_ms="), "metric")
-        .when(t.startswith("HANDOFF "), "handoff")
-        .otherwise(F.lit(None).cast("string"))
+        pattern_class.otherwise(F.lit(None).cast("string"))
+        if pattern_class is not None
+        else F.lit(None).cast("string")
     )
     # version resolution: the payload is self-describing — a "v=N"
     # marker selects the layout (analog of version_resolver.py:13-56);
@@ -79,76 +93,19 @@ def classify(df: DataFrame, text_col: str = "text") -> DataFrame:
 _REC_SEP = "\x1e"  # between records
 _FLD_SEP = "\x1f"  # between fields of a record
 
-_EXTRACT_SCHEMA = T.StructType(
-    [T.StructField("matched", T.BooleanType())]
-    + [T.StructField(g, T.StringType()) for g in ALL_GROUPS]
-    + [T.StructField("repeats_enc", T.StringType())]
-)
 
-# per-executor compiled-pattern cache (populated lazily inside the UDF)
-_COMPILED: dict[tuple[str, int], object] = {}
+def all_groups(patterns: tuple[Pattern, ...]) -> tuple[str, ...]:
+    return tuple(sorted({g for p in patterns for g in p.groups}))
 
 
-def _compiled_registry():
-    if not _COMPILED:
-        for p in PATTERNS:
-            import re
+def _registry_spec(patterns: tuple[Pattern, ...]):
+    """Immutable, picklable registry spec shipped inside the UDF
+    closure (what the executor compiles from)."""
+    return tuple(
+        (p.pattern_class, p.version, p.regex, p.repeat_group, tuple(p.groups))
+        for p in patterns
+    )
 
-            _COMPILED[(p.pattern_class, p.version)] = (
-                re.compile(p.regex),
-                re.compile(p.repeat_group) if p.repeat_group else None,
-                p.groups,
-            )
-    return _COMPILED
-
-
-@pandas_udf(_EXTRACT_SCHEMA)
-def _extract_udf(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
-    import numpy as np
-
-    reg = _compiled_registry()
-    n = len(text)
-    positions = np.arange(n)
-    matched_out = np.zeros(n, dtype=bool)
-    group_out = {g: np.full(n, None, dtype=object) for g in ALL_GROUPS}
-    repeats_out = np.full(n, None, dtype=object)
-
-    cls_vals = cls.to_numpy(dtype=object)
-    ver_vals = ver.to_numpy()
-    text_reset = text.reset_index(drop=True)
-    for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
-        mask = (cls_vals == pclass) & (ver_vals == pver)
-        if not mask.any():
-            continue
-        pos = positions[mask]
-        sub = text_reset.iloc[pos]
-        # one vectorized pass per pattern per Arrow batch
-        hit = sub.str.extract(rx)
-        ok = hit[groups[0]].notna().to_numpy()
-        hit_pos = pos[ok]
-        matched_out[hit_pos] = True
-        for g in groups:
-            group_out[g][hit_pos] = hit[g].to_numpy(dtype=object)[ok]
-        if repeat_rx is not None and len(hit_pos):
-            findall = repeat_rx.findall
-            found = np.empty(len(hit_pos), dtype=object)
-            found[:] = [
-                _REC_SEP.join(
-                    _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
-                )
-                for s in text_reset.iloc[hit_pos]
-            ]
-            repeats_out[hit_pos] = found
-
-    out = {"matched": matched_out}
-    out.update(group_out)
-    out["repeats_enc"] = repeats_out
-    return pd.DataFrame(out)
-
-
-# ---------------------------------------------------------------------------
-# 2b. Arrow-native variant: RE2 over Arrow string arrays (pyarrow.compute)
-# ---------------------------------------------------------------------------
 
 def _re2_rx(regex: str) -> str:
     """Python-re pattern → RE2 with identical semantics for the registry
@@ -161,64 +118,159 @@ def _re2_rx(regex: str) -> str:
     return regex[:-1] + r"(?:\n)?\z" if regex.endswith("$") else regex
 
 
-@pandas_udf(_EXTRACT_SCHEMA)
-def _extract_udf_arrow(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
-    """Same contract as :func:`_extract_udf`, but the per-pattern match
-    runs in RE2 via ``pyarrow.compute.extract_regex`` — a single C++
-    pass over the Arrow string array per pattern per batch (~10× the
-    pandas ``str.extract`` Python-re loop). The north star's "batched
-    re2-style matching over Arrow string arrays", literally. Only the
-    repeat-group findall (matched tool_call/citation rows) stays in
-    Python re."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    reg = _compiled_registry()
-    n = len(text)
-    positions = np.arange(n)
-    matched_out = np.zeros(n, dtype=bool)
-    group_out = {g: np.full(n, None, dtype=object) for g in ALL_GROUPS}
-    repeats_out = np.full(n, None, dtype=object)
-
-    cls_vals = cls.to_numpy(dtype=object)
-    ver_vals = ver.to_numpy()
-    text_reset = text.reset_index(drop=True)
-    for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
-        mask = (cls_vals == pclass) & (ver_vals == pver)
-        if not mask.any():
-            continue
-        pos = positions[mask]
-        sub = text_reset.iloc[pos]
-        res = pc.extract_regex(pa.array(sub, type=pa.string()), pattern=_re2_rx(rx.pattern))
-        ok = res.is_valid().to_numpy(zero_copy_only=False)
-        hit_pos = pos[ok]
-        matched_out[hit_pos] = True
-        for g in groups:
-            group_out[g][hit_pos] = res.field(g).to_numpy(zero_copy_only=False)[ok]
-        if repeat_rx is not None and len(hit_pos):
-            findall = repeat_rx.findall
-            found = np.empty(len(hit_pos), dtype=object)
-            found[:] = [
-                _REC_SEP.join(
-                    _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
-                )
-                for s in text_reset.iloc[hit_pos]
-            ]
-            repeats_out[hit_pos] = found
-
-    out = {"matched": matched_out}
-    out.update(group_out)
-    out["repeats_enc"] = repeats_out
-    return pd.DataFrame(out)
+# per-executor compiled-pattern cache, keyed by registry spec
+_COMPILED: dict[tuple, dict] = {}
 
 
-def extract(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
+def _compiled_for(spec) -> dict:
+    reg = _COMPILED.get(spec)
+    if reg is None:
+        import re
+
+        reg = {
+            (cls, ver): (re.compile(rx), re.compile(rep) if rep else None, groups)
+            for (cls, ver, rx, rep, groups) in spec
+        }
+        _COMPILED[spec] = reg
+    return reg
+
+
+# driver-side UDF cache so repeated parse() calls reuse one UDF object
+_UDF_CACHE: dict[tuple, tuple] = {}
+
+
+def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
+    """Build (udf, groups) for a registry — the registry-as-data path:
+    the spec travels in the closure, compilation happens lazily on each
+    executor, and a different registry is just a different spec."""
+    for p in patterns:
+        if not p.groups:
+            # the match test is "first group is non-null" — a pattern
+            # without captures would silently never match; fail loudly
+            # (the LogcodeNotFoundError discipline, payload_decoder.py:49-57)
+            raise ValueError(
+                f"registry pattern {p.pattern_class} v{p.version} has no "
+                "capture groups — every pattern needs at least one"
+            )
+    spec = _registry_spec(patterns)
+    key = (spec, impl)
+    if key in _UDF_CACHE:
+        return _UDF_CACHE[key]
+    groups_all = all_groups(patterns)
+    schema = T.StructType(
+        [T.StructField("matched", T.BooleanType())]
+        + [T.StructField(g, T.StringType()) for g in groups_all]
+        + [T.StructField("repeats_enc", T.StringType())]
+    )
+
+    def _run_pandas(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        reg = _compiled_for(spec)
+        n = len(text)
+        positions = np.arange(n)
+        matched_out = np.zeros(n, dtype=bool)
+        group_out = {g: np.full(n, None, dtype=object) for g in groups_all}
+        repeats_out = np.full(n, None, dtype=object)
+
+        cls_vals = cls.to_numpy(dtype=object)
+        ver_vals = ver.to_numpy()
+        text_reset = text.reset_index(drop=True)
+        for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
+            mask = (cls_vals == pclass) & (ver_vals == pver)
+            if not mask.any():
+                continue
+            pos = positions[mask]
+            sub = text_reset.iloc[pos]
+            # one vectorized pass per pattern per Arrow batch
+            hit = sub.str.extract(rx)
+            ok = hit[groups[0]].notna().to_numpy()
+            hit_pos = pos[ok]
+            matched_out[hit_pos] = True
+            for g in groups:
+                group_out[g][hit_pos] = hit[g].to_numpy(dtype=object)[ok]
+            if repeat_rx is not None and len(hit_pos):
+                findall = repeat_rx.findall
+                found = np.empty(len(hit_pos), dtype=object)
+                found[:] = [
+                    _REC_SEP.join(
+                        _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
+                    )
+                    for s in text_reset.iloc[hit_pos]
+                ]
+                repeats_out[hit_pos] = found
+
+        out = {"matched": matched_out}
+        out.update(group_out)
+        out["repeats_enc"] = repeats_out
+        return pd.DataFrame(out)
+
+    def _run_arrow(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+        """Per-pattern match in RE2 via ``pyarrow.compute.extract_regex``
+        — a single C++ pass over the Arrow string array per pattern per
+        batch (~10× the pandas Python-re loop). The north star's
+        "batched re2-style matching over Arrow string arrays",
+        literally. Only the repeat-group findall (matched tool_call/
+        citation rows) stays in Python re."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        reg = _compiled_for(spec)
+        n = len(text)
+        positions = np.arange(n)
+        matched_out = np.zeros(n, dtype=bool)
+        group_out = {g: np.full(n, None, dtype=object) for g in groups_all}
+        repeats_out = np.full(n, None, dtype=object)
+
+        cls_vals = cls.to_numpy(dtype=object)
+        ver_vals = ver.to_numpy()
+        text_reset = text.reset_index(drop=True)
+        for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
+            mask = (cls_vals == pclass) & (ver_vals == pver)
+            if not mask.any():
+                continue
+            pos = positions[mask]
+            sub = text_reset.iloc[pos]
+            res = pc.extract_regex(pa.array(sub, type=pa.string()), pattern=_re2_rx(rx.pattern))
+            ok = res.is_valid().to_numpy(zero_copy_only=False)
+            hit_pos = pos[ok]
+            matched_out[hit_pos] = True
+            for g in groups:
+                group_out[g][hit_pos] = res.field(g).to_numpy(zero_copy_only=False)[ok]
+            if repeat_rx is not None and len(hit_pos):
+                findall = repeat_rx.findall
+                found = np.empty(len(hit_pos), dtype=object)
+                found[:] = [
+                    _REC_SEP.join(
+                        _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
+                    )
+                    for s in text_reset.iloc[hit_pos]
+                ]
+                repeats_out[hit_pos] = found
+
+        out = {"matched": matched_out}
+        out.update(group_out)
+        out["repeats_enc"] = repeats_out
+        return pd.DataFrame(out)
+
+    fn = {"pandas": _run_pandas, "arrow": _run_arrow}[impl]
+    udf = pandas_udf(schema)(fn)
+    _UDF_CACHE[key] = (udf, groups_all)
+    return udf, groups_all
+
+
+def extract(
+    df: DataFrame,
+    text_col: str = "text",
+    impl: str = "pandas",
+    patterns: tuple[Pattern, ...] = PATTERNS,
+) -> DataFrame:
     """Apply the registry; adds ``matched``, group columns (under
     ``extracted.*``), and ``repeats``. ``impl="arrow"`` switches the
     per-pattern matcher from pandas ``str.extract`` to RE2 over Arrow
     arrays; outputs are identical (fuzz-asserted)."""
-    udf = {"pandas": _extract_udf, "arrow": _extract_udf_arrow}[impl]
+    udf, groups_all = _make_extract_udf(patterns, impl)
     parsed = df.withColumn(
         "_p", udf(F.col(text_col), F.col("pattern_class"), F.col("version"))
     )
@@ -231,22 +283,27 @@ def extract(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> Data
     )
     return (
         parsed.withColumn("matched", F.col("_p.matched"))
-        .withColumn("extracted", F.struct(*[F.col(f"_p.{g}").alias(g) for g in ALL_GROUPS]))
+        .withColumn("extracted", F.struct(*[F.col(f"_p.{g}").alias(g) for g in groups_all]))
         .withColumn("repeats", repeats)
         .drop("_p")
     )
 
 
-def parse(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
+def parse(
+    df: DataFrame,
+    text_col: str = "text",
+    impl: str = "pandas",
+    patterns: tuple[Pattern, ...] = PATTERNS,
+) -> DataFrame:
     """classify + extract in one call."""
-    return extract(classify(df, text_col), text_col, impl=impl)
+    return extract(classify(df, text_col, patterns), text_col, impl=impl, patterns=patterns)
 
 
 # ---------------------------------------------------------------------------
 # 3. repeating-record expansion (reference §2.8) — posexplode
 # ---------------------------------------------------------------------------
 
-def explode_repeats(df: DataFrame) -> DataFrame:
+def explode_repeats(df: DataFrame, patterns: tuple[Pattern, ...] = PATTERNS) -> DataFrame:
     """Explode repeat-group matches into one row per record.
 
     The reference decodes N fixed-stride records and name-mangles
@@ -256,9 +313,8 @@ def explode_repeats(df: DataFrame) -> DataFrame:
     (``repeat_fields``), e.g. ``arg_key/arg_val`` for tool_call and
     ``doc/page`` for citation.
     """
-    reg = by_class_version()
     field_map = {
-        (p.pattern_class, p.version): p.repeat_fields for p in reg.values() if p.repeat_group
+        (p.pattern_class, p.version): p.repeat_fields for p in patterns if p.repeat_group
     }
     # registry is tiny → express field naming as a literal map lookup.
     # No pre-filter: posexplode already drops null/empty arrays, and a
@@ -311,7 +367,9 @@ def _java_rx(regex: str) -> str:
     return re.sub(r"\(\?P<\w+>", "(", regex)
 
 
-def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_builtin(
+    df: DataFrame, text_col: str = "text", patterns: tuple[Pattern, ...] = PATTERNS
+) -> DataFrame:
     """Registry extraction with built-in expressions only — one
     ``regexp_extract`` per (pattern, group), dispatched by the classify
     columns. Same output contract as :func:`extract`; equivalence is
@@ -327,13 +385,13 @@ def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
     cls, ver = F.col("pattern_class"), F.col("version")
 
     matched = F.lit(False)
-    for p in PATTERNS:
+    for p in patterns:
         matched = F.when((cls == p.pattern_class) & (ver == p.version), t.rlike(_java_rx(p.regex))).otherwise(matched)
 
     group_cols = []
-    for g in ALL_GROUPS:
+    for g in all_groups(patterns):
         expr = F.lit(None).cast("string")
-        for p in PATTERNS:
+        for p in patterns:
             if g in p.groups:
                 idx = _group_index(p.regex, g)
                 expr = F.when(
@@ -343,7 +401,7 @@ def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
         group_cols.append(expr.alias(g))
 
     repeats = F.lit(None).cast("array<array<string>>")
-    for p in PATTERNS:
+    for p in patterns:
         if not p.repeat_group:
             continue
         n_fields = len(p.repeat_fields)
@@ -362,6 +420,8 @@ def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def parse_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+def parse_builtin(
+    df: DataFrame, text_col: str = "text", patterns: tuple[Pattern, ...] = PATTERNS
+) -> DataFrame:
     """classify + extract_builtin (the all-JVM pipeline variant)."""
-    return extract_builtin(classify(df, text_col), text_col)
+    return extract_builtin(classify(df, text_col, patterns), text_col, patterns)

@@ -21,12 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..registry import PATTERNS, SINKS
+from ..registry import PATTERNS, SINKS, Pattern
 
 
-def route(df: DataFrame) -> DataFrame:
+def route(df: DataFrame, patterns: tuple[Pattern, ...] = PATTERNS) -> DataFrame:
     """Add the ``route`` column from the registry's class→sink map."""
-    class_to_route = {p.pattern_class: p.route for p in PATTERNS}
+    class_to_route = {p.pattern_class: p.route for p in patterns}
     m = F.create_map(*[F.lit(x) for kv in class_to_route.items() for x in kv])
     return df.withColumn(
         "route",

@@ -44,9 +44,23 @@ class Pattern:
     repeat_fields: tuple[str, ...] = ()
     enum_map: dict[str, str] = field(default_factory=dict)
     enum_field: str | None = None
+    # classify key: rows whose text starts with this land in this class
+    # (the header-decode dispatch is registry DATA, not code — a new
+    # pattern class needs no plan or code change)
+    prefix: str | None = None
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.regex)
+
+
+def class_prefixes(patterns: tuple["Pattern", ...]) -> list[tuple[str, str]]:
+    """(prefix, pattern_class) dispatch pairs in registry order, one per
+    class (versions of a class share the prefix)."""
+    seen: dict[str, str] = {}
+    for p in patterns:
+        if p.prefix and p.pattern_class not in seen:
+            seen[p.pattern_class] = p.prefix
+    return [(pre, cls) for cls, pre in seen.items()]
 
 
 # --------------------------------------------------------------------------
@@ -60,6 +74,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^CALL (?P<tool_name>[A-Za-z0-9_]+) args=\{(?P<args>[^}]*)\}$",
         groups=("tool_name", "args"),
         route="sink_tool_calls",
+        prefix="CALL ",
         repeat_group=r"([A-Za-z0-9_]+)=([0-9]+)",
         repeat_fields=("arg_key", "arg_val"),
     ),
@@ -69,6 +84,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^ERROR code=(?P<code>[0-9]+) severity=(?P<severity>[0-9]) msg='(?P<msg>[^']*)'$",
         groups=("code", "severity", "msg"),
         route="sink_errors",
+        prefix="ERROR ",
         enum_field="severity",
         enum_map={"1": "debug", "2": "info", "3": "warn", "4": "error", "5": "fatal"},
     ),
@@ -78,6 +94,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^see (?P<cites>\[doc-[0-9]+#[0-9]+\](?: and \[doc-[0-9]+#[0-9]+\])*)$",
         groups=("cites",),
         route="sink_citations",
+        prefix="see [",
         repeat_group=r"\[doc-([0-9]+)#([0-9]+)\]",
         repeat_fields=("doc", "page"),
     ),
@@ -87,6 +104,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^latency_ms=(?P<latency_ms>[0-9.]+) tokens=(?P<tokens>[0-9]+)$",
         groups=("latency_ms", "tokens"),
         route="sink_metrics",
+        prefix="latency_ms=",
     ),
     Pattern(
         pattern_class="handoff",
@@ -94,6 +112,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^HANDOFF to=(?P<to_role>[A-Za-z0-9_]+) reason=(?P<reason>[A-Za-z0-9_]+)$",
         groups=("to_role", "reason"),
         route="sink_handoffs",
+        prefix="HANDOFF ",
     ),
     Pattern(
         pattern_class="handoff",
@@ -101,6 +120,7 @@ PATTERNS: tuple[Pattern, ...] = (
         regex=r"^HANDOFF v=2 to=(?P<to_role>[A-Za-z0-9_]+) reason=(?P<reason>[A-Za-z0-9_]+) priority=(?P<priority>[0-9])$",
         groups=("to_role", "reason", "priority"),
         route="sink_handoffs",
+        prefix="HANDOFF ",
     ),
 )
 

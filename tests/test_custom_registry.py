@@ -1,0 +1,113 @@
+"""Registry-as-data: a brand-new registry (disjoint classes, its own
+prefixes, enums, repeats, versions) runs through classify → extract
+(all three engines) → enums → route with NO code or plan changes —
+the engine analog of the reference decoding a new logcode the moment
+its metadata JSON exists (``metadata_payload_parser.py``)."""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from log_parser_project_spark.grok import grok_pattern
+from log_parser_project_spark.operators.enrich import apply_enums
+from log_parser_project_spark.operators.parse import (
+    classify,
+    explode_repeats,
+    parse,
+    parse_builtin,
+)
+from log_parser_project_spark.operators.route import route
+from log_parser_project_spark.registry import Pattern
+
+CUSTOM = (
+    Pattern(
+        pattern_class="status",
+        version=1,
+        regex=r"^STATUS op=(?P<op>[A-Za-z0-9_]+) pct=(?P<pct>[0-9]+)$",
+        groups=("op", "pct"),
+        route="sink_status",
+        prefix="STATUS ",
+    ),
+    Pattern(
+        pattern_class="status",
+        version=2,
+        regex=r"^STATUS v=2 op=(?P<op>[A-Za-z0-9_]+) pct=(?P<pct>[0-9]+) state=(?P<state>[0-9])$",
+        groups=("op", "pct", "state"),
+        route="sink_status",
+        prefix="STATUS ",
+        enum_field="state",
+        enum_map={"0": "idle", "1": "busy"},
+    ),
+    grok_pattern(
+        "alloc", 1,
+        r"^ALLOC %{ALLOCLIST:items}$",
+        "sink_alloc",
+        extra={"ALLOCLIST": r"(?:[a-z]+=[0-9]+ ?)+"},
+        prefix="ALLOC ",
+        repeat_group=r"([a-z]+)=([0-9]+)",
+        repeat_fields=("res", "amount"),
+    ),
+)
+
+TEXTS = [
+    "STATUS op=compact pct=40",
+    "STATUS v=2 op=flush pct=90 state=1",
+    "STATUS v=2 op=flush pct=90 state=7",   # UNKNOWN enum
+    "STATUS broken",                          # classified, unmatched → quarantine
+    "ALLOC cpu=4 mem=16 disk=100",
+    "completely freeform",                    # unclassified
+]
+
+
+def _df(spark):
+    rows = [("c", i, "user", t, None) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+
+
+@pytest.mark.parametrize("engine", ["pandas", "arrow", "jvm"])
+def test_custom_registry_end_to_end(spark, engine):
+    df = _df(spark)
+    parsed = (
+        parse_builtin(df, patterns=CUSTOM)
+        if engine == "jvm"
+        else parse(df, impl=engine, patterns=CUSTOM)
+    )
+    out = route(apply_enums(parsed, patterns=CUSTOM), patterns=CUSTOM)
+    rows = {r.turn_idx: r for r in out.collect()}
+
+    assert rows[0].pattern_class == "status" and rows[0].version == 1
+    assert rows[0].matched and rows[0].extracted["pct"] == "40"
+    assert rows[0].route == "sink_status"
+
+    assert rows[1].version == 2 and rows[1].extracted["state"] == "1"
+    assert rows[1].state_friendly == "busy"
+    assert rows[2].state_friendly == "UNKNOWN(7)"
+
+    assert rows[3].pattern_class == "status" and not rows[3].matched
+    assert rows[3].route == "sink_unmatched"
+
+    assert rows[4].pattern_class == "alloc" and rows[4].matched
+    assert [list(rec) for rec in rows[4].repeats] == [
+        ["cpu", "4"], ["mem", "16"], ["disk", "100"],
+    ]
+
+    assert rows[5].pattern_class is None and rows[5].route == "sink_unmatched"
+
+
+def test_custom_registry_repeat_explode(spark):
+    df = _df(spark)
+    recs = explode_repeats(parse(df, patterns=CUSTOM), patterns=CUSTOM).collect()
+    assert [(r.record_idx, r.field1_name, r.field1_value, r.field2_value) for r in recs] == [
+        (0, "res", "cpu", "4"), (1, "res", "mem", "16"), (2, "res", "disk", "100"),
+    ]
+
+
+def test_default_registry_unaffected(spark):
+    """Parsing with the default registry still classifies only the five
+    stock classes (no cross-registry leakage through the UDF cache)."""
+    df = _df(spark)
+    got = {r.turn_idx: r.pattern_class for r in classify(df).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: None, 5: None}
