@@ -111,3 +111,35 @@ def test_default_registry_unaffected(spark):
     df = _df(spark)
     got = {r.turn_idx: r.pattern_class for r in classify(df).collect()}
     assert got == {0: None, 1: None, 2: None, 3: None, 4: None, 5: None}
+
+
+def test_wide_generated_registry(spark):
+    """Registry-as-data at width: 40 auto-generated pattern classes in
+    one registry — classify dispatch, per-class masked extraction, and
+    routing all scale with pattern count as pure data."""
+    wide = tuple(
+        Pattern(
+            pattern_class=f"ev{i}",
+            version=1,
+            regex=rf"^EV{i} a=(?P<a{i}>[0-9]+) b=(?P<b{i}>[A-Za-z]+)$",
+            groups=(f"a{i}", f"b{i}"),
+            route=f"sink_ev{i % 4}",
+            prefix=f"EV{i} ",
+        )
+        for i in range(40)
+    )
+    rows = [
+        ("c", i, "user", f"EV{i % 40} a={i} b=x{'y' * (i % 3)}", None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    out = route(parse(df, impl="arrow", patterns=wide), patterns=wide)
+    got = out.select("turn_idx", "pattern_class", "matched", "route", "extracted").collect()
+    assert len(got) == 200
+    for r in got:
+        i = r.turn_idx
+        assert r.pattern_class == f"ev{i % 40}" and r.matched, i
+        assert r.route == f"sink_ev{(i % 40) % 4}"
+        assert r.extracted[f"a{i % 40}"] == str(i)
