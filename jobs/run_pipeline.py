@@ -43,6 +43,12 @@ def main() -> None:
              "'jvm' (registry compiled to built-in expressions) — all three "
              "proven output-identical",
     )
+    ap.add_argument(
+        "--registry", default=None,
+        help="registry JSON (regex- or grok-authored patterns) — the whole "
+             "pipeline adapts: classify prefixes, extraction, enums, sinks, "
+             "repeats (default: the built-in five-class registry)",
+    )
     ap.add_argument("--checkpointed", action="store_true")
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--job-id", default="default")
@@ -71,9 +77,18 @@ def main() -> None:
     # materialize the registry + enrich dims as warehouse tables (K4
     # metadata-sink analog: reference export/metadata_generator.py) —
     # introspectable via the query_helpers CLI-parity surface
-    from log_parser_project_spark.registry import dim_patterns_df, dim_roles_df, dim_tools_df
+    from log_parser_project_spark.registry import (
+        PATTERNS,
+        dim_patterns_df,
+        dim_roles_df,
+        dim_tools_df,
+        registry_from_json,
+    )
 
-    catalog.write_table(dim_patterns_df(spark), "dim_patterns", lineage={"stage": "registry"})
+    patterns = registry_from_json(args.registry) if args.registry else PATTERNS
+    catalog.write_table(
+        dim_patterns_df(spark, patterns), "dim_patterns", lineage={"stage": "registry"}
+    )
     catalog.write_table(dim_roles_df(spark), "dim_roles", lineage={"stage": "registry"})
     catalog.write_table(dim_tools_df(spark), "dim_tools", lineage={"stage": "registry"})
 
@@ -93,6 +108,7 @@ def main() -> None:
             spark, transcripts, catalog,
             metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
             extractor=args.extractor,
+            patterns=patterns,
         )
         print(json.dumps({
             "mode": "batch",

@@ -31,16 +31,27 @@ from ..catalog import Catalog
 from ..metrics import dump, get_safe, observed
 from ..operators.aggregate import per_sink_aggregates_onepass
 from ..operators.enrich import apply_enums, derive_metrics, enrich
-from ..operators.parse import explode_repeats, parse, parse_builtin
+from ..operators.parse import all_groups, explode_repeats, parse, parse_builtin
 from ..operators.route import route
-from ..registry import SINKS
+from ..registry import PATTERNS, Pattern, sinks_of
 
-SINK_COLUMNS = [
-    "conv_id", "turn_idx", "role", "text", "tool", "ts",
-    "pattern_class", "version", "matched", "extracted", "repeats",
-    "role_class", "weight", "tool_family", "risk_level",
-    "severity_friendly", "tokens_per_sec", "route",
-]
+
+def sink_columns(patterns: tuple[Pattern, ...] = PATTERNS) -> list[str]:
+    """The routed-fact schema for a registry: fixed input + parse
+    columns, enum-friendly columns from the registry's enum fields,
+    derived metrics when the registry has the metric class."""
+    cols = [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "pattern_class", "version", "matched", "extracted", "repeats",
+        "role_class", "weight", "tool_family", "risk_level",
+    ]
+    cols += [f"{p.enum_field}_friendly" for p in patterns if p.enum_field and p.enum_map]
+    if {"latency_ms", "tokens"} <= set(all_groups(patterns)):
+        cols.append("tokens_per_sec")
+    return cols + ["route"]
+
+
+SINK_COLUMNS = sink_columns(PATTERNS)
 
 STAGING_TABLE = "sink_staging"
 
@@ -54,7 +65,10 @@ class PipelineResult:
 
 
 def build_routed(
-    spark: SparkSession, transcripts: DataFrame, extractor: str = "pandas"
+    spark: SparkSession,
+    transcripts: DataFrame,
+    extractor: str = "pandas",
+    patterns: tuple[Pattern, ...] = PATTERNS,
 ) -> DataFrame:
     """The narrow portion of the plan: everything before any shuffle.
 
@@ -71,15 +85,16 @@ def build_routed(
             f"unknown extractor {extractor!r}; use 'pandas', 'arrow' or 'jvm'"
         )
     df = (
-        parse_builtin(transcripts)
+        parse_builtin(transcripts, patterns=patterns)
         if extractor == "jvm"
-        else parse(transcripts, impl=extractor)
+        else parse(transcripts, impl=extractor, patterns=patterns)
     )
     df = enrich(df, spark)
-    df = apply_enums(df)
-    df = derive_metrics(df)
-    df = route(df)
-    return df.select(*SINK_COLUMNS)
+    df = apply_enums(df, patterns)
+    if {"latency_ms", "tokens"} <= set(all_groups(patterns)):
+        df = derive_metrics(df)
+    df = route(df, patterns)
+    return df.select(*sink_columns(patterns))
 
 
 def read_sink(catalog: Catalog, sink: str) -> DataFrame:
@@ -94,8 +109,11 @@ def run_pipeline(
     metrics_path: str | None = None,
     write_repeats: bool = True,
     extractor: str = "pandas",
+    patterns: tuple[Pattern, ...] = PATTERNS,
 ) -> PipelineResult:
-    routed, obs = observed(build_routed(spark, transcripts, extractor=extractor))
+    routed, obs = observed(
+        build_routed(spark, transcripts, extractor=extractor, patterns=patterns)
+    )
 
     # cluster rows by the partition key before the dynamic-partition
     # write: one shuffle, but each (route, day) directory is then
@@ -106,7 +124,7 @@ def run_pipeline(
         staged,
         STAGING_TABLE,
         partition_by=["route", "day"],
-        lineage={"stage": "fan_out", "sinks": list(SINKS)},
+        lineage={"stage": "fan_out", "sinks": list(sinks_of(patterns))},
         # row count comes from the Observation populated by this same
         # write action — no second pass
         row_count=lambda: int(get_safe(obs).get("rows_total") or 0),
@@ -128,7 +146,7 @@ def run_pipeline(
     shared.persist()
     shared.count()  # the one heavy job; splits below are cache reads
 
-    sink_counts = {s: 0 for s in SINKS}
+    sink_counts = {s: 0 for s in sinks_of(patterns)}
     for r in agg_splits["by_route"].collect():
         sink_counts[r.route] = r.n
 
@@ -147,11 +165,12 @@ def run_pipeline(
     with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
         futs = [pool.submit(_write_agg, it) for it in jobs]
         rep_fut = None
-        if write_repeats:
-            rep_src = staging.filter(F.col("route").isin("sink_tool_calls", "sink_citations"))
+        repeat_routes = sorted({p.route for p in patterns if p.repeat_group})
+        if write_repeats and repeat_routes:
+            rep_src = staging.filter(F.col("route").isin(*repeat_routes))
             rep_fut = pool.submit(
                 catalog.write_table,
-                explode_repeats(rep_src),
+                explode_repeats(rep_src, patterns),
                 "sink_repeat_records",
                 lineage={"stage": "explode_repeats"},
             )

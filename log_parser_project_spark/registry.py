@@ -169,15 +169,90 @@ def dim_tools_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(DIM_TOOLS, "tool string, tool_family string, risk_level int")
 
 
-def dim_patterns_df(spark: SparkSession) -> DataFrame:
+def dim_patterns_df(
+    spark: SparkSession, patterns: tuple[Pattern, ...] | None = None
+) -> DataFrame:
     rows = [
         (p.pattern_class, p.version, p.regex, list(p.groups), p.route,
-         p.repeat_group, list(p.repeat_fields), p.enum_map or None, p.enum_field)
-        for p in PATTERNS
+         p.repeat_group, list(p.repeat_fields), p.enum_map or None, p.enum_field,
+         p.prefix)
+        for p in (patterns if patterns is not None else PATTERNS)
     ]
     return spark.createDataFrame(
         rows,
         "pattern_class string, version int, regex string, groups array<string>, "
         "route string, repeat_group string, repeat_fields array<string>, "
-        "enum_map map<string,string>, enum_field string",
+        "enum_map map<string,string>, enum_field string, prefix string",
     )
+
+
+# --------------------------------------------------------------------------
+# JSON round-trip — the text-registry analog of the reference's
+# pre-generated metadata JSON (metadata_payload_parser.py:19-32): a
+# registry defined in a config file drives the whole pipeline with no
+# code change (patterns are injectable everywhere).
+# --------------------------------------------------------------------------
+
+def registry_to_json(patterns: tuple[Pattern, ...] = None) -> list[dict]:
+    """Serialize a registry to plain JSON-able dicts."""
+    from dataclasses import asdict
+
+    out = []
+    for p in (patterns if patterns is not None else PATTERNS):
+        d = asdict(p)
+        d["groups"] = list(p.groups)
+        d["repeat_fields"] = list(p.repeat_fields)
+        out.append(d)
+    return out
+
+
+def registry_from_json(source) -> tuple[Pattern, ...]:
+    """Load a registry from a JSON file path, JSON string, or parsed
+    list. Grok-authored entries use ``"grok"`` instead of ``"regex"``
+    (compiled via grok.grok_to_regex; ``grok_extra`` supplies custom
+    primitives)."""
+    import json as _json
+    import os
+
+    data = source
+    if isinstance(source, str):
+        if os.path.exists(source):
+            with open(source) as f:
+                data = _json.load(f)
+        else:
+            data = _json.loads(source)
+    pats = []
+    for d in data:
+        d = dict(d)
+        if "grok" in d and "regex" not in d:
+            from .grok import grok_fields, grok_to_regex
+
+            extra = d.pop("grok_extra", None)
+            grok = d.pop("grok")
+            d["regex"] = grok_to_regex(grok, extra)
+            d.setdefault("groups", list(grok_fields(grok)))
+        pats.append(
+            Pattern(
+                pattern_class=d["pattern_class"],
+                version=int(d.get("version", 1)),
+                regex=d["regex"],
+                groups=tuple(d["groups"]),
+                route=d["route"],
+                repeat_group=d.get("repeat_group"),
+                repeat_fields=tuple(d.get("repeat_fields") or ()),
+                enum_map=dict(d.get("enum_map") or {}),
+                enum_field=d.get("enum_field"),
+                prefix=d.get("prefix"),
+            )
+        )
+    return tuple(pats)
+
+
+def sinks_of(patterns: tuple[Pattern, ...] = None) -> tuple[str, ...]:
+    """All sinks a registry routes to, plus the quarantine sink."""
+    pats = patterns if patterns is not None else PATTERNS
+    seen: list[str] = []
+    for p in pats:
+        if p.route not in seen:
+            seen.append(p.route)
+    return tuple(seen) + ("sink_unmatched",)

@@ -143,3 +143,82 @@ def test_wide_generated_registry(spark):
         assert r.pattern_class == f"ev{i % 40}" and r.matched, i
         assert r.route == f"sink_ev{(i % 40) % 4}"
         assert r.extracted[f"a{i % 40}"] == str(i)
+
+
+def test_registry_json_roundtrip():
+    from log_parser_project_spark.registry import (
+        PATTERNS, registry_from_json, registry_to_json,
+    )
+
+    assert registry_from_json(registry_to_json()) == PATTERNS
+    assert registry_from_json(registry_to_json(CUSTOM)) == CUSTOM
+
+
+def test_pipeline_from_registry_json(spark, tmp_path):
+    """spark-submit story: a grok-authored registry JSON drives the
+    WHOLE pipeline — sinks, enum columns, repeats — with no code."""
+    import json
+
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.plans.pipeline import read_sink, run_pipeline
+    from log_parser_project_spark.registry import registry_from_json
+
+    reg_json = [
+        {
+            "pattern_class": "status",
+            "version": 1,
+            "grok": "^STATUS op=%{WORD:op} pct=%{INT:pct}$",
+            "route": "sink_status",
+            "prefix": "STATUS ",
+            "enum_field": "pct",
+            "enum_map": {"40": "almost"},
+        },
+        {
+            "pattern_class": "alloc",
+            "version": 1,
+            "grok": "^ALLOC %{ALLOCLIST:items}$",
+            "grok_extra": {"ALLOCLIST": "(?:[a-z]+=[0-9]+ ?)+"},
+            "route": "sink_alloc",
+            "prefix": "ALLOC ",
+            "repeat_group": "([a-z]+)=([0-9]+)",
+            "repeat_fields": ["res", "amount"],
+        },
+    ]
+    path = tmp_path / "registry.json"
+    path.write_text(json.dumps(reg_json))
+    patterns = registry_from_json(str(path))
+
+    rows = [
+        ("c1", 1, "user", "STATUS op=compact pct=40", None),
+        ("c1", 2, "user", "ALLOC cpu=4 mem=16", None),
+        ("c2", 1, "user", "nothing to see", None),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, tdf, cat, patterns=patterns)
+    assert res.sink_counts == {"sink_status": 1, "sink_alloc": 1, "sink_unmatched": 1}
+    st = read_sink(cat, "sink_status").collect()
+    assert st[0].pct_friendly == "almost"
+    recs = spark.read.parquet(cat.path("sink_repeat_records")).collect()
+    assert {(r.field1_value, r.field2_value) for r in recs} == {("cpu", "4"), ("mem", "16")}
+
+
+def test_pipeline_with_repeat_free_registry(spark, tmp_path):
+    """A registry with no repeat groups must skip the repeats sink
+    (regression: empty isin() from zero repeat routes)."""
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.plans.pipeline import run_pipeline
+
+    patterns = (CUSTOM[0],)  # status v1 only — no repeat_group
+    tdf = spark.createDataFrame(
+        [("c1", 1, "user", "STATUS op=x pct=1", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, tdf, cat, patterns=patterns)
+    assert res.sink_counts == {"sink_status": 1, "sink_unmatched": 0}
+    import os
+    assert not os.path.isdir(cat.path("sink_repeat_records"))
