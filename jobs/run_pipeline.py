@@ -100,7 +100,10 @@ def main() -> None:
         fingerprint = f"synthetic:convs={args.convs}:hot={args.hot_rows}"
 
     if args.checkpointed:
-        cp = CheckpointedPipeline(spark, catalog, n_groups=args.groups, job_id=args.job_id)
+        cp = CheckpointedPipeline(
+            spark, catalog, n_groups=args.groups, job_id=args.job_id,
+            extractor=args.extractor, patterns=patterns,
+        )
         res = cp.run(transcripts, input_fingerprint=fingerprint)
         print(json.dumps({"mode": "checkpointed", **res}))
     else:

@@ -328,6 +328,17 @@ class SnapshotCatalog(Catalog):
             return []
         keep, drop = hist[-keep_last:], hist[:-keep_last]
         live = {e["dir"] for s in keep for e in s.state}
+        # commit the truncated log FIRST (tmp + atomic rename, same as
+        # the write path), THEN delete data. A crash in between leaks
+        # directories (harmless, re-collectable) — the reverse order
+        # would leave history entries pointing at deleted data, turning
+        # the designed LookupError into a PATH_NOT_FOUND read failure.
+        lpath = self._log_path(table)
+        tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            for s in keep:
+                f.write(json.dumps(asdict(s)) + "\n")
+        os.replace(tmp, lpath)
         removed = []
         for s in drop:
             for e in s.state:
@@ -336,7 +347,4 @@ class SnapshotCatalog(Catalog):
                 ):
                     shutil.rmtree(os.path.join(self.warehouse, e["dir"]))
                     removed.append(e["dir"])
-        with open(self._log_path(table), "w") as f:
-            for s in keep:
-                f.write(json.dumps(asdict(s)) + "\n")
         return sorted(set(removed))

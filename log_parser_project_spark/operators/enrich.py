@@ -40,17 +40,29 @@ def apply_enums(df: DataFrame, patterns: tuple[Pattern, ...] = PATTERNS) -> Data
     values get ``UNKNOWN(v)``, matching the reference's default
     (``utils/enum_mapper.py:8-24``).
     """
-    out = df
+    # group by enum_field: two patterns (e.g. two versions of a class)
+    # may declare the same field with DIFFERENT maps — one output column
+    # per field, with the map selected per (pattern_class, version)
+    # row-wise (last-writer-wins withColumn would both duplicate the
+    # column and mis-map the earlier versions)
+    by_field: dict[str, list] = {}
     for p in patterns:
-        if not p.enum_map or not p.enum_field:
-            continue
-        m = F.create_map(*[F.lit(x) for kv in p.enum_map.items() for x in kv])
-        raw = F.col(f"extracted.{p.enum_field}")
+        if p.enum_map and p.enum_field:
+            by_field.setdefault(p.enum_field, []).append(p)
+    out = df
+    for fld, pats in by_field.items():
+        raw = F.col(f"extracted.{fld}")
+        expr = F.lit(None).cast("string")
+        for p in pats:
+            m = F.create_map(*[F.lit(x) for kv in p.enum_map.items() for x in kv])
+            mapped = F.coalesce(m[raw], F.concat(F.lit("UNKNOWN("), raw, F.lit(")")))
+            expr = F.when(
+                (F.col("pattern_class") == p.pattern_class)
+                & (F.col("version") == p.version),
+                mapped,
+            ).otherwise(expr)
         out = out.withColumn(
-            f"{p.enum_field}_friendly",
-            F.when(raw.isNull(), None).otherwise(
-                F.coalesce(m[raw], F.concat(F.lit("UNKNOWN("), raw, F.lit(")")))
-            ),
+            f"{fld}_friendly", F.when(raw.isNull(), None).otherwise(expr)
         )
     return out
 

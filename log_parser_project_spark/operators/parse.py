@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..registry import PATTERNS, Pattern, class_prefixes
+from ..registry import PATTERNS, Pattern, all_groups, class_prefixes
 
 # ---------------------------------------------------------------------------
 # 1. classify — routing-key + version derivation, all built-in expressions
@@ -54,6 +54,16 @@ def classify(
 ) -> DataFrame:
     """Add ``pattern_class`` and ``version`` columns (JVM-side only).
     The dispatch chain is built from the registry's ``prefix`` data."""
+    dispatched = {cls for _pre, cls in class_prefixes(patterns)}
+    orphans = sorted({p.pattern_class for p in patterns} - dispatched)
+    if orphans:
+        # a class no prefix dispatches to would silently quarantine
+        # 100% of its rows — fail loudly (same discipline as the
+        # empty-groups check in _make_extract_udf)
+        raise ValueError(
+            f"registry classes {orphans} have no pattern with a `prefix` — "
+            "classify could never assign them"
+        )
     t = F.col(text_col)
     pattern_class = None
     for prefix, cls in class_prefixes(patterns):
@@ -94,10 +104,6 @@ _REC_SEP = "\x1e"  # between records
 _FLD_SEP = "\x1f"  # between fields of a record
 
 
-def all_groups(patterns: tuple[Pattern, ...]) -> tuple[str, ...]:
-    return tuple(sorted({g for p in patterns for g in p.groups}))
-
-
 def _registry_spec(patterns: tuple[Pattern, ...]):
     """Immutable, picklable registry spec shipped inside the UDF
     closure (what the executor compiles from)."""
@@ -111,11 +117,22 @@ def _re2_rx(regex: str) -> str:
     """Python-re pattern → RE2 with identical semantics for the registry
     grammar (ASCII classes, named groups, ``^...$`` anchors). The one
     divergence: Python's ``$`` also matches just before a single
-    trailing newline, RE2's does not — translate a trailing ``$`` to
-    ``(?:\\n)?\\z`` (the optional newline sits outside every capture
-    group, so extracted fields are unchanged). Equivalence on all three
-    engines is fuzz-asserted (tests/test_property_parse.py)."""
-    return regex[:-1] + r"(?:\n)?\z" if regex.endswith("$") else regex
+    trailing newline, RE2's does not — translate a trailing *anchor*
+    ``$`` to ``(?:\\n)?\\z`` (the optional newline sits outside every
+    capture group, so extracted fields are unchanged). A trailing
+    ``\\$`` (escaped literal dollar, even number of preceding
+    backslashes means the ``$`` IS the anchor) is left untouched.
+    Interior ``$`` (e.g. per-alternative ``^a$|^b$``) is not
+    translated — those alternatives keep strict RE2 end-of-text
+    semantics; registry patterns use a single trailing anchor.
+    Equivalence on all three engines is fuzz-asserted
+    (tests/test_property_parse.py)."""
+    if not regex.endswith("$"):
+        return regex
+    n_backslashes = len(regex[:-1]) - len(regex[:-1].rstrip("\\"))
+    if n_backslashes % 2 == 1:  # '\$' — literal dollar, not an anchor
+        return regex
+    return regex[:-1] + r"(?:\n)?\z"
 
 
 # per-executor compiled-pattern cache, keyed by registry spec
@@ -163,7 +180,30 @@ def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
         + [T.StructField("repeats_enc", T.StringType())]
     )
 
-    def _run_pandas(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
+    # both engines share ONE loop body; they differ only in the matcher:
+    #   matcher(sub, rx, groups) -> (ok_mask: np.bool_[], {group: values[ok]})
+    # "pandas" = Series.str.extract (Python re); "arrow" = RE2 via
+    # pyarrow.compute.extract_regex — a single C++ pass over the Arrow
+    # string array per pattern per batch (~10× the Python-re loop; the
+    # north star's "batched re2-style matching over Arrow string
+    # arrays", literally). Only the repeat-group findall (matched
+    # tool_call/citation rows) stays in Python re on either engine.
+    def _match_pandas(sub: pd.Series, rx, groups):
+        hit = sub.str.extract(rx)
+        ok = hit[groups[0]].notna().to_numpy()
+        return ok, {g: hit[g].to_numpy(dtype=object)[ok] for g in groups}
+
+    def _match_arrow(sub: pd.Series, rx, groups):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        res = pc.extract_regex(pa.array(sub, type=pa.string()), pattern=_re2_rx(rx.pattern))
+        ok = res.is_valid().to_numpy(zero_copy_only=False)
+        return ok, {g: res.field(g).to_numpy(zero_copy_only=False)[ok] for g in groups}
+
+    matcher = {"pandas": _match_pandas, "arrow": _match_arrow}[impl]
+
+    def _run(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         reg = _compiled_for(spec)
@@ -183,12 +223,11 @@ def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
             pos = positions[mask]
             sub = text_reset.iloc[pos]
             # one vectorized pass per pattern per Arrow batch
-            hit = sub.str.extract(rx)
-            ok = hit[groups[0]].notna().to_numpy()
+            ok, hit_groups = matcher(sub, rx, groups)
             hit_pos = pos[ok]
             matched_out[hit_pos] = True
             for g in groups:
-                group_out[g][hit_pos] = hit[g].to_numpy(dtype=object)[ok]
+                group_out[g][hit_pos] = hit_groups[g]
             if repeat_rx is not None and len(hit_pos):
                 findall = repeat_rx.findall
                 found = np.empty(len(hit_pos), dtype=object)
@@ -205,57 +244,7 @@ def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
         out["repeats_enc"] = repeats_out
         return pd.DataFrame(out)
 
-    def _run_arrow(text: pd.Series, cls: pd.Series, ver: pd.Series) -> pd.DataFrame:
-        """Per-pattern match in RE2 via ``pyarrow.compute.extract_regex``
-        — a single C++ pass over the Arrow string array per pattern per
-        batch (~10× the pandas Python-re loop). The north star's
-        "batched re2-style matching over Arrow string arrays",
-        literally. Only the repeat-group findall (matched tool_call/
-        citation rows) stays in Python re."""
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        reg = _compiled_for(spec)
-        n = len(text)
-        positions = np.arange(n)
-        matched_out = np.zeros(n, dtype=bool)
-        group_out = {g: np.full(n, None, dtype=object) for g in groups_all}
-        repeats_out = np.full(n, None, dtype=object)
-
-        cls_vals = cls.to_numpy(dtype=object)
-        ver_vals = ver.to_numpy()
-        text_reset = text.reset_index(drop=True)
-        for (pclass, pver), (rx, repeat_rx, groups) in reg.items():
-            mask = (cls_vals == pclass) & (ver_vals == pver)
-            if not mask.any():
-                continue
-            pos = positions[mask]
-            sub = text_reset.iloc[pos]
-            res = pc.extract_regex(pa.array(sub, type=pa.string()), pattern=_re2_rx(rx.pattern))
-            ok = res.is_valid().to_numpy(zero_copy_only=False)
-            hit_pos = pos[ok]
-            matched_out[hit_pos] = True
-            for g in groups:
-                group_out[g][hit_pos] = res.field(g).to_numpy(zero_copy_only=False)[ok]
-            if repeat_rx is not None and len(hit_pos):
-                findall = repeat_rx.findall
-                found = np.empty(len(hit_pos), dtype=object)
-                found[:] = [
-                    _REC_SEP.join(
-                        _FLD_SEP.join(t) if isinstance(t, tuple) else t for t in findall(s)
-                    )
-                    for s in text_reset.iloc[hit_pos]
-                ]
-                repeats_out[hit_pos] = found
-
-        out = {"matched": matched_out}
-        out.update(group_out)
-        out["repeats_enc"] = repeats_out
-        return pd.DataFrame(out)
-
-    fn = {"pandas": _run_pandas, "arrow": _run_arrow}[impl]
-    udf = pandas_udf(schema)(fn)
+    udf = pandas_udf(schema)(_run)
     _UDF_CACHE[key] = (udf, groups_all)
     return udf, groups_all
 

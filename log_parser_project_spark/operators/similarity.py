@@ -285,12 +285,24 @@ def gemm_topk(
     """
     import numpy as np
 
+    out_schema = "query_id long, neighbor_id long, sim double"
     q_local = queries.select(id_col, vec_col).collect()
+    if not q_local:
+        # brute_force_topk returns empty here; match it instead of
+        # letting np.linalg.norm choke on a 1-D empty array
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
     q_ids = np.array([r[id_col] for r in q_local], dtype=np.int64)
     Q = np.array([list(r[vec_col]) for r in q_local], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     Qn = Q / qn
+
+    def _round_half_up4(x):
+        # match F.round / DuckDB ROUND (half away from zero), NOT
+        # np.round's half-to-even — a midpoint sim like 0.15625 must
+        # round identically on every path
+        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
 
     def part(batches):
         import pandas as pd
@@ -302,7 +314,7 @@ def gemm_topk(
             C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cn = np.linalg.norm(C, axis=1, keepdims=True)
             cn[cn == 0] = 1.0
-            S = np.round((C / cn) @ Qn.T, 4)  # rows × queries, rounded like F.round
+            S = _round_half_up4((C / cn) @ Qn.T)  # rows × queries
             kk = min(k, S.shape[0])
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
@@ -317,7 +329,7 @@ def gemm_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
-    cand = corpus.mapInPandas(part, "query_id long, neighbor_id long, sim double")
+    cand = corpus.mapInPandas(part, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

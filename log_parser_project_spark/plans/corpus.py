@@ -77,10 +77,17 @@ def run_corpus(
         curated, "corpus_docs", partition_by=["split"],
         lineage={"stage": "curate", "min_quality": min_quality, "max_len": max_len},
     )
+    # ONE scan of the committed table feeds both the stats sink and the
+    # per-split counts (the stats rows already carry n_docs per split)
     stats = corpus_stats(catalog.read_table("corpus_docs", schema=curated.schema))
-    catalog.write_table(stats, "corpus_stats", lineage={"stage": "corpus_stats"})
-    return {
-        r.split: r.n
-        for r in catalog.read_table("corpus_docs", schema=curated.schema)
-        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    stat_rows = stats.collect()
+    catalog.write_table(
+        spark.createDataFrame(stat_rows, stats.schema),
+        "corpus_stats",
+        lineage={"stage": "corpus_stats"},
+        row_count=len(stat_rows),
+    )
+    counts: dict[str, int] = {}
+    for r in stat_rows:
+        counts[r.split] = counts.get(r.split, 0) + r.n_docs
+    return counts

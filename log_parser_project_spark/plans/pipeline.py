@@ -45,7 +45,9 @@ def sink_columns(patterns: tuple[Pattern, ...] = PATTERNS) -> list[str]:
         "pattern_class", "version", "matched", "extracted", "repeats",
         "role_class", "weight", "tool_family", "risk_level",
     ]
-    cols += [f"{p.enum_field}_friendly" for p in patterns if p.enum_field and p.enum_map]
+    cols += list(dict.fromkeys(
+        f"{p.enum_field}_friendly" for p in patterns if p.enum_field and p.enum_map
+    ))
     if {"latency_ms", "tokens"} <= set(all_groups(patterns)):
         cols.append("tokens_per_sec")
     return cols + ["route"]

@@ -133,9 +133,13 @@ SINKS: tuple[str, ...] = (
     "sink_unmatched",
 )
 
-ALL_GROUPS: tuple[str, ...] = tuple(
-    sorted({g for p in PATTERNS for g in p.groups})
-)
+def all_groups(patterns: tuple[Pattern, ...]) -> tuple[str, ...]:
+    """The union of capture-group names across a registry — the field
+    set of the ``extracted`` struct."""
+    return tuple(sorted({g for p in patterns for g in p.groups}))
+
+
+ALL_GROUPS: tuple[str, ...] = all_groups(PATTERNS)
 
 
 def by_class_version() -> dict[tuple[str, int], Pattern]:

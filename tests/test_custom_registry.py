@@ -222,3 +222,64 @@ def test_pipeline_with_repeat_free_registry(spark, tmp_path):
     assert res.sink_counts == {"sink_status": 1, "sink_unmatched": 0}
     import os
     assert not os.path.isdir(cat.path("sink_repeat_records"))
+
+
+def test_checkpointed_pipeline_honors_custom_registry(spark, tmp_path):
+    """--checkpointed must parse with the SUPPLIED registry (regression:
+    it silently used the default registry and quarantined everything)."""
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.streaming.checkpoint import CheckpointedPipeline
+
+    tdf = spark.createDataFrame(
+        [("c1", 1, "user", "STATUS op=x pct=1", None),
+         ("c2", 1, "user", "junk", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cp = CheckpointedPipeline(
+        spark, cat, n_groups=2, job_id="t", extractor="jvm", patterns=(CUSTOM[0],)
+    )
+    cp.run(tdf)
+    out = cp.read_output().collect()
+    by_conv = {r.conv_id: r for r in out}
+    assert by_conv["c1"].route == "sink_status" and by_conv["c1"].matched
+    assert by_conv["c2"].route == "sink_unmatched"
+
+
+def test_shared_enum_field_across_versions(spark):
+    """Two versions of a class with the same enum_field but DIFFERENT
+    maps: one friendly column, each row mapped through ITS version's
+    map (regression: duplicate column + last-map-wins)."""
+    from log_parser_project_spark.plans.pipeline import sink_columns
+
+    pats = (
+        Pattern("st", 1, r"^ST s=(?P<s>[0-9])$", ("s",), "sink_st",
+                prefix="ST ", enum_field="s", enum_map={"1": "one_v1"}),
+        Pattern("st", 2, r"^ST v=2 s=(?P<s>[0-9])$", ("s",), "sink_st",
+                prefix="ST ", enum_field="s", enum_map={"1": "one_v2"}),
+    )
+    cols = sink_columns(pats)
+    assert cols.count("s_friendly") == 1
+    df = spark.createDataFrame(
+        [("c", 1, "user", "ST s=1", None), ("c", 2, "user", "ST v=2 s=1", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    out = {r.turn_idx: r.s_friendly
+           for r in apply_enums(parse(df, patterns=pats), pats).collect()}
+    assert out == {1: "one_v1", 2: "one_v2"}
+
+
+def test_prefixless_class_fails_loudly(spark):
+    pats = (Pattern("ghost", 1, r"^G (?P<g>[0-9])$", ("g",), "sink_g"),)
+    df = _df(spark)
+    with pytest.raises(ValueError, match="ghost.*prefix"):
+        classify(df, patterns=pats)
+
+
+def test_re2_translation_escaped_dollar():
+    from log_parser_project_spark.operators.parse import _re2_rx
+
+    assert _re2_rx(r"^a=(?P<a>[0-9]+)$") == r"^a=(?P<a>[0-9]+)(?:\n)?\z"
+    assert _re2_rx(r"^cost=(?P<c>[0-9]+)\$") == r"^cost=(?P<c>[0-9]+)\$"  # literal $
+    assert _re2_rx(r"^p=(?P<p>[a-z]+)\\$") == r"^p=(?P<p>[a-z]+)\\(?:\n)?\z"  # '\\' + anchor
+    assert _re2_rx(r"^x(?P<x>[0-9])") == r"^x(?P<x>[0-9])"  # no trailing anchor

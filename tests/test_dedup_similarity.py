@@ -151,3 +151,11 @@ def test_gemm_topk_equals_bruteforce(spark, sf_dir):
     a = sorted(map(tuple, similarity.brute_force_topk(e, q, k=5).collect()))
     b = sorted(map(tuple, similarity.gemm_topk(e, q, k=5).collect()))
     assert a == b
+
+
+def test_gemm_topk_empty_query_set(spark, sf_dir):
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < -1)
+    assert similarity.gemm_topk(e, q, k=3).count() == 0
