@@ -167,6 +167,12 @@ class SnapshotCatalog(Catalog):
       scan over directories added by append commits after ``snap``.
     """
 
+    def exists(self, table: str) -> bool:
+        """Snapshot tables live under snap-* dirs (no parquet at the
+        table root), so presence = a committed pointer manifest; fall
+        back to the flat-layout check for non-snapshot tables."""
+        return self.snapshot(table) is not None or super().exists(table)
+
     # ------------------------------------------------------------ manifests
     def _log_path(self, table: str) -> str:
         return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.log.jsonl")

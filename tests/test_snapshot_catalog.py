@@ -125,3 +125,9 @@ def test_manifest_pointer_is_valid_json(spark, cat):
     with open(p) as f:
         d = json.load(f)
     assert d["op"] == "overwrite" and d["state"][0]["dir"].startswith("t/snap-00001-")
+
+
+def test_exists_sees_snapshot_tables(spark, cat):
+    assert not cat.exists("t")
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    assert cat.exists("t")
