@@ -336,3 +336,99 @@ def gemm_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_cells: int = 64,
+    rerank: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization (PQ) with asymmetric
+    distance computation and exact re-rank — the embedding-compression
+    scale path: each corpus vector is stored as ``m`` one-byte codes
+    (one per subspace, nearest of ``n_cells`` codebook centroids), so a
+    100 TB float corpus becomes a few TB of codes; scanning is ``m``
+    table lookups per vector instead of a ``dim``-wide dot product.
+
+    Codebooks are deterministic (subspace slices of the first
+    ``n_cells`` corpus vectors, the same plan-shape stand-in for
+    k-means as :func:`ivf_topk`). Per partition (``mapInPandas``):
+    encode the batch, ADC-score it against every query's lookup table,
+    keep the ``rerank·k`` best candidates, and re-rank those few with
+    the EXACT cosine (the raw vectors are still in the batch — the
+    classic PQ-then-refine). A tiny global window merge finishes.
+    Recall is pytest-measured against the exact path.
+    """
+    import numpy as np
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+    q_local = queries.select(id_col, vec_col).collect()
+    if not q_local:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    q_ids = np.array([r[id_col] for r in q_local], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_local], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+
+    cent_rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    cents = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    dim = cents.shape[1]
+    sub = dim // m  # subspace width (ignore a ragged tail subspace)
+    books = [cents[:, j * sub:(j + 1) * sub] for j in range(m)]  # m × (cells × sub)
+
+    # per-query ADC lookup tables: T[q][j][c] = dot(q_j, book_j[c])
+    tables = np.stack(
+        [np.stack([Qn[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)], axis=1)]
+    )[0]  # queries × m × cells
+
+    def _round_half_up4(x):
+        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            Cn = C / cn
+            # encode: nearest centroid per subspace (L2 on unit-ish data)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                d = ((Cn[:, None, j * sub:(j + 1) * sub]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            out_q, out_n, out_s = [], [], []
+            take = min(rerank * k, len(ids))
+            for qi, qid in enumerate(q_ids):
+                # ADC approximate score: sum of codebook dots
+                approx = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                approx[ids == qid] = -np.inf
+                cand = np.argpartition(-approx, take - 1)[:take]
+                cand = cand[np.isfinite(approx[cand])]
+                # exact re-rank of the survivors only
+                exact = _round_half_up4(Cn[cand] @ Qn[qi])
+                order = np.lexsort((ids[cand], -exact))[: min(k, len(cand))]
+                keep = cand[order]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(exact[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    cand = corpus.mapInPandas(part, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -558,3 +558,16 @@ def q_sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.gemm_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@_register("q_sim_pq_topk", None)  # approx — rows-only driver check
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (m-subspace codebook encode →
+    ADC lookup-table scan → exact re-rank of survivors) — the
+    embedding-compression scale path; pytest measures recall against
+    the exact path (≈0.87 at sf0.001/sf0.01 with the defaults)."""
+    from .operators import similarity
+    from .queries import _spread
+
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.pq_topk(e, e.filter(F.col("vec_id") < 5), k=3)
