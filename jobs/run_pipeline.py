@@ -52,6 +52,12 @@ def main() -> None:
     ap.add_argument("--checkpointed", action="store_true")
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--job-id", default="default")
+    ap.add_argument(
+        "--keep-snapshots", type=int, default=3,
+        help="retain this many snapshots per rewritten table after a "
+             "successful run (0 = never expire; repeated runs then grow "
+             "the warehouse without bound)",
+    )
     args = ap.parse_args()
 
     # under spark-submit the session already exists; standalone we build one
@@ -119,6 +125,17 @@ def main() -> None:
             "metrics": {k: v for k, v in res.metrics.items() if k != "sink_counts"},
             "staging_snapshot": res.staging_snapshot,
         }, default=str))
+
+    # retention: every run rewrites the dim tables and commits fresh
+    # sink/agg snapshots — without expiry the warehouse grows per run
+    if args.keep_snapshots > 0:
+        from log_parser_project_spark.plans.pipeline import STAGING_TABLE
+
+        rewritten = ["dim_patterns", "dim_roles", "dim_tools", STAGING_TABLE] + [
+            t for t in catalog.tables() if t.startswith("agg_")
+        ]
+        for t in rewritten:
+            catalog.expire_snapshots(t, keep_last=args.keep_snapshots)
 
 
 if __name__ == "__main__":

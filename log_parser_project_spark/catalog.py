@@ -137,6 +137,14 @@ class Catalog:
         with open(mpath) as f:
             return Snapshot(**json.load(f))
 
+    def tables(self) -> list[str]:
+        """Committed table names (those with a pointer manifest)."""
+        return sorted(
+            fn[:-5].replace("__", "/")
+            for fn in os.listdir(self._manifest_dir)
+            if fn.endswith(".json") and not fn.endswith(".log.jsonl")
+        )
+
 
 class SnapshotCatalog(Catalog):
     """Iceberg-table semantics on plain parquet: snapshot isolation,
@@ -178,8 +186,13 @@ class SnapshotCatalog(Catalog):
         return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.log.jsonl")
 
     def history(self, table: str) -> list[Snapshot]:
-        """All committed snapshots, oldest first (torn/uncommitted
-        trailing lines are skipped)."""
+        """All committed snapshots, oldest first. Torn lines are
+        skipped, and so is any *complete* trailing line newer than the
+        committed pointer: write_table appends to the log before the
+        atomic pointer flip, so a crash in that window leaves a
+        parseable-but-uncommitted tail that must not count as history
+        (expire_snapshots would otherwise keep it and delete the dirs
+        the real pointer snapshot still references)."""
         out: list[Snapshot] = []
         p = self._log_path(table)
         if not os.path.exists(p):
@@ -190,7 +203,13 @@ class SnapshotCatalog(Catalog):
                     out.append(Snapshot(**json.loads(line)))
                 except (json.JSONDecodeError, TypeError):
                     continue  # torn append from a crash — uncommitted
-        return out
+        pointer = self.snapshot(table)
+        if pointer is None:
+            return []  # log lines exist but nothing was ever committed
+        for i in range(len(out) - 1, -1, -1):
+            if out[i].snapshot_id == pointer.snapshot_id:
+                return out[: i + 1]
+        return out  # pointer not in log (legacy/rebuilt log) — keep all
 
     def _resolve(self, table: str, as_of: str | None = None) -> Snapshot | None:
         if as_of is None:
@@ -333,6 +352,12 @@ class SnapshotCatalog(Catalog):
         if len(hist) <= keep_last:
             return []
         keep, drop = hist[-keep_last:], hist[:-keep_last]
+        # Belt-and-braces vs history()/pointer divergence: the pointer
+        # snapshot's directories must survive expiry no matter what.
+        pointer = self.snapshot(table)
+        if pointer is not None and pointer.snapshot_id not in {s.snapshot_id for s in keep}:
+            keep = keep + [pointer]
+            drop = [s for s in drop if s.snapshot_id != pointer.snapshot_id]
         live = {e["dir"] for s in keep for e in s.state}
         # commit the truncated log FIRST (tmp + atomic rename, same as
         # the write path), THEN delete data. A crash in between leaks

@@ -190,7 +190,18 @@ def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
     # tool_call/citation rows) stays in Python re on either engine.
     def _match_pandas(sub: pd.Series, rx, groups):
         hit = sub.str.extract(rx)
-        ok = hit[groups[0]].notna().to_numpy()
+        # whole-regex validity, NOT first-group-non-null: an injectable
+        # registry may make its first capture optional ('(?P<a>x)? y'),
+        # and arrow (res.is_valid) / jvm (rlike) would count that row
+        # matched. str.contains shares str.extract's re.search anchor
+        # semantics, so the mask is exact.
+        import warnings
+
+        with warnings.catch_warnings():
+            # pandas warns that a grouped pattern "should use str.extract";
+            # here contains-for-the-mask + extract-for-values is deliberate
+            warnings.simplefilter("ignore", UserWarning)
+            ok = sub.str.contains(rx).fillna(False).to_numpy(dtype=bool)
         return ok, {g: hit[g].to_numpy(dtype=object)[ok] for g in groups}
 
     def _match_arrow(sub: pd.Series, rx, groups):

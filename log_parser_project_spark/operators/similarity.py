@@ -378,8 +378,16 @@ def pq_topk(
     Qn = Q / qn
 
     cent_rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    if not cent_rows:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
     cents = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
     dim = cents.shape[1]
+    if dim < m:
+        # one dimension per subspace is the finest meaningful split; a
+        # zero-width subspace (dim // m == 0) would make every code 0
+        # and silently collapse ADC recall to random
+        m = dim
     sub = dim // m  # subspace width (ignore a ragged tail subspace)
     books = [cents[:, j * sub:(j + 1) * sub] for j in range(m)]  # m × (cells × sub)
 

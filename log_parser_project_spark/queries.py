@@ -42,7 +42,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     scan already has ≥ cores partitions and this is a no-op (no shuffle
     inserted)."""
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    if len(df.inputFiles()) < cores:
         return df.repartition(cores)
     return df
 
@@ -55,8 +55,8 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     "q_a9_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2)))                         AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))                    AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)                                      AS avg_qty,
            ROUND(AVG(l_discount), 4)                                      AS avg_disc,
@@ -75,8 +75,8 @@ def q_a9_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
@@ -95,7 +95,7 @@ def q_a9_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type IN ('purchase', 'signup') THEN 'sink_conversions'
                 ELSE 'sink_activity' END AS route,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -108,7 +108,8 @@ def q_a7_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("sink_activity")
     )
     return ev.groupBy(route.alias("route")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_value"),
     )
 
 
@@ -165,7 +166,7 @@ def q_a9_error_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -187,7 +188,7 @@ def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("revenue"),
         )
     )
 
@@ -330,7 +331,7 @@ def q_f3_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_a5_bit_count",
     """
-    SELECT bit_count(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS popcount,
+    SELECT CAST(bit_count(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS INTEGER) AS popcount,
            COUNT(*) AS n
     FROM events GROUP BY 1
     """,

@@ -316,10 +316,10 @@ def q_pl_repeat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS last_purchase_event,
-           SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_value,
+             AS DECIMAL(28,2)) AS running_value,
            COUNT(*)
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -344,7 +344,7 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (secs - F.lag(secs).over(w)).alias("seconds_since_prev"),
         F.last(F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True)
         .over(cum).alias("last_purchase_event"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(cum).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(cum).cast("decimal(28,2)").alias("running_value"),
         F.count(F.lit(1)).over(cum).alias("running_cnt"),
     )
 
@@ -357,7 +357,7 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_skew_salted_counts",
     """
     SELECT l_returnflag AS k, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -377,7 +377,7 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("k").agg(
         F.sum("_pn").alias("n"),
-        F.sum("_pq").cast("decimal(18,2)").alias("sum_qty"),
+        F.sum("_pq").cast("decimal(28,2)").alias("sum_qty"),
     )
 
 
@@ -446,7 +446,7 @@ def q_td_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(floor(start / 4000) AS INTEGER) AS pack_bin,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars_packed,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_packed,
            MIN(doc_id) AS first_doc
     FROM packed GROUP BY source, pack_bin
     """,

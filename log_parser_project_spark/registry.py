@@ -216,15 +216,17 @@ def registry_from_json(source) -> tuple[Pattern, ...]:
     (compiled via grok.grok_to_regex; ``grok_extra`` supplies custom
     primitives)."""
     import json as _json
-    import os
 
     data = source
     if isinstance(source, str):
-        if os.path.exists(source):
+        # Inline JSON must *look* like JSON ('[' / '{'); anything else
+        # is a path, so a typo'd filename raises FileNotFoundError
+        # instead of a baffling JSONDecodeError.
+        if source.lstrip()[:1] in ("[", "{"):
+            data = _json.loads(source)
+        else:
             with open(source) as f:
                 data = _json.load(f)
-        else:
-            data = _json.loads(source)
     pats = []
     for d in data:
         d = dict(d)

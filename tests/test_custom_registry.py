@@ -283,3 +283,40 @@ def test_re2_translation_escaped_dollar():
     assert _re2_rx(r"^cost=(?P<c>[0-9]+)\$") == r"^cost=(?P<c>[0-9]+)\$"  # literal $
     assert _re2_rx(r"^p=(?P<p>[a-z]+)\\$") == r"^p=(?P<p>[a-z]+)\\(?:\n)?\z"  # '\\' + anchor
     assert _re2_rx(r"^x(?P<x>[0-9])") == r"^x(?P<x>[0-9])"  # no trailing anchor
+
+
+def test_registry_from_json_bad_path_raises_filenotfound():
+    from log_parser_project_spark.registry import registry_from_json
+
+    with pytest.raises(FileNotFoundError):
+        registry_from_json("/no/such/registry.json")
+
+
+def test_optional_first_group_matches_on_all_engines(spark):
+    """A custom pattern whose FIRST capture group is optional: the match
+    verdict must come from whole-regex validity (arrow/jvm semantics),
+    not first-group-non-null — ADVICE r01 divergence regression."""
+    opt = (
+        Pattern(
+            pattern_class="status",
+            version=1,
+            regex=r"^STATUS (?P<tag>\[[a-z]+\] )?op=(?P<op>[a-z]+)$",
+            groups=("tag", "op"),
+            route="sink_status",
+            prefix="STATUS ",
+        ),
+    )
+    rows = [("c", 0, "user", "STATUS op=merge", None),
+            ("c", 1, "user", "STATUS [hot] op=merge", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    for engine in ("pandas", "arrow", "jvm"):
+        parsed = (
+            parse_builtin(df, patterns=opt)
+            if engine == "jvm"
+            else parse(df, impl=engine, patterns=opt)
+        )
+        got = {r.turn_idx: (r.matched, r.extracted["op"]) for r in parsed.collect()}
+        assert got[0] == (True, "merge"), engine
+        assert got[1] == (True, "merge"), engine

@@ -176,3 +176,19 @@ def test_pq_topk_recall(spark, sf_dir):
     # approximate scores are exact cosines of the surviving candidates
     sims = {r.sim for r in similarity.pq_topk(e, q, k=3).collect()}
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_pq_topk_empty_corpus_and_small_dim(spark, sf_dir):
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2)
+    # empty corpus → empty result (not IndexError), like gemm_topk
+    empty = e.filter(F.col("vec_id") < -1)
+    assert similarity.pq_topk(empty, q, k=3).count() == 0
+    # dim < m → m clamps to dim instead of zero-width subspaces; with
+    # one dim per subspace ADC degrades gracefully, not to random
+    tiny = e.select("vec_id", F.slice("embedding", 1, 4).alias("embedding"))
+    tq = tiny.filter(F.col("vec_id") < 2)
+    out = similarity.pq_topk(tiny, tq, k=3, m=64)
+    assert out.count() > 0

@@ -131,3 +131,42 @@ def test_exists_sees_snapshot_tables(spark, cat):
     assert not cat.exists("t")
     cat.write_table(_df(spark, [(1, "a", "x")]), "t")
     assert cat.exists("t")
+
+
+def test_uncommitted_trailing_log_line_survives_expiry(spark, cat):
+    """write_table appends the log line BEFORE the atomic pointer flip;
+    a crash in that window leaves a complete-but-uncommitted tail.
+    history() must not count it, and expire(keep_last=1) must keep the
+    dirs the committed pointer references (not the phantom tail's)."""
+    from dataclasses import asdict
+
+    from log_parser_project_spark.catalog import Snapshot
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    # simulate the crash: parquet dir written + log appended, no pointer
+    phantom_dir = "t/snap-00003-feedfeed"
+    os.makedirs(os.path.join(cat.warehouse, phantom_dir))
+    phantom = Snapshot(
+        snapshot_id="feedfeed", table="t", row_count=1, committed_at_unix=0.0,
+        parent_id=s2.snapshot_id, op="overwrite",
+        state=[{"dir": phantom_dir, "exclude": []}], sequence=3,
+    )
+    with open(cat._log_path("t"), "a") as f:
+        f.write(json.dumps(asdict(phantom)) + "\n")
+
+    assert [h.snapshot_id for h in cat.history("t")][-1] == s2.snapshot_id
+    cat.expire_snapshots("t", keep_last=1)
+    # current-state read must still resolve: s2's dirs were NOT deleted
+    assert _vals(cat.read_table("t")) == [(2, "b", "y")]
+    # recovery converges: the next commit supersedes the phantom line
+    s3 = cat.write_table(_df(spark, [(3, "c", "z")]), "t")
+    assert cat.snapshot("t").snapshot_id == s3.snapshot_id
+    assert _vals(cat.read_table("t")) == [(3, "c", "z")]
+
+
+def test_tables_lists_committed_tables(spark, cat):
+    assert cat.tables() == []
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "agg_by_route")
+    assert cat.tables() == ["agg_by_route", "t"]
