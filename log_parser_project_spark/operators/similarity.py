@@ -241,9 +241,100 @@ def neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
-    Brute-force; swap the candidate source to SRP buckets at scale."""
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold),
+    EXACT, via block-partitioned all-pairs — the canonical distributed
+    scheme for a computation that is intrinsically O(n²):
+
+    * each vector gets a hash block id in [0, B); a vector is shipped to
+      the B block-pair groups {(min(b,j), max(b,j)) : j} — bounded B×
+      replication, NO driver collect, NO Cartesian/nested-loop join node;
+    * every unordered pair of vectors meets in exactly ONE group
+      (sorted pair of their block ids), where one ``numpy`` GEMM scores
+      the block against the block — vectorized C, not per-pair
+      expressions;
+    * only surviving pairs (sim ≥ threshold) are shuffled out.
+
+    B defaults to ~√(2·parallelism) so there are ~parallelism groups;
+    at N executors the per-task matrix is (n/B)², so B also caps task
+    memory. For approximate-is-fine dedup at extreme scale, prefer the
+    sub-quadratic candidates of :func:`lsh_topk` / MinHash — exactness
+    is what costs n² here, not the plan (brute-force crossJoin kept
+    below as ``neardup_pairs_crossjoin``, the tiny-data test oracle).
+    """
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        n_blocks = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism))
+    B = n_blocks
+    thr = float(threshold)
+
+    blk = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    groups = F.array(*[
+        F.struct(
+            F.least(F.col("blk"), F.lit(j)).alias("gi"),
+            F.greatest(F.col("blk"), F.lit(j)).alias("gj"),
+        )
+        for j in range(B)
+    ])
+    rep = blk.withColumn("g", F.explode(groups)).select(
+        "vid", "vec", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj")
+    )
+
+    def _round_half_up4(x):
+        # F.round / DuckDB ROUND semantics: half away from zero
+        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
+
+    def score_group(key, pdf):
+        import pandas as pd
+
+        gi, gj = key
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Xn = X / nrm
+        if gi == gj:
+            S = Xn @ Xn.T
+            ai, bj = np.triu_indices(len(ids), k=1)
+        else:
+            isa = pdf["blk"].to_numpy() == gi
+            A, Bm = Xn[isa], Xn[~isa]
+            aid, bid = ids[isa], ids[~isa]
+            S = A @ Bm.T
+            ai, bj = np.meshgrid(np.arange(len(aid)), np.arange(len(bid)), indexing="ij")
+            ai, bj = ai.ravel(), bj.ravel()
+            ids_a, ids_b = aid, bid
+        if gi == gj:
+            ids_a = ids_b = ids
+        sims = S[ai, bj]
+        keep = sims >= thr  # threshold on the RAW sim (oracle semantics)
+        a_ids, b_ids, sims = ids_a[ai[keep]], ids_b[bj[keep]], sims[keep]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo, "b": hi, "sim": _round_half_up4(sims)})
+
+    out_schema = "a long, b long, sim double"
+    return rep.groupBy("gi", "gj").applyInPandas(score_group, out_schema)
+
+
+def neardup_pairs_crossjoin(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs via crossJoin + per-pair expressions — O(n²) rows
+    through the plan; kept ONLY as the tiny-data oracle for
+    :func:`neardup_pairs` in pytest. Never use behind a contract query."""
     a = corpus.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), norm(F.col(vec_col)).alias("an")
     )

