@@ -223,6 +223,73 @@ def q_j2_versioned_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_s5_float_decode",
+    f"""
+    WITH src AS (SELECT {_K} AS k FROM events),
+    p AS (
+      SELECT k % 2 AS s,
+             118 + (k % 16) AS e32,
+             (k * 2654435761) % 8388608 AS m32,
+             1015 + (k % 16) AS e64,
+             ((k * 2654435761) % 67108864) * 67108864 + ((k * 40503) % 67108864) AS m64
+      FROM src
+    ),
+    v AS (
+      SELECT CAST(e32 - 127 AS BIGINT) AS exp32,
+             (1 - 2 * s) * pow(2.0, e32 - 127) * (1 + m32 / 8388608.0) AS v32,
+             pow(2.0, e64 - 1023) * (1 + m64 / 4503599627370496.0) AS v64
+      FROM p
+    )
+    SELECT exp32, COUNT(*) AS n,
+           MIN(v32) AS min_f32, MAX(v32) AS max_f32,
+           MIN(v64) AS min_f64, MAX(v64) AS max_f64
+    FROM v GROUP BY exp32
+    """,
+)
+def q_s5_float_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float32/Float64 typed field decode on the layout-driven payload
+    path (reference ``utils/type_converters.py:144-183`` decode_float +
+    ``metadata_payload_parser.py:390-403`` raw-bits variant): both
+    engines synthesize the same IEEE-754 bit patterns from k; Spark
+    round-trips them through little-endian payload hex and the
+    expression-side ``decode_fields`` float dispatch, while the oracle
+    computes the values arithmetically — every step exact in binary64,
+    so MIN/MAX compare bit-identically."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    s = k % 2
+    e32 = k % 16 + 118
+    m32 = (k * 2654435761) % 8388608
+    e64 = k % 16 + 1015
+    m64 = ((k * 2654435761) % 67108864) * 67108864 + (k * 40503) % 67108864
+    w32 = s * (1 << 31) + e32 * (1 << 23) + m32
+    hi = e64 * (1 << 20) + F.floor(m64 / F.lit(1 << 32)).cast("long")
+    lo = m64 % (1 << 32)
+
+    def b(col, i):
+        return F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))
+
+    ph = F.format_string(
+        "%02x" * 12,
+        b(w32, 0), b(w32, 1), b(w32, 2), b(w32, 3),
+        b(lo, 0), b(lo, 1), b(lo, 2), b(lo, 3),
+        b(hi, 0), b(hi, 1), b(hi, 2), b(hi, 3),
+    )
+    layout = [
+        hex_ingest.FieldDef("v32", 0, 32, "float32"),
+        hex_ingest.FieldDef("v64", 32, 64, "float64"),
+    ]
+    dec = hex_ingest.decode_fields(
+        ev.select(ph.alias("payload_hex"), (e32 - 127).alias("exp32")), layout
+    )
+    return dec.groupBy("exp32").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v32").alias("min_f32"), F.max("v32").alias("max_f32"),
+        F.min("v64").alias("min_f64"), F.max("v64").alias("max_f64"),
+    )
+
+
 @_register("q_s5_packet_decode", None)  # synthetic corpus — rows-only
 def q_s5_packet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full packet path: synth corpus → validate (quarantine reasons) →

@@ -82,7 +82,7 @@ class FieldDef:
     name: str
     offset_bits: int
     length_bits: int
-    type_name: str = "uint"  # uint | int | bool | enum
+    type_name: str = "uint"  # uint | int | bool | enum | float32 | float64
     enum_map: dict[int, str] = _dc_field(default_factory=dict)
 
 
@@ -103,6 +103,36 @@ def _slice_payload_bits(payload_hex: Column, offset_bits: int, length_bits: int)
     return F.shiftright(window, bit_in_window).bitwiseAND(F.lit(mask))
 
 
+def _decode_float(payload_hex: Column, fld: FieldDef) -> Column:
+    """IEEE-754 field decode with the reference's constraints
+    (``type_converters.py:decode_float``): byte-aligned offset, length
+    exactly 32 or 64 bits, little-endian. float64 is read as two 32-bit
+    halves so no intermediate overflows a signed long."""
+    from ..operators import convert
+
+    if fld.offset_bits % 8 != 0:
+        raise ValueError(
+            f"float field {fld.name}: bit-level offsets are not supported "
+            f"(offset_bits={fld.offset_bits})"
+        )
+    if fld.length_bits not in (32, 64):
+        raise ValueError(
+            f"float field {fld.name} must be 32 or 64 bits, got {fld.length_bits}"
+        )
+    if (fld.type_name == "float32") != (fld.length_bits == 32):
+        raise ValueError(
+            f"float field {fld.name}: type {fld.type_name} requires "
+            f"length_bits={32 if fld.type_name == 'float32' else 64}"
+        )
+    off = fld.offset_bits // 8
+    if fld.length_bits == 32:
+        return convert.f32_from_bits_expr(_le_bytes_to_long(payload_hex, off, 4))
+    return convert.f64_from_parts(
+        _le_bytes_to_long(payload_hex, off + 4, 4),
+        _le_bytes_to_long(payload_hex, off, 4),
+    )
+
+
 def decode_fields(
     df: DataFrame, layout: list[FieldDef], payload_col: str = "payload_hex"
 ) -> DataFrame:
@@ -116,11 +146,18 @@ def decode_fields(
     unknown-type fallback), ``int`` (two's complement,
     ``type_converters.py:88-111``), ``bool`` (single-bit test,
     ``type_converters.py:40-58``), ``enum`` (raw + ``<name>_friendly``
-    with ``UNKNOWN(v)`` default, ``type_converters.py:61-85``).
+    with ``UNKNOWN(v)`` default, ``type_converters.py:61-85``),
+    ``float32``/``float64`` (IEEE-754 reinterpret of the little-endian
+    bytes, ``type_converters.py:144-183`` decode_float — byte-aligned
+    only, like the reference, but expression-side instead of
+    ``struct.unpack``).
     """
     p = F.col(payload_col)
     out = df
     for fld in layout:
+        if fld.type_name in ("float32", "float64"):
+            out = out.withColumn(fld.name, _decode_float(p, fld))
+            continue
         raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
         if fld.type_name == "bool":
             if fld.length_bits != 1:
@@ -219,12 +256,18 @@ def decode_versioned(
         for fld in layout:
             all_fields.setdefault(fld.name, []).append((v, fld))
     for name, variants in all_fields.items():
-        expr = F.lit(None).cast("long")
+        any_float = any(f.type_name in ("float32", "float64") for _, f in variants)
+        expr = F.lit(None).cast("double" if any_float else "long")
         for v, fld in variants:
-            raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
-            if fld.type_name == "int":
-                sign = 1 << (fld.length_bits - 1)
-                raw = F.when(raw >= sign, raw - (1 << fld.length_bits)).otherwise(raw)
+            if fld.type_name in ("float32", "float64"):
+                raw = _decode_float(p, fld)
+            else:
+                raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
+                if fld.type_name == "int":
+                    sign = 1 << (fld.length_bits - 1)
+                    raw = F.when(raw >= sign, raw - (1 << fld.length_bits)).otherwise(raw)
+                if any_float:
+                    raw = raw.cast("double")
             expr = F.when(F.col("layout_version") == v, raw).otherwise(expr)
         out = out.withColumn(name, expr)
     return out

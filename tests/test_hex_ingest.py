@@ -204,3 +204,119 @@ def test_decode_packet_json_cli_parity(spark):
 
     bad = decode_packet_json(spark, "zz" + pkt, layouts)
     assert bad == {"valid": False, "reject_reason": "bad_charset"}
+
+
+# ---------------------------------------------------------------------------
+# IEEE-754 float decode (reference type_converters.decode_float parity)
+# ---------------------------------------------------------------------------
+
+def _assert_float_cols_equal(got, want):
+    import math
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if math.isnan(w):
+            assert math.isnan(g)
+        else:
+            assert g == w, f"{g!r} != {w!r}"
+
+
+def test_f32_expression_matches_hardware_reinterpret(spark):
+    """Expression-side float32 decode is bit-identical to numpy's view
+    reinterpret over edge cases + seeded random patterns."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    edge = [0x00000000, 0x80000000, 0x3F800000, 0xC0490FDB,
+            0x7F800000, 0xFF800000, 0x7FC00000,  # ±inf, nan
+            0x00000001, 0x007FFFFF,              # subnormals
+            0x7F7FFFFF, 0x00800000]              # max/min normal
+    pats = edge + [int(x) for x in rng.randint(0, 2**32, size=300, dtype=np.uint64)]
+    want = np.array(pats, dtype=np.uint32).view(np.float32).astype(np.float64)
+
+    from log_parser_project_spark.operators import convert
+
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pats)], "i long, bits long")
+    rows = df.select("i", convert.f32_from_bits_expr(F.col("bits")).alias("v"),
+                     convert.f32_from_bits(F.col("bits")).alias("v_udf")).orderBy("i").collect()
+    _assert_float_cols_equal([r.v for r in rows], list(want))
+    # the UDF path surfaces NaN as NULL (pandas NaN == Arrow null); it
+    # must agree everywhere else
+    import math
+    _assert_float_cols_equal(
+        [r.v_udf for r, w in zip(rows, want) if not math.isnan(w)],
+        [w for w in want if not math.isnan(w)])
+
+
+def test_f64_expression_matches_hardware_reinterpret(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    edge = [0x0000000000000000, 0x8000000000000000, 0x3FF0000000000000,
+            0x7FF0000000000000, 0xFFF0000000000000, 0x7FF8000000000000,
+            0x0000000000000001, 0x000FFFFFFFFFFFFF,
+            0x7FEFFFFFFFFFFFFF, 0x0010000000000000]
+    pats = edge + [int(x) for x in rng.randint(0, 2**64, size=300, dtype=np.uint64)]
+    want = np.array(pats, dtype=np.uint64).view(np.float64)
+    signed = [p - 2**64 if p >= 2**63 else p for p in pats]
+
+    from log_parser_project_spark.operators import convert
+
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(signed)], "i long, bits long")
+    hi = F.shiftrightunsigned(F.col("bits"), 32)
+    lo = F.col("bits").bitwiseAND(F.lit((1 << 32) - 1))
+    rows = df.select("i", convert.f64_from_parts(hi, lo).alias("v"),
+                     convert.f64_from_bits(F.col("bits")).alias("v_udf")).orderBy("i").collect()
+    _assert_float_cols_equal([r.v for r in rows], list(want))
+    import math
+    _assert_float_cols_equal(
+        [r.v_udf for r, w in zip(rows, want) if not math.isnan(w)],
+        [w for w in want if not math.isnan(w)])
+
+
+def test_decode_fields_float_roundtrip_and_validation(spark):
+    """Layout-driven float32+float64 decode over little-endian payload
+    hex matches struct.pack ground truth; reference constraints (byte
+    alignment, 32/64 bits only) are enforced."""
+    import struct
+
+    import pytest as _pytest
+
+    from log_parser_project_spark.sources import hex_ingest
+
+    vals = [(0, 1.5, -2.25), (1, 3.140625, 1e300), (2, -0.0, 5e-324)]
+    rows = [(i, (struct.pack("<f", a) + struct.pack("<d", b)).hex()) for i, a, b in vals]
+    df = spark.createDataFrame(rows, "i long, payload_hex string")
+    layout = [hex_ingest.FieldDef("fa", 0, 32, "float32"),
+              hex_ingest.FieldDef("fb", 32, 64, "float64")]
+    got = {r.i: (r.fa, r.fb) for r in hex_ingest.decode_fields(df, layout).collect()}
+    for i, a, b in vals:
+        assert got[i][0] == struct.unpack("<f", struct.pack("<f", a))[0]
+        assert got[i][1] == b
+
+    with _pytest.raises(ValueError, match="bit-level"):
+        hex_ingest.decode_fields(df, [hex_ingest.FieldDef("x", 4, 32, "float32")])
+    with _pytest.raises(ValueError, match="32 or 64"):
+        hex_ingest.decode_fields(df, [hex_ingest.FieldDef("x", 0, 16, "float32")])
+    with _pytest.raises(ValueError, match="requires"):
+        hex_ingest.decode_fields(df, [hex_ingest.FieldDef("x", 0, 64, "float32")])
+
+
+def test_decode_versioned_float_field(spark):
+    """Version-dispatched layouts may mix float and integer fields; the
+    union column is typed double and integer variants widen."""
+    import struct
+
+    from log_parser_project_spark.sources import hex_ingest
+
+    rows = [(1, ("01" + struct.pack("<f", 2.5).hex())),
+            (2, ("02" + "07" + "0" * 8))]
+    df = spark.createDataFrame(rows, "ver long, payload_hex string")
+    v1 = [hex_ingest.FieldDef("m", 8, 32, "float32")]
+    v2 = [hex_ingest.FieldDef("m", 8, 8, "uint")]
+    dec = hex_ingest.decode_versioned(
+        df, F.col("ver"), {1: v1, 2: v2}
+    )
+    got = {r.layout_version: r.m for r in dec.collect()}
+    assert got[1] == 2.5 and got[2] == 7.0
+    assert dict(dec.dtypes)["m"] == "double"
