@@ -114,10 +114,12 @@ def main() -> None:
     tdf.unpersist()
     timings["pipeline_parse_route_aggregate"] = round(pipeline_sec, 3)
 
-    # alternate extractor passes (same outputs, proven equivalent):
-    # RE2-over-Arrow inside the UDF, and the compiled pure-JVM registry
+    # alternate extractor passes (same outputs, proven equivalent): the
+    # headline pipeline above runs extractor="auto" → compiled-JVM for
+    # the shipped registry; these measure the registry-as-data UDF
+    # engines a custom registry would fall back to
     tdf2 = make_transcripts(spark, n_convs=n_convs, parts=cpus * 2)
-    for ex in ("arrow", "jvm"):
+    for ex in ("arrow", "pandas"):
         d = build_routed(spark, tdf2, extractor=ex)
         t0 = time.perf_counter()
         d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1))).collect()

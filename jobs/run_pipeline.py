@@ -37,11 +37,11 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=10000)
     ap.add_argument("--hot-rows", type=int, default=0)
     ap.add_argument(
-        "--extractor", choices=["pandas", "arrow", "jvm"], default="arrow",
-        help="registry extraction path: 'arrow' (RE2 over Arrow string arrays "
-             "inside the vectorized UDF, default), 'pandas' (str.extract), or "
-             "'jvm' (registry compiled to built-in expressions) — all three "
-             "proven output-identical",
+        "--extractor", choices=["auto", "pandas", "arrow", "jvm"], default="auto",
+        help="registry extraction path: 'auto' (default — the fastest engine "
+             "whose semantics match this registry: jvm for portable static "
+             "registries, else RE2-over-Arrow, else pandas), or force one of "
+             "'jvm' / 'arrow' / 'pandas' — all three proven output-identical",
     )
     ap.add_argument(
         "--registry", default=None,

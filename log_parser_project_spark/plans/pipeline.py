@@ -69,22 +69,26 @@ class PipelineResult:
 def build_routed(
     spark: SparkSession,
     transcripts: DataFrame,
-    extractor: str = "pandas",
+    extractor: str = "auto",
     patterns: tuple[Pattern, ...] = PATTERNS,
 ) -> DataFrame:
     """The narrow portion of the plan: everything before any shuffle.
 
-    ``extractor="pandas"`` (default) is the Arrow-batched UDF registry
-    with pandas ``str.extract`` matching; ``extractor="arrow"`` is the
-    same UDF with RE2 over Arrow string arrays (pyarrow.compute —
-    ~10× the match step, north-star-literal); ``extractor="jvm"``
-    compiles the registry into built-in expressions (registry fixed at
-    plan time). Outputs are identical across all three
+    ``extractor="auto"`` (default) resolves per registry via
+    ``parse.choose_extractor`` — the static shipped registry compiles
+    to built-in expressions (``jvm``, the fastest pass), and a custom
+    registry falls back to RE2-over-Arrow (``arrow``) or pandas
+    ``str.extract`` (``pandas``, full Python-re semantics) as its
+    regex features demand. Outputs are identical across all three
     (tests/test_extract_equivalence.py, tests/test_property_parse.py).
     """
+    from ..operators.parse import choose_extractor
+
+    if extractor == "auto":
+        extractor = choose_extractor(spark, patterns)
     if extractor not in ("pandas", "arrow", "jvm"):
         raise ValueError(
-            f"unknown extractor {extractor!r}; use 'pandas', 'arrow' or 'jvm'"
+            f"unknown extractor {extractor!r}; use 'auto', 'pandas', 'arrow' or 'jvm'"
         )
     df = (
         parse_builtin(transcripts, patterns=patterns)
@@ -110,7 +114,7 @@ def run_pipeline(
     catalog: Catalog,
     metrics_path: str | None = None,
     write_repeats: bool = True,
-    extractor: str = "pandas",
+    extractor: str = "auto",
     patterns: tuple[Pattern, ...] = PATTERNS,
 ) -> PipelineResult:
     routed, obs = observed(

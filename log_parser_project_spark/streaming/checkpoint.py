@@ -46,7 +46,7 @@ class CheckpointedPipeline:
         catalog: Catalog,
         n_groups: int = 8,
         job_id: str = "default",
-        extractor: str = "pandas",
+        extractor: str = "auto",
         patterns=None,
     ):
         from ..registry import PATTERNS

@@ -320,3 +320,46 @@ def test_optional_first_group_matches_on_all_engines(spark):
         got = {r.turn_idx: (r.matched, r.extracted["op"]) for r in parsed.collect()}
         assert got[0] == (True, "merge"), engine
         assert got[1] == (True, "merge"), engine
+
+
+def test_choose_extractor_resolution(spark):
+    """extractor="auto": portable static registries compile to the jvm
+    path; registries using engine-divergent regex features (\\w, inline
+    flags, lookbehind) stay on Python-re semantics."""
+    from log_parser_project_spark.operators.parse import choose_extractor
+    from log_parser_project_spark.registry import PATTERNS
+
+    assert choose_extractor(spark, PATTERNS) == "jvm"
+    assert choose_extractor(spark, CUSTOM) == "jvm"
+
+    wordy = (
+        Pattern(
+            pattern_class="status", version=1,
+            regex=r"^STATUS op=(?P<op>\w+)$",  # \w: Unicode tables diverge
+            groups=("op",), route="sink_status", prefix="STATUS ",
+        ),
+    )
+    assert choose_extractor(spark, wordy) == "pandas"
+
+    lookbehind = (
+        Pattern(
+            pattern_class="status", version=1,
+            regex=r"^STATUS (?<=S)(?P<op>[a-z]+)$",
+            groups=("op",), route="sink_status", prefix="STATUS ",
+        ),
+    )
+    assert choose_extractor(spark, lookbehind) == "pandas"
+
+
+def test_pipeline_auto_extractor_matches_pandas(spark):
+    """build_routed default (auto → jvm here) and an explicit pandas run
+    produce identical routed rows."""
+    from log_parser_project_spark.generate import make_transcripts
+    from log_parser_project_spark.plans.pipeline import build_routed
+
+    t = make_transcripts(spark, n_convs=60)
+    auto = build_routed(spark, t)
+    ref = build_routed(spark, t, extractor="pandas")
+    cols = ["conv_id", "turn_idx", "route", "matched", "pattern_class"]
+    assert sorted(map(tuple, auto.select(cols).collect())) == \
+           sorted(map(tuple, ref.select(cols).collect()))

@@ -39,9 +39,14 @@ def test_pricing_filter_pushed_to_scan(spark, sf_dir):
 
 def test_parse_udf_evaluated_once(spark):
     tdf = make_transcripts(spark, n_convs=50)
+    for impl in ("pandas", "arrow"):
+        plan = _plan(build_routed(spark, tdf, extractor=impl))
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan  # no row-at-a-time python
+    # the default (auto) resolves the static registry to the compiled
+    # JVM path: no Python exchange at all
     plan = _plan(build_routed(spark, tdf))
-    assert plan.count("ArrowEvalPython") == 1
-    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_sink_read_prunes_partitions(spark, transcripts_small, tmp_path):
