@@ -20,6 +20,7 @@ import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops quer
 import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
 import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
 import log_parser_project_spark.queries_ops3  # noqa: F401 — registers batch-5 queries
+import log_parser_project_spark.queries_scd  # noqa: F401 — registers revision-SCD queries
 from log_parser_project_spark.queries import QUERIES
 
 SF0001 = "/root/testdata/sf0.001"

@@ -32,6 +32,7 @@ import log_parser_project_spark.queries_ops  # noqa: F401,E402 — registers ops
 import log_parser_project_spark.queries_hex  # noqa: F401,E402 — registers hex queries
 import log_parser_project_spark.queries_ops2  # noqa: F401,E402 — registers batch-4 queries
 import log_parser_project_spark.queries_ops3  # noqa: F401,E402 — registers batch-5 queries
+import log_parser_project_spark.queries_scd  # noqa: F401,E402 — registers revision-SCD queries
 
 HEADLINE = [
     "q_a9_pricing_summary",

@@ -97,6 +97,15 @@ def main() -> None:
     )
     catalog.write_table(dim_roles_df(spark), "dim_roles", lineage={"stage": "registry"})
     catalog.write_table(dim_tools_df(spark), "dim_tools", lineage={"stage": "registry"})
+    from log_parser_project_spark.revisions import (
+        dim_revision_classes_df,
+        dim_revisions_df,
+    )
+
+    catalog.write_table(dim_revisions_df(spark), "dim_revisions", lineage={"stage": "registry"})
+    catalog.write_table(
+        dim_revision_classes_df(spark), "dim_revision_classes", lineage={"stage": "registry"}
+    )
 
     if args.input:
         transcripts = spark.read.parquet(args.input)
@@ -131,7 +140,8 @@ def main() -> None:
     if args.keep_snapshots > 0:
         from log_parser_project_spark.plans.pipeline import STAGING_TABLE
 
-        rewritten = ["dim_patterns", "dim_roles", "dim_tools", STAGING_TABLE] + [
+        rewritten = ["dim_patterns", "dim_roles", "dim_tools",
+                     "dim_revisions", "dim_revision_classes", STAGING_TABLE] + [
             t for t in catalog.tables() if t.startswith("agg_")
         ]
         for t in rewritten:

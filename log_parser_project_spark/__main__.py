@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     p_sink = sub.add_parser("sinks", help="per-sink summary of a warehouse")
     p_sink.add_argument("--warehouse", required=True)
 
+    p_rev = sub.add_parser(
+        "revisions",
+        help="registry revision history: by month/year or by pattern class "
+             "(reference app.py revision_date/revision_logcode commands)",
+    )
+    p_rev.add_argument("--month", help='month name, e.g. "February"')
+    p_rev.add_argument("--year", help='year, e.g. "2026"')
+    p_rev.add_argument("--pattern-class", help="class to trace through revisions")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -75,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
         df = qh.describe_pattern(spark, args.pattern_class, args.version)
     elif args.cmd == "search":
         df = qh.search_patterns(spark, args.term)
+    elif args.cmd == "revisions":
+        from . import revisions as rev
+
+        if args.pattern_class:
+            df = rev.revisions_by_class(spark, args.pattern_class)
+        elif args.month and args.year:
+            df = rev.revisions_by_date(spark, args.month, args.year)
+        else:
+            ap.error("revisions requires --pattern-class or --month + --year")
     elif args.cmd == "sinks":
         from .catalog import SnapshotCatalog
 

@@ -34,3 +34,55 @@ def test_sink_summary(spark, transcripts_small, tmp_path):
     res = run_pipeline(spark, transcripts_small, cat, write_repeats=False)
     summary = {r.route: r.n_rows for r in qh.sink_summary(cat).collect()}
     assert summary == {k: v for k, v in res.sink_counts.items() if v > 0}
+
+
+# ---------------------------------------------------------------------------
+# revision-history SCD dim (reference datastore.py:296-341, 389-406)
+# ---------------------------------------------------------------------------
+
+def test_revisions_by_date_groups_statuses(spark):
+    from log_parser_project_spark import revisions as rev
+
+    rows = rev.revisions_by_date(spark, "December", 2025).collect()
+    assert [r.revision for r in rows] == ["rev-B", "rev-C"]
+    byrev = {r.revision: r for r in rows}
+    assert byrev["rev-B"].new_classes == ["citation"]
+    assert byrev["rev-B"].updated_classes == ["error"]
+    assert byrev["rev-C"].new_classes == ["metric"]
+    assert rev.revisions_by_date(spark, "June", 1999).count() == 0
+
+
+def test_revisions_by_class_ordered_by_sequence(spark):
+    from log_parser_project_spark import revisions as rev
+
+    rows = rev.revisions_by_class(spark, "HANDOFF").collect()  # case-folded
+    assert [(r.revision, r.status) for r in rows] == [
+        ("rev-D", "new"), ("rev-E", "updated"),
+    ]
+
+
+def test_latest_revision_per_class(spark):
+    from log_parser_project_spark import revisions as rev
+
+    got = {r.pattern_class: (r.revision, r.status)
+           for r in rev.latest_revision_per_class(spark).collect()}
+    assert got["handoff"] == ("rev-E", "updated")
+    assert got["citation"] == ("rev-B", "new")
+    assert got["tool_call"] == ("rev-C", "updated")
+
+
+def test_cli_revisions_subcommand(spark, capsys):
+    import json
+
+    from log_parser_project_spark.__main__ import main
+
+    assert main(["revisions", "--month", "November", "--year", "2025"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out[0]["revision"] == "rev-A"
+    assert out[0]["new_classes"] == ["error", "tool_call"]  # array_sort'd
+
+    assert main(["revisions", "--pattern-class", "metric"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [(r["revision"], r["status"]) for r in out] == [
+        ("rev-C", "new"), ("rev-E", "updated"),
+    ]
