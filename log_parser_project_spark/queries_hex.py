@@ -290,6 +290,40 @@ def q_s5_float_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_s5_string_decode",
+    f"""
+    WITH src AS (SELECT {_K} AS k FROM events),
+    b AS (
+      SELECT CAST(65 + (k % 26) AS INTEGER) AS b0, CAST(97 + (k % 13) AS INTEGER) AS b1,
+             CAST(CASE WHEN k % 4 = 0 THEN 0 ELSE 97 + (k % 7) END AS INTEGER) AS b2,
+             CAST(48 + (k % 5) AS INTEGER) AS b3
+      FROM src
+    ),
+    s AS (
+      SELECT CASE WHEN b2 = 0 THEN chr(b0) || chr(b1)
+                  ELSE chr(b0) || chr(b1) || chr(b2) || chr(b3) END AS tag
+      FROM b
+    )
+    SELECT tag, COUNT(*) AS n FROM s GROUP BY tag
+    """,
+)
+def q_s5_string_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length null-terminated string field decode (reference
+    ``type_converters.py:114-141`` decode_string): both engines build a
+    4-byte ASCII field from k — NUL-terminated at byte 2 for k%4==0 —
+    and the layout decoder must recover exactly the logical string."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    b2 = F.when(k % 4 == 0, F.lit(0)).otherwise(97 + k % 7)
+    ph = F.format_string("%02x%02x%02x%02x", 65 + k % 26, 97 + k % 13, b2, 48 + k % 5)
+    dec = hex_ingest.decode_fields(
+        ev.select(ph.alias("payload_hex")),
+        [hex_ingest.FieldDef("tag", 0, 32, "string")],
+    )
+    return dec.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
 @_register("q_s5_packet_decode", None)  # synthetic corpus — rows-only
 def q_s5_packet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full packet path: synth corpus → validate (quarantine reasons) →

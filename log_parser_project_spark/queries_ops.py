@@ -341,34 +341,8 @@ def q_so5_unused_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# rows-only: the transcript pipeline itself through the driver gate
-# ---------------------------------------------------------------------------
-
-@_register("q_pipeline_routed", None)  # synthetic input — rows-only
-def q_pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full parse→enrich→route narrow pipeline over deterministic
-    synthetic transcripts (exercises the Arrow-batched regex UDF, the
-    broadcast enrich, enum/derived columns, and routing end-to-end)."""
-    from .generate import make_transcripts
-    from .plans.pipeline import build_routed
-
-    tdf = make_transcripts(spark, n_convs=500)
-    return build_routed(spark, tdf).select(
-        "conv_id", "turn_idx", "role", "tool", "pattern_class", "version",
-        "matched", "route", "severity_friendly", "tokens_per_sec",
-    )
-
-
-@_register("q_w1_turn_features", None)  # synthetic input — rows-only
-def q_w1_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """conv_id-partitioned, turn_idx-ordered window features (W1/W5):
-    lag/lead roles, running turn number, last-seen tool."""
-    from .generate import make_transcripts
-    from .operators.windows import with_turn_features
-
-    tdf = make_transcripts(spark, n_convs=300)
-    return with_turn_features(tdf).select(
-        "conv_id", "turn_idx", "prev_role", "next_role", "turn_number",
-        "last_tool", "seconds_since_prev",
-    )
+# The former rows-only `q_pipeline_routed` / `q_w1_turn_features`
+# registrations are retired: the strong-gate `q_pl_routed_events` /
+# `q_pl_repeat_records` (queries_ops3) value-hash the same pipeline
+# end-to-end over DuckDB-reconstructible input, and
+# `q_w1_event_features` oracle-checks the same window features.

@@ -82,7 +82,7 @@ class FieldDef:
     name: str
     offset_bits: int
     length_bits: int
-    type_name: str = "uint"  # uint | int | bool | enum | float32 | float64
+    type_name: str = "uint"  # uint | int | bool | enum | float32 | float64 | string
     enum_map: dict[int, str] = _dc_field(default_factory=dict)
 
 
@@ -133,6 +133,26 @@ def _decode_float(payload_hex: Column, fld: FieldDef) -> Column:
     )
 
 
+def _decode_string(payload_hex: Column, fld: FieldDef) -> Column:
+    """Fixed-length / null-terminated string field (reference
+    ``type_converters.py:114-141`` decode_string — an operator the
+    reference defines but never wires; first-class here): byte-aligned,
+    reads up to ``length_bits/8`` bytes (clamped to the payload, like
+    the reference), truncates at the first NUL byte, decodes UTF-8 and
+    falls back to the raw hex on invalid sequences. Expression-only."""
+    if fld.offset_bits % 8 != 0 or fld.length_bits % 8 != 0:
+        raise ValueError(
+            f"string field {fld.name} must be byte-aligned with a whole-byte length"
+        )
+    off, ln = fld.offset_bits // 8, fld.length_bits // 8
+    window = F.substring(payload_hex, off * 2 + 1, ln * 2)  # clamps at payload end
+    # keep byte pairs up to (not including) the first 00 pair
+    trimmed = F.regexp_extract(window, "^((?:(?!00)[0-9a-fA-F]{2})*)", 1)
+    b = F.unhex(trimmed)
+    s = b.cast("string")
+    return F.when(F.is_valid_utf8(s), s).otherwise(F.lower(F.hex(b)))
+
+
 def decode_fields(
     df: DataFrame, layout: list[FieldDef], payload_col: str = "payload_hex"
 ) -> DataFrame:
@@ -157,6 +177,9 @@ def decode_fields(
     for fld in layout:
         if fld.type_name in ("float32", "float64"):
             out = out.withColumn(fld.name, _decode_float(p, fld))
+            continue
+        if fld.type_name == "string":
+            out = out.withColumn(fld.name, _decode_string(p, fld))
             continue
         raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)
         if fld.type_name == "bool":

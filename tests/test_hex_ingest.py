@@ -320,3 +320,28 @@ def test_decode_versioned_float_field(spark):
     got = {r.layout_version: r.m for r in dec.collect()}
     assert got[1] == 2.5 and got[2] == 7.0
     assert dict(dec.dtypes)["m"] == "double"
+
+
+def test_decode_string_field_reference_parity(spark):
+    """decode_string parity (type_converters.py:114-141): NUL
+    termination, fixed length, UTF-8 with raw-hex fallback, clamping
+    when the field runs past the payload."""
+    from log_parser_project_spark.sources import hex_ingest
+
+    cases = [
+        (0, b"AB\x00Z".hex(), "AB"),            # NUL-terminated
+        (1, b"ABCD".hex(), "ABCD"),             # full fixed length
+        (2, (b"A\xffZ\x00").hex(), "41ff5a"),    # invalid UTF-8 → hex
+        (3, b"\x00ABC".hex(), ""),              # leading NUL → empty
+        (4, b"AB".hex(), "AB"),                 # payload shorter than field
+        (5, "e282ac41".lower(), "€A"),          # multibyte UTF-8 survives
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases], "i long, payload_hex string")
+    dec = hex_ingest.decode_fields(df, [hex_ingest.FieldDef("s", 0, 32, "string")])
+    got = {r.i: r.s for r in dec.collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="byte-aligned"):
+        hex_ingest.decode_fields(df, [hex_ingest.FieldDef("s", 4, 32, "string")])
