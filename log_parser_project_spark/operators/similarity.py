@@ -326,6 +326,56 @@ def neardup_pairs(
     return rep.groupBy("gi", "gj").applyInPandas(score_group, out_schema)
 
 
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 4,
+    bands: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs — the sub-quadratic 100 TB path
+    (:func:`neardup_pairs` is exact but intrinsically O(n²) compute):
+    SRP sign-bucket candidates (multi-band OR, same deterministic
+    planes as :func:`lsh_topk`), then exact cosine verify ≥ threshold.
+    Precision is exact (every emitted pair is verified); recall is the
+    band-collision probability — high for true near-dups, measured in
+    pytest against the exact operator. Shuffle ∝ corpus × bands;
+    candidate volume ∝ colliding pairs, never all pairs."""
+    sig = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("n_"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    srp_signature(F.col(vec_col), planes, dim, bnd).alias("bucket"),
+                )
+                for bnd in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("vid", "vec", "n_", "bb.band", "bb.bucket")
+    a = sig.select(F.col("vid").alias("a"), F.col("vec").alias("avec"),
+                   F.col("n_").alias("an"), "band", "bucket")
+    b = sig.select(F.col("vid").alias("b"), F.col("vec").alias("bvec"),
+                   F.col("n_").alias("bn"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "avec", "bvec", "an", "bn")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "sim", F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 4)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def neardup_pairs_crossjoin(
     corpus: DataFrame,
     threshold: float = 0.45,

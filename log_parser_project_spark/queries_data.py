@@ -244,6 +244,15 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(e, threshold=0.45)
 
 
+@_register("q_sim_neardup_lsh", None)  # approx — rows-only driver check
+def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed near-dup pairs (the sub-quadratic 100 TB path);
+    pytest measures recall 1.0 vs the exact operator at defaults and
+    proves zero false positives (exact-verify step)."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.neardup_pairs_lsh(e, threshold=0.45)
+
+
 @_register("q_sim_lsh_topk", None)  # approx — rows-only driver check
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-3 (the scale path); pytest measures

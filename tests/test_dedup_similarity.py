@@ -223,3 +223,18 @@ def test_jaccard_stop_shingle_guard_drops_hot_shingles(spark):
     assert unguarded.count() > 0  # boilerplate shingles pair everything
     guarded = dedup.jaccard_pairs(df, n=3, threshold=0.05, max_doc_freq=5)
     assert guarded.count() == 0
+
+
+def test_neardup_lsh_recall_and_precision(spark, sf_dir):
+    """The sub-quadratic SRP-bucketed near-dup path: precision is exact
+    by construction (every candidate is cosine-verified); recall vs the
+    exact operator is deterministic (hash-derived planes) — 1.0 at the
+    default parameters on this data; gate leaves margin."""
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.a, r.b) for r in similarity.neardup_pairs(e, threshold=0.45).collect()}
+    assert exact
+    approx = {(r.a, r.b) for r in similarity.neardup_pairs_lsh(e, threshold=0.45).collect()}
+    assert not (approx - exact), "verified candidates can never be false positives"
+    assert len(approx & exact) / len(exact) >= 0.8
