@@ -324,20 +324,73 @@ def q_s5_string_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
 
 
-@_register("q_s5_packet_decode", None)  # synthetic corpus — rows-only
+@_register(
+    "q_s5_packet_decode",
+    """
+    WITH src AS (SELECT event_id AS e FROM events),
+    gen AS (
+      SELECT e, e % 20 AS kind,
+             e % 8 + 4 AS n_payload,
+             7168 + e % 4 AS logcode,
+             (e * 7) % 100000 AS seq
+      FROM src
+    )
+    SELECT CASE WHEN kind = 0 THEN 'bad_charset'
+                WHEN kind = 1 THEN 'odd_length'
+                WHEN kind = 2 THEN 'length_mismatch'
+                ELSE printf('0x%04X', logcode) END AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN kind >= 3 THEN n_payload END) AS BIGINT) AS sum_payload_bytes,
+           CAST(SUM(CASE WHEN kind >= 3 THEN seq END) AS BIGINT) AS sum_seq
+    FROM gen GROUP BY 1
+    """,
+)
 def q_s5_packet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full packet path: synth corpus → validate (quarantine reasons) →
-    header decode → per-logcode tally (the reference's CLI decode flow
-    §3.3 as one DataFrame plan)."""
-    pkts = hex_ingest.synth_packets(spark, n=2000)
-    v = hex_ingest.validate_packets(pkts)
+    """Full packet path under the STRONG gate: the corpus is synthesized
+    from the events table with engine-portable arithmetic (little-endian
+    header + modular payload bytes + three corruption kinds), then run
+    through the REAL validate → header-decode plan (the reference's CLI
+    decode flow §3.3); the oracle computes the expected tallies directly
+    from the generator arithmetic — so every validator reason and every
+    decoded header field is value-checked, not just row-counted."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    n_payload = e % 8 + 4
+    logcode = F.lit(0x1C00) + e % 4
+    seq = (e * 7) % 100000
+    tsr = (e * 13) % (2 ** 31)
+
+    def le_hex(col, n_bytes):
+        be = F.lpad(F.lower(F.hex(col)), n_bytes * 2, "0")
+        pairs = [F.substring(be, i * 2 + 1, 2) for i in range(n_bytes)]
+        return F.concat(*reversed(pairs))
+
+    payload = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n_payload - 1),
+            lambda j: F.lpad(F.lower(F.hex((e * (j + 17)) % 256)), 2, "0"),
+        ),
+    )
+    good = F.concat(le_hex(n_payload, 2), le_hex(logcode, 2),
+                    le_hex(seq, 4), le_hex(tsr, 4), payload)
+    kind = e % 20
+    pkt = (
+        F.when(kind == 0, F.concat(F.lit("zz"), good))    # bad charset
+        .when(kind == 1, F.substring(good, 1, 11))        # truncated, odd
+        .when(kind == 2, F.concat(good, F.lit("ff")))     # length mismatch
+        .otherwise(good)
+    )
+    v = hex_ingest.validate_packets(ev.select(pkt.alias("packet_hex")))
     dec = hex_ingest.decode_header(v.filter(F.col("valid")))
-    good = dec.groupBy("logcode_hex").agg(
+    goodg = dec.groupBy(F.col("logcode_hex").alias("key")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pkt_length").alias("sum_payload_bytes"),
-    ).withColumnRenamed("logcode_hex", "key")
-    bad = v.filter(~F.col("valid")).groupBy("reject_reason").agg(
+        F.sum("sequence").alias("sum_seq"),
+    )
+    badg = v.filter(~F.col("valid")).groupBy(F.col("reject_reason").alias("key")).agg(
         F.count(F.lit(1)).alias("n"),
         F.lit(None).cast("long").alias("sum_payload_bytes"),
-    ).withColumnRenamed("reject_reason", "key")
-    return good.unionByName(bad)
+        F.lit(None).cast("long").alias("sum_seq"),
+    )
+    return goodg.unionByName(badg)
