@@ -141,7 +141,8 @@ def main() -> None:
         from log_parser_project_spark.plans.pipeline import STAGING_TABLE
 
         rewritten = ["dim_patterns", "dim_roles", "dim_tools",
-                     "dim_revisions", "dim_revision_classes", STAGING_TABLE] + [
+                     "dim_revisions", "dim_revision_classes",
+                     STAGING_TABLE, "sink_repeat_records"] + [
             t for t in catalog.tables() if t.startswith("agg_")
         ]
         for t in rewritten:

@@ -186,13 +186,15 @@ class SnapshotCatalog(Catalog):
         return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.log.jsonl")
 
     def history(self, table: str) -> list[Snapshot]:
-        """All committed snapshots, oldest first. Torn lines are
-        skipped, and so is any *complete* trailing line newer than the
-        committed pointer: write_table appends to the log before the
-        atomic pointer flip, so a crash in that window leaves a
-        parseable-but-uncommitted tail that must not count as history
-        (expire_snapshots would otherwise keep it and delete the dirs
-        the real pointer snapshot still references)."""
+        """All committed snapshots, oldest first — the parent chain
+        walked back from the committed pointer. Torn log lines are
+        skipped; so is any parseable-but-uncommitted line: write_table
+        appends to the log before the atomic pointer flip, so a crash
+        in that window leaves a phantom entry. Chain-walking (not
+        tail-truncation) excludes it permanently — the next successful
+        commit parents onto the real pointer, so the phantom is never
+        any committed snapshot's ancestor, even once it sits in the
+        middle of the log."""
         out: list[Snapshot] = []
         p = self._log_path(table)
         if not os.path.exists(p):
@@ -206,10 +208,18 @@ class SnapshotCatalog(Catalog):
         pointer = self.snapshot(table)
         if pointer is None:
             return []  # log lines exist but nothing was ever committed
-        for i in range(len(out) - 1, -1, -1):
-            if out[i].snapshot_id == pointer.snapshot_id:
-                return out[: i + 1]
-        return out  # pointer not in log (legacy/rebuilt log) — keep all
+        by_id = {s.snapshot_id: s for s in out}
+        if pointer.snapshot_id not in by_id:
+            return out  # pointer not in log (legacy/rebuilt log) — keep all
+        chain: list[Snapshot] = []
+        seen: set[str] = set()
+        cur: str | None = pointer.snapshot_id
+        while cur is not None and cur in by_id and cur not in seen:
+            seen.add(cur)
+            chain.append(by_id[cur])
+            cur = by_id[cur].parent_id
+        chain.reverse()
+        return chain
 
     def _resolve(self, table: str, as_of: str | None = None) -> Snapshot | None:
         if as_of is None:

@@ -271,8 +271,57 @@ _ENGINE_DIVERGENT = (
 )
 
 
+def _has_optional_capture(regex: str) -> bool:
+    """True when some CAPTURE group can match without participating —
+    quantified with min=0, or inside one alternation branch. For such a
+    group pandas yields NULL while RE2/Arrow and ``regexp_extract``
+    both yield "" (indistinguishable from a legitimately-empty match),
+    so the registry must stay on the pandas engine. Detected from the
+    ``re`` parse tree — a textual ")?"-scan would misflag the safe
+    non-capture ``(?:...)*``."""
+    try:
+        import re as _re
+
+        parser = getattr(_re, "_parser", None)
+        if parser is None:  # pragma: no cover — pre-3.11 fallback
+            import sre_parse as parser
+        tree = parser.parse(regex)
+    except Exception:
+        return True  # unanalyzable → be conservative
+
+    def walk(items, optional: bool) -> bool:
+        for op, av in items:
+            name = str(op)
+            if name in ("MAX_REPEAT", "MIN_REPEAT"):
+                lo, _hi, sub = av
+                if walk(sub, optional or lo == 0):
+                    return True
+            elif name == "SUBPATTERN":
+                group, _af, _df, sub = av
+                if group is not None and optional:
+                    return True
+                if walk(sub, optional):
+                    return True
+            elif name == "BRANCH":
+                _unused, branches = av
+                for b in branches:
+                    if walk(b, True):  # each branch may lose the vote
+                        return True
+            elif name in ("ASSERT", "ASSERT_NOT"):
+                _direction, sub = av
+                if walk(sub, True):  # lookaround captures are murky
+                    return True
+        return False
+
+    return walk(tree, False)
+
+
 def _portable(regex: str) -> bool:
-    return regex.isascii() and not any(tok in regex for tok in _ENGINE_DIVERGENT)
+    return (
+        regex.isascii()
+        and not any(tok in regex for tok in _ENGINE_DIVERGENT)
+        and not _has_optional_capture(regex)
+    )
 
 
 def choose_extractor(spark, patterns: tuple[Pattern, ...] = PATTERNS) -> str:

@@ -39,6 +39,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _round_half_up4(x):
+    """F.round / DuckDB ROUND semantics — half away from zero, NOT
+    numpy's half-to-even; a midpoint like 0.15625 must round the same
+    on every path (expression, GEMM, PQ). Shared by all numpy kernels
+    in this module."""
+    import numpy as np
+
+    return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -289,10 +299,6 @@ def neardup_pairs(
         "vid", "vec", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj")
     )
 
-    def _round_half_up4(x):
-        # F.round / DuckDB ROUND semantics: half away from zero
-        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
-
     def score_group(key, pdf):
         import pandas as pd
 
@@ -369,10 +375,10 @@ def neardup_pairs_lsh(
     )
     return (
         cands.withColumn(
-            "sim", F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 4)
+            "_raw", dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn"))
         )
-        .filter(F.col("sim") >= threshold)
-        .select("a", "b", "sim")
+        .filter(F.col("_raw") >= threshold)  # RAW threshold — same as neardup_pairs/oracle
+        .select("a", "b", F.round("_raw", 4).alias("sim"))
     )
 
 
@@ -395,10 +401,10 @@ def neardup_pairs_crossjoin(
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .withColumn(
-            "sim", F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 4)
+            "_raw", dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn"))
         )
-        .filter(F.col("sim") >= threshold)
-        .select("a", "b", "sim")
+        .filter(F.col("_raw") >= threshold)  # RAW threshold — same as neardup_pairs/oracle
+        .select("a", "b", F.round("_raw", 4).alias("sim"))
     )
 
 
@@ -438,12 +444,6 @@ def gemm_topk(
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     Qn = Q / qn
-
-    def _round_half_up4(x):
-        # match F.round / DuckDB ROUND (half away from zero), NOT
-        # np.round's half-to-even — a midpoint sim like 0.15625 must
-        # round identically on every path
-        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
 
     def part(batches):
         import pandas as pd
@@ -536,9 +536,6 @@ def pq_topk(
     tables = np.stack(
         [np.stack([Qn[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)], axis=1)]
     )[0]  # queries × m × cells
-
-    def _round_half_up4(x):
-        return np.trunc(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
 
     def part(batches):
         import pandas as pd

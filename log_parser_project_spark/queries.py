@@ -14,6 +14,7 @@ window, A9 = derived-ratio aggregate, …).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,14 +36,61 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _est_partitions(sizes: list[int], open_cost: int, max_pb: int, parallelism: int) -> int:
+    """Spark's FilePartition planning estimate (maxSplitBytes formula):
+    file count alone is neither an upper nor a lower bound on scan
+    partitions — one big file SPLITS into many, many tiny files PACK
+    into few. Pure function so the heuristic is unit-testable."""
+    import math
+
+    total = sum(s + open_cost for s in sizes)
+    if total <= 0:
+        return 0
+    max_split = min(max_pb, max(open_cost, total // max(parallelism, 1)))
+    return max(1, math.ceil(total / max(max_split, 1)))
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition iff the scan arrived with fewer partitions
-    than cores — a small single-file table otherwise runs CPU-heavy
-    derived work (shingling, cosine) single-threaded. At real scale the
-    scan already has ≥ cores partitions and this is a no-op (no shuffle
-    inserted)."""
+    """Round-robin repartition iff the scan will plan fewer partitions
+    than cores — a small table otherwise runs CPU-heavy derived work
+    (shingling, cosine) under-parallel. Partition count is estimated
+    with Spark's own split/packing formula over the actual file sizes
+    (local files only; non-local schemes assume a well-partitioned
+    scan). At real scale the estimate is ≥ cores and this is a no-op
+    (no shuffle inserted)."""
+    from urllib.parse import urlparse
+
     cores = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < cores:
+    sizes = []
+    for f in df.inputFiles():
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df  # remote storage: planned at scale, leave it alone
+        try:
+            sizes.append(os.path.getsize(u.path or f))
+        except OSError:
+            return df
+    est = _est_partitions(
+        sizes,
+        _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 * 2**20),
+        _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 2**20),
+        cores,
+    )
+    if est < cores:
         return df.repartition(cores)
     return df
 

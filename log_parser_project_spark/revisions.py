@@ -82,7 +82,9 @@ def revisions_by_date(
     updated / new class lists; ordered by revision sequence."""
     dim = dim_revisions_df(spark, revisions)
     classes = dim_revision_classes_df(spark, revisions)
-    picked = dim.filter(F.col("rev_date") == f"{month} {year}")
+    # case-fold like revisions_by_class does — "february" must not
+    # silently read as "no revisions that month"
+    picked = dim.filter(F.lower("rev_date") == f"{month} {year}".strip().lower())
     lists = (
         classes.groupBy("revision")
         .agg(

@@ -280,6 +280,16 @@ def decode_versioned(
             all_fields.setdefault(fld.name, []).append((v, fld))
     for name, variants in all_fields.items():
         any_float = any(f.type_name in ("float32", "float64") for _, f in variants)
+        if any_float:
+            for _, f in variants:
+                if f.type_name not in ("float32", "float64") and f.length_bits > 53:
+                    # the union column is double; a >53-bit integer
+                    # would silently round — refuse instead
+                    raise ValueError(
+                        f"field {name}: {f.length_bits}-bit integer variant "
+                        "cannot share a version-dispatched column with float "
+                        "variants (doubles hold 53 integer bits exactly)"
+                    )
         expr = F.lit(None).cast("double" if any_float else "long")
         for v, fld in variants:
             if fld.type_name in ("float32", "float64"):

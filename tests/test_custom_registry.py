@@ -363,3 +363,19 @@ def test_pipeline_auto_extractor_matches_pandas(spark):
     cols = ["conv_id", "turn_idx", "route", "matched", "pattern_class"]
     assert sorted(map(tuple, auto.select(cols).collect())) == \
            sorted(map(tuple, ref.select(cols).collect()))
+
+
+def test_optional_group_registry_stays_on_pandas(spark):
+    """Non-participating optional groups decode as NULL on pandas but ""
+    on RE2/JVM — choose_extractor must keep such registries on the
+    Python-re engine whose semantics the oracle implements."""
+    from log_parser_project_spark.operators.parse import choose_extractor
+
+    opt = (
+        Pattern(
+            pattern_class="status", version=1,
+            regex=r"^STATUS (?P<tag>\[[a-z]+\] )?op=(?P<op>[a-z]+)$",
+            groups=("tag", "op"), route="sink_status", prefix="STATUS ",
+        ),
+    )
+    assert choose_extractor(spark, opt) == "pandas"

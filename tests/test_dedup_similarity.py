@@ -238,3 +238,19 @@ def test_neardup_lsh_recall_and_precision(spark, sf_dir):
     approx = {(r.a, r.b) for r in similarity.neardup_pairs_lsh(e, threshold=0.45).collect()}
     assert not (approx - exact), "verified candidates can never be false positives"
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_est_partitions_formula():
+    """_spread's scan-partition estimate: one big file SPLITS (never
+    under-parallel), many tiny files PACK (no pointless shuffle skip)."""
+    from log_parser_project_spark.queries import _est_partitions
+
+    MB = 2**20
+    # 10 GB single file on 32 cores → ~80 splits, ≥ cores → no shuffle
+    assert _est_partitions([10 * 1024 * MB], 4 * MB, 128 * MB, 32) >= 32
+    # one 5 MB file → a couple of partitions → repartition fires
+    assert _est_partitions([5 * MB], 4 * MB, 128 * MB, 32) < 32
+    # 64 tiny files pack to ~cores partitions, not 64
+    est = _est_partitions([100 * 1024] * 64, 4 * MB, 128 * MB, 32)
+    assert 16 <= est <= 64
+    assert _est_partitions([], 4 * MB, 128 * MB, 32) == 0

@@ -345,3 +345,17 @@ def test_decode_string_field_reference_parity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="byte-aligned"):
         hex_ingest.decode_fields(df, [hex_ingest.FieldDef("s", 4, 32, "string")])
+
+
+def test_decode_versioned_rejects_wide_int_float_mix(spark):
+    """A >53-bit integer variant cannot share a version-dispatched
+    column with float variants — the double union would silently round."""
+    import pytest as _pytest
+
+    from log_parser_project_spark.sources import hex_ingest
+
+    df = spark.createDataFrame([(1, "00" * 9)], "ver long, payload_hex string")
+    v1 = [hex_ingest.FieldDef("m", 8, 64, "uint")]
+    v2 = [hex_ingest.FieldDef("m", 8, 32, "float32")]
+    with _pytest.raises(ValueError, match="53"):
+        hex_ingest.decode_versioned(df, F.col("ver"), {1: v1, 2: v2})

@@ -86,3 +86,9 @@ def test_cli_revisions_subcommand(spark, capsys):
     assert [(r["revision"], r["status"]) for r in out] == [
         ("rev-C", "new"), ("rev-E", "updated"),
     ]
+
+
+def test_revisions_by_date_case_folds(spark):
+    from log_parser_project_spark import revisions as rev
+
+    assert [r.revision for r in rev.revisions_by_date(spark, "february", "2026").collect()] == ["rev-E"]

@@ -170,3 +170,30 @@ def test_tables_lists_committed_tables(spark, cat):
     cat.write_table(_df(spark, [(1, "a", "x")]), "t")
     cat.write_table(_df(spark, [(2, "b", "y")]), "agg_by_route")
     assert cat.tables() == ["agg_by_route", "t"]
+
+
+def test_phantom_log_line_excluded_even_after_next_commit(spark, cat):
+    """Chain-walking history: a phantom (uncommitted) log line must stay
+    out of history even once later commits make it an INTERIOR line —
+    tail-truncation alone would resurrect it (review r02 finding)."""
+    from dataclasses import asdict
+
+    from log_parser_project_spark.catalog import Snapshot
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    phantom = Snapshot(
+        snapshot_id="feedfeed", table="t", row_count=1, committed_at_unix=0.0,
+        parent_id=s2.snapshot_id, op="overwrite",
+        state=[{"dir": "t/snap-00003-feedfeed", "exclude": []}], sequence=3,
+    )
+    with open(cat._log_path("t"), "a") as f:
+        f.write(json.dumps(asdict(phantom)) + "\n")
+    # recovery: the next commit parents onto s2, leaving the phantom
+    # as an interior line
+    s3 = cat.write_table(_df(spark, [(3, "c", "z")]), "t")
+    ids = [h.snapshot_id for h in cat.history("t")]
+    assert "feedfeed" not in ids
+    assert ids[-2:] == [s2.snapshot_id, s3.snapshot_id]
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of="feedfeed")
