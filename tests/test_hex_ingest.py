@@ -359,3 +359,83 @@ def test_decode_versioned_rejects_wide_int_float_mix(spark):
     v2 = [hex_ingest.FieldDef("m", 8, 32, "float32")]
     with _pytest.raises(ValueError, match="53"):
         hex_ingest.decode_versioned(df, F.col("ver"), {1: v1, 2: v2})
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random layouts + payloads vs a pure-Python struct oracle
+# ---------------------------------------------------------------------------
+
+def _py_decode(payload: bytes, fld):
+    """Independent row-at-a-time reference decoder (the reference
+    engine's own strategy: int.from_bytes + struct.unpack)."""
+    import struct as _struct
+
+    if fld.type_name in ("float32", "float64"):
+        nb = fld.length_bits // 8
+        off = fld.offset_bits // 8
+        raw = payload[off:off + nb]
+        return _struct.unpack("<f" if nb == 4 else "<d", raw)[0]
+    if fld.type_name == "string":
+        off, nb = fld.offset_bits // 8, fld.length_bits // 8
+        raw = payload[off:off + nb]
+        nul = raw.find(b"\x00")
+        if nul != -1:
+            raw = raw[:nul]
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return raw.hex()
+    whole = int.from_bytes(payload, "little")
+    raw = (whole >> fld.offset_bits) & ((1 << fld.length_bits) - 1)
+    if fld.type_name == "bool":
+        return raw == 1
+    if fld.type_name == "int" and raw >= 1 << (fld.length_bits - 1):
+        return raw - (1 << fld.length_bits)
+    return raw
+
+
+def test_fuzz_layout_decode_vs_python_oracle(spark):
+    """Random layouts (every field type, random bit offsets for integer
+    types, byte-aligned for float/string) over random payloads: the
+    expression decoder agrees with the pure-Python reference decoder
+    on every field of every row."""
+    import math
+    import random
+
+    from log_parser_project_spark.sources import hex_ingest
+
+    rnd = random.Random(42)
+
+    def gen_layout(r):
+        fields, cursor = [], 0
+        for i in range(r.randint(1, 6)):
+            t = r.choice(["uint", "int", "bool", "float32", "float64", "string"])
+            if t in ("float32", "float64", "string"):
+                cursor = (cursor + 7) // 8 * 8  # byte-align
+                bits = {"float32": 32, "float64": 64, "string": r.choice([16, 32])}[t]
+            elif t == "bool":
+                bits = 1
+            else:
+                bits = r.randint(2, 48)
+            fields.append(hex_ingest.FieldDef(f"f{i}", cursor, bits, t))
+            cursor += bits
+        return fields, (cursor + 7) // 8
+
+    for trial in range(25):
+        layout, n_bytes = gen_layout(rnd)
+        payloads = [bytes(rnd.getrandbits(8) for _ in range(n_bytes)) for _ in range(8)]
+        df = spark.createDataFrame(
+            [(i, p.hex()) for i, p in enumerate(payloads)], "i long, payload_hex string"
+        )
+        got = {r.i: r for r in hex_ingest.decode_fields(df, layout).collect()}
+        for i, p in enumerate(payloads):
+            for fld in layout:
+                want = _py_decode(p, fld)
+                have = got[i][fld.name]
+                if isinstance(want, float):
+                    if math.isnan(want):
+                        assert math.isnan(have), (trial, fld, p.hex())
+                    else:
+                        assert have == want, (trial, fld, p.hex(), have, want)
+                else:
+                    assert have == want, (trial, fld, p.hex(), have, want)
