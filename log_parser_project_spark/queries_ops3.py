@@ -238,8 +238,9 @@ _PIPELINE_SQL = f"""
 
 @_register("q_pl_routed_events", _PIPELINE_SQL)
 def q_pl_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL pipeline (Arrow-batched pandas-UDF extraction path) over
-    events-derived transcripts, flattened for the oracle compare."""
+    """The REAL pipeline (extractor="auto" → compiled-JVM for the
+    shipped registry) over events-derived transcripts, flattened for
+    the oracle compare."""
     from .plans.pipeline import build_routed
 
     routed = build_routed(spark, events_transcripts(spark, sf_dir))
@@ -291,9 +292,11 @@ def q_pl_repeat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_repeats`` (the repeating-record expansion of
     ``payload_decoder.py:133-209``) on the events-derived transcripts,
     against a DuckDB unnest-with-ordinality oracle."""
-    from .operators.parse import explode_repeats, parse
+    from .operators.parse import choose_extractor, explode_repeats, parse, parse_builtin
 
-    parsed = parse(events_transcripts(spark, sf_dir))
+    t = events_transcripts(spark, sf_dir)
+    impl = choose_extractor(spark)
+    parsed = parse_builtin(t) if impl == "jvm" else parse(t, impl=impl)
     return explode_repeats(parsed)
 
 
