@@ -53,11 +53,14 @@ def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     slower); common-subexpression elimination does not reach inside
     higher-order-function lambdas."""
     toks = F.col("__toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
+    # guard short docs: sequence(1, 0) DESCENDS in Spark ([1, 0]) and
+    # would feed element_at index 0
+    sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -243,4 +246,30 @@ def simhash_pairs(
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ANY word
+    n-gram with the benchmark/eval set (the standard n-gram-overlap
+    contamination test run before training). Returns the contaminated
+    corpus ids.
+
+    Plan: shingle both sides, semi-join corpus shingles against the
+    (broadcastable — eval sets are small) benchmark shingle set, then
+    reduce to distinct ids. Shuffle ∝ corpus shingles; the benchmark
+    side broadcasts, so no all-pairs comparison ever materializes.
+    """
+    bench_sh = word_shingles(benchmark, n, id_col, text_col).select("shingle").distinct()
+    corp_sh = word_shingles(corpus, n, id_col, text_col)
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
     )

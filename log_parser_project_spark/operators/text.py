@@ -107,6 +107,54 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def ngram_array(col: str | Column = "text", n: int = 3) -> Column:
+    """In-row word n-gram array (duplicates preserved, document order).
+    Guarded for short docs: ``sequence(1, 0)`` DESCENDS in Spark
+    ([1, 0]), which would feed ``element_at`` index 0 and error."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(col: str | Column = "text", n: int = 3) -> Column:
+    """Intra-document repetition: the fraction of n-grams that are
+    repeats of an earlier n-gram in the same document
+    (``(total − distinct) / total``; 0 for docs shorter than n tokens).
+    The Gopher/C4-style quality signal that catches boilerplate loops
+    and degenerate generations. Expression-only."""
+    grams = ngram_array(col, n)
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return F.when(total > 0, F.round(dup / total, 4)).otherwise(F.lit(0.0))
+
+
+# engine-portable redaction patterns (explicit classes — identical
+# semantics under Java regex and RE2/DuckDB)
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+LONG_NUMBER_RX = "[0-9][0-9][0-9][0-9][0-9][0-9]+"  # 6+ digit runs
+
+
+def redact(col: str | Column = "text") -> Column:
+    """PII-style scrubbing pass: emails → ``<EMAIL>``, 6+-digit number
+    runs → ``<NUM>`` (ids, phones, cards). The standard pre-training
+    hygiene step; extend the pattern list per policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    return F.regexp_replace(out, LONG_NUMBER_RX, "<NUM>")
+
+
+def redaction_count(col: str | Column = "text") -> Column:
+    """How many spans :func:`redact` would replace (audit metric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RX), 0))
+    no_email = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    n_num = F.size(F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_RX), 0))
+    return n_email + n_num
+
+
 def subword_token_count(col: str | Column = "text") -> Column:
     """BPE-style pre-tokenization count: word runs + individual
     punctuation marks (the GPT-2-ish ``\\w+|[^\\w\\s]`` split) —

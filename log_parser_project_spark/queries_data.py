@@ -294,3 +294,154 @@ def q_tx_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(subword_token_count("text")).cast("long").alias("sum_subword_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ===========================================================================
+# Round-2 additions: repetition, decontamination, PII redaction
+# ===========================================================================
+
+@_register(
+    "q_tx_repetition",
+    """
+    WITH g AS (
+      SELECT source,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM (SELECT source,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    ),
+    r AS (
+      SELECT source,
+             CASE WHEN len(grams) > 0
+                  THEN ROUND(1.0 * (len(grams) - len(list_distinct(grams))) / len(grams), 4)
+                  ELSE 0.0 END AS rep
+      FROM g
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ROUND(rep * 10000)) AS BIGINT) AS sum_rep_e4,
+           CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM r GROUP BY source
+    """,
+)
+def q_tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document n-gram repetition (Gopher/C4 quality signal):
+    duplicate-3-gram fraction per doc, rolled up per source in exact
+    e4 fixed-point plus a >20% repetitive-doc count."""
+    from .operators.text import repetition_ratio
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    rep = repetition_ratio("text", 3)
+    return d.select("source", rep.alias("rep")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("rep") * 10000)).cast("long").alias("sum_rep_e4"),
+        F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).cast("long").alias("n_repetitive"),
+    )
+
+
+@_register(
+    "q_dd_contamination",
+    """
+    WITH docs AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4])) AS shingle
+      FROM docs
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id, s.source
+      FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc_id % 29 <> 0
+    )
+    SELECT d.source,
+           COUNT(*) AS n_corpus_docs,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id % 29 <> 0) d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (5-gram overlap): docs with
+    doc_id % 29 == 0 play the eval set; corpus docs sharing any 5-gram
+    with it are flagged, rolled up per source."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    bad = dedup.contaminated_ids(corpus, bench, n=5)
+    return (
+        corpus.join(bad.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_docs"),
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+
+
+@_register(
+    "q_tx_redact",
+    """
+    WITH t AS (
+      SELECT event_type,
+             printf('contact u%d@ex%d.com id=%d ok ref %d',
+                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT),
+                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 7,
+                    event_id + 1000000,
+                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 100) AS text
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                              '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS clean,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) +
+             len(regexp_extract_all(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                                '<EMAIL>', 'g'),
+                 '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_red
+      FROM t
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(n_red) AS BIGINT) AS n_redactions,
+           CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_email,
+           CAST(SUM(CASE WHEN clean LIKE '%<NUM>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_num
+    FROM r GROUP BY event_type
+    """,
+)
+def q_tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails, 6+-digit runs) over deterministic
+    synthetic contact lines: both engines build identical text from
+    (k, event_id), redact it, and tally redaction audit counters."""
+    from .operators.text import redact, redaction_count
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    text = F.format_string(
+        "contact u%d@ex%d.com id=%d ok ref %d", k, k % 7, F.col("event_id") + 1000000, k % 100
+    )
+    t = ev.select("event_type", text.alias("text"))
+    return (
+        t.select(
+            "event_type",
+            redact("text").alias("clean"),
+            redaction_count("text").alias("n_red"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_red").cast("long").alias("n_redactions"),
+            F.sum(F.when(F.col("clean").contains("<EMAIL>"), 1).otherwise(0)).cast("long").alias("n_with_email"),
+            F.sum(F.when(F.col("clean").contains("<NUM>"), 1).otherwise(0)).cast("long").alias("n_with_num"),
+        )
+    )

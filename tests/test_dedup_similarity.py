@@ -254,3 +254,47 @@ def test_est_partitions_formula():
     est = _est_partitions([100 * 1024] * 64, 4 * MB, 128 * MB, 32)
     assert 16 <= est <= 64
     assert _est_partitions([], 4 * MB, 128 * MB, 32) == 0
+
+
+def test_repetition_ratio_and_redact_units(spark):
+    from log_parser_project_spark.operators.text import redact, redaction_count, repetition_ratio
+
+    rows = [
+        (0, "a b c a b c a b c"),            # heavy 3-gram repetition
+        (1, "all distinct words here now"),  # none
+        (2, "x y"),                          # shorter than n → 0
+        (3, "mail me at bob.smith+x@ex-a.co.uk or 1234567 now"),
+        (4, "no pii 12345 here"),            # 5 digits — below threshold
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: (r.rep, r.clean, r.nred) for r in df.select(
+        "i", repetition_ratio("text", 3).alias("rep"),
+        redact("text").alias("clean"), redaction_count("text").alias("nred")).collect()}
+    assert out[0][0] > 0.5 and out[1][0] == 0.0 and out[2][0] == 0.0
+    assert out[3][1] == "mail me at <EMAIL> or <NUM> now" and out[3][2] == 2
+    assert out[4][1] == "no pii 12345 here" and out[4][2] == 0
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    from log_parser_project_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "prefix words then the quick brown fox jumps here"),  # shares a 5-gram
+        (2, "completely different content with no overlap at all"),
+        (3, "quick brown fox jumps over too short"),               # shares 5-gram
+    ], "doc_id long, text string")
+    got = {r.doc_id for r in dedup.contaminated_ids(corpus, bench, n=5).collect()}
+    assert got == {1, 3}
+
+
+def test_word_shingles_short_docs_no_crash(spark):
+    """Docs shorter than n tokens must shingle to nothing, not crash
+    (sequence(1,0) descends in Spark and element_at(_, 0) errors)."""
+    from log_parser_project_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, ""), (3, "a b c d")], "doc_id long, text string")
+    got = dedup.word_shingles(df, n=3).collect()
+    assert {r.doc_id for r in got} == {3}
