@@ -574,3 +574,52 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.pq_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+# ---------------------------------------------------------------------------
+# R4: Structured Streaming under the oracle gate
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_r4_stream_hourly",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+           event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (R4) value-checked against a batch oracle:
+    readStream over the events parquet → stateful hourly aggregate →
+    availableNow drain into a memory sink (complete mode). The final
+    streaming state must equal the plain batch GROUP BY — the
+    micro-batch incremental aggregation is exercised for real
+    (maxFilesPerTrigger on a multi-file copy is covered in
+    tests/test_checkpoint_streaming.py; the driver table is one file)."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source requires a DIRECTORY; expose the table
+    # file through a throwaway symlink dir
+    d = tempfile.mkdtemp(prefix="q_r4_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = spark.readStream.schema(schema).parquet(d)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = src.groupBy(
+        (F.floor(us / 3_600_000_000) * 3600).cast("long").alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"q_r4_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
