@@ -81,17 +81,24 @@ def jaccard_pairs(
     ``max_doc_freq`` drops shingles present in more than that many docs
     before the self-join (stop-shingle guard for scale).
     """
-    sh = word_shingles(df, n, id_col, text_col)
+    # join/group on the shingle's xxhash64, not the ~30-char string:
+    # ~4× smaller shuffle keys. Distinct-shingle semantics survive any
+    # 64-bit collision only probabilistically — P(collision) ≈ m²/2⁶⁵
+    # (~1e-11 at a million distinct shingles), the standard trade every
+    # production shingle pipeline makes.
+    sh = word_shingles(df, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
     if max_doc_freq is not None:
-        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") <= max_doc_freq
         )
-        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+        sh = sh.join(rare.select("sh"), "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -266,10 +273,16 @@ def contaminated_ids(
     reduce to distinct ids. Shuffle ∝ corpus shingles; the benchmark
     side broadcasts, so no all-pairs comparison ever materializes.
     """
-    bench_sh = word_shingles(benchmark, n, id_col, text_col).select("shingle").distinct()
-    corp_sh = word_shingles(corpus, n, id_col, text_col)
+    bench_sh = (
+        word_shingles(benchmark, n, id_col, text_col)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    corp_sh = word_shingles(corpus, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
     return (
-        corp_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        corp_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
         .select(id_col)
         .distinct()
     )
