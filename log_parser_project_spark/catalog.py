@@ -137,6 +137,43 @@ class Catalog:
         with open(mpath) as f:
             return Snapshot(**json.load(f))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        n_buckets: int,
+        sort_by: str | None = None,
+        mode: str = "overwrite",
+    ) -> DataFrame:
+        """Bucketed table for co-located joins — the Iceberg
+        ``bucket(N, col)`` partition-transform analog. Two tables
+        bucketed on the same key and bucket count join with NO shuffle
+        Exchange on either side (asserted in tests/test_plans.py);
+        at 100 TB that turns every repeated fact⋈fact join on the
+        bucket key into a local sort-merge. Lives in the Spark session
+        catalog (``bucketBy`` requires ``saveAsTable``), unlike the
+        path-based snapshot tables."""
+        if mode == "overwrite":
+            # a managed-table location can survive a crashed/foreign
+            # session whose in-memory catalog entry is gone —
+            # saveAsTable then fails LOCATION_ALREADY_EXISTS
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            loc = os.path.join(
+                self.spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).removeprefix("file:"),
+                table.lower(),
+            )
+            if os.path.isdir(loc):
+                import shutil
+
+                shutil.rmtree(loc)
+        writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+        writer = writer.sortBy(sort_by or bucket_by)
+        writer.saveAsTable(table)
+        return self.spark.table(table)
+
     def tables(self) -> list[str]:
         """Committed table names (those with a pointer manifest)."""
         return sorted(

@@ -126,3 +126,33 @@ def test_jaccard_contract_runs_guarded(spark, sf_dir):
     fn, _ = QUERIES["q_dd_jaccard3_pairs"]
     plan = _optimized(fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing (the Iceberg bucket(N, col)
+    analog): both sides bucketed on the join key at the same bucket
+    count ⇒ the sort-merge join plans with NO Exchange on either side,
+    and results equal the plain join."""
+    import pyspark.sql.functions as F
+
+    from log_parser_project_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "o_custkey", F.col("c_custkey")
+    )
+    bo = cat.write_bucketed(o, "bt_orders", "o_custkey", 8)
+    bc = cat.write_bucketed(c, "bt_cust", "o_custkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bc, "o_custkey")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        want = o.join(c, "o_custkey").count()
+        assert j.count() == want > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_cust")
