@@ -43,3 +43,44 @@ def test_salt_spreads_hot_key(spark):
     ).collect()
     assert len(buckets) == 32
     assert max(r.n for r in buckets) < 10_000 * 0.2  # no bucket hogs the key
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew-join handling (the hot-conv_id shape at join
+    time, complementing the salted aggregate path): one key carrying
+    ~90% of the fact rows makes the sort-merge join re-plan with
+    skew=true — the skewed partition is split across tasks instead of
+    serializing on one reducer."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000).cast("long").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("w"))
+        j = left.join(right, "k").select(F.sum(F.length("v")).alias("s"))
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        # and the answer is still exact
+        want = left.join(F.broadcast(right), "k").select(F.sum(F.length("v"))).first()[0]
+        assert row.s == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
