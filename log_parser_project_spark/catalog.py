@@ -159,11 +159,19 @@ class Catalog:
             # session whose in-memory catalog entry is gone —
             # saveAsTable then fails LOCATION_ALREADY_EXISTS
             self.spark.sql(f"DROP TABLE IF EXISTS {table}")
-            loc = os.path.join(
-                self.spark.conf.get(
-                    "spark.sql.warehouse.dir", "spark-warehouse"
-                ).removeprefix("file:"),
-                table.lower(),
+            if "." in table:
+                db, tbl = table.rsplit(".", 1)
+            else:
+                db, tbl = self.spark.catalog.currentDatabase(), table
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            # managed-table layout: <wh>/<tbl> for default db, else
+            # <wh>/<db>.db/<tbl>
+            loc = (
+                os.path.join(wh, tbl.lower())
+                if db == "default"
+                else os.path.join(wh, f"{db.lower()}.db", tbl.lower())
             )
             if os.path.isdir(loc):
                 import shutil

@@ -289,10 +289,16 @@ def _has_optional_capture(regex: str) -> bool:
     except Exception:
         return True  # unanalyzable → be conservative
 
+    # ops with no nested subpattern — safe to skip
+    _terminal = {
+        "LITERAL", "NOT_LITERAL", "IN", "ANY", "AT", "CATEGORY",
+        "RANGE", "NEGATE", "GROUPREF", "GROUPREF_EXISTS",
+    }
+
     def walk(items, optional: bool) -> bool:
         for op, av in items:
             name = str(op)
-            if name in ("MAX_REPEAT", "MIN_REPEAT"):
+            if name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
                 lo, _hi, sub = av
                 if walk(sub, optional or lo == 0):
                     return True
@@ -311,6 +317,11 @@ def _has_optional_capture(regex: str) -> bool:
                 _direction, sub = av
                 if walk(sub, True):  # lookaround captures are murky
                     return True
+            elif name == "ATOMIC_GROUP":
+                if walk(av, optional):
+                    return True
+            elif name not in _terminal:
+                return True  # unknown composite — be conservative
         return False
 
     return walk(tree, False)
@@ -337,10 +348,16 @@ def choose_extractor(spark, patterns: tuple[Pattern, ...] = PATTERNS) -> str:
     * else ``pandas`` — Python ``re`` semantics, the universal
       fallback (and what the pure-Python oracle implements).
     """
-    if all(_portable(p.regex) for p in patterns):
+    # the repeat-group regex is part of the engine contract too: the
+    # jvm path runs it through Java regexp_extract_all, so it needs
+    # the same portability screen as the main pattern
+    all_rx = [p.regex for p in patterns] + [
+        p.repeat_group for p in patterns if p.repeat_group
+    ]
+    if all(_portable(rx) for rx in all_rx):
         try:
-            for p in patterns:
-                spark._jvm.java.util.regex.Pattern.compile(_java_rx(p.regex))
+            for rx in all_rx:
+                spark._jvm.java.util.regex.Pattern.compile(_java_rx(rx))
             return "jvm"
         except Exception:
             pass

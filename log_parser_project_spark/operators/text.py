@@ -107,11 +107,14 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def ngram_array(col: str | Column = "text", n: int = 3) -> Column:
-    """In-row word n-gram array (duplicates preserved, document order).
+def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram array from a TOKEN-ARRAY column (duplicates
+    preserved, document order). Pass a *materialized* token column on
+    hot paths — CSE cannot reach inside higher-order-function lambdas,
+    so inlining the tokenizer re-splits once per ``element_at``
+    reference (the 19×-slower shape ``dedup.word_shingles`` documents).
     Guarded for short docs: ``sequence(1, 0)`` DESCENDS in Spark
     ([1, 0]), which would feed ``element_at`` index 0 and error."""
-    toks = tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
@@ -119,16 +122,29 @@ def ngram_array(col: str | Column = "text", n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_ratio(col: str | Column = "text", n: int = 3) -> Column:
-    """Intra-document repetition: the fraction of n-grams that are
-    repeats of an earlier n-gram in the same document
-    (``(total − distinct) / total``; 0 for docs shorter than n tokens).
-    The Gopher/C4-style quality signal that catches boilerplate loops
-    and degenerate generations. Expression-only."""
-    grams = ngram_array(col, n)
+def ngram_array(col: str | Column = "text", n: int = 3) -> Column:
+    """One-shot convenience: tokenize + n-gram in a single expression.
+    Fine for ad-hoc use; hot paths should materialize ``tokens()`` into
+    a column first and call :func:`ngrams_of_tokens` (see there)."""
+    return ngrams_of_tokens(tokens(col), n)
+
+
+def repetition_of_grams(grams: Column) -> Column:
+    """``(total − distinct) / total`` over an n-gram-array column; 0
+    for empty. Reference a materialized grams column on hot paths."""
     total = F.size(grams)
     dup = total - F.size(F.array_distinct(grams))
     return F.when(total > 0, F.round(dup / total, 4)).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(col: str | Column = "text", n: int = 3) -> Column:
+    """Intra-document repetition: the fraction of n-grams that are
+    repeats of an earlier n-gram in the same document. The Gopher/C4
+    quality signal that catches boilerplate loops and degenerate
+    generations. One-shot expression — hot paths stage
+    ``tokens`` → ``ngrams_of_tokens`` → ``repetition_of_grams``
+    through materialized columns instead."""
+    return repetition_of_grams(ngram_array(col, n))
 
 
 # engine-portable redaction patterns (explicit classes — identical

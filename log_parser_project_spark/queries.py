@@ -53,7 +53,9 @@ def _est_partitions(sizes: list[int], open_cost: int, max_pb: int, parallelism: 
 def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     raw = str(spark.conf.get(key, str(default))).strip().lower()
     mult = 1
-    for suf, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("b", 1)):
+    # two-letter forms first: "64kb" must not parse as "64k" + stray 'b'
+    for suf, m in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
+                   ("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40), ("b", 1)):
         if raw.endswith(suf):
             raw = raw[: -len(suf)]
             mult = m

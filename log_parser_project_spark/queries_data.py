@@ -328,11 +328,18 @@ def q_tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document n-gram repetition (Gopher/C4 quality signal):
     duplicate-3-gram fraction per doc, rolled up per source in exact
     e4 fixed-point plus a >20% repetitive-doc count."""
-    from .operators.text import repetition_ratio
+    from .operators.text import ngrams_of_tokens, repetition_of_grams, tokens
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    rep = repetition_ratio("text", 3)
-    return d.select("source", rep.alias("rep")).groupBy("source").agg(
+    # staged projections: tokenize ONCE, gram ONCE, then the ratio —
+    # inlining the tokenizer into the n-gram lambda re-splits per
+    # element_at reference (CSE can't reach inside HOF lambdas)
+    staged = (
+        d.select("source", tokens("text").alias("__toks"))
+        .select("source", ngrams_of_tokens(F.col("__toks"), 3).alias("__grams"))
+        .select("source", repetition_of_grams(F.col("__grams")).alias("rep"))
+    )
+    return staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.round(F.col("rep") * 10000)).cast("long").alias("sum_rep_e4"),
         F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).cast("long").alias("n_repetitive"),

@@ -621,5 +621,11 @@ def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)  # source fully drained
+    # the memory-sink table IS the result — it lives for the session
     return spark.table(name)

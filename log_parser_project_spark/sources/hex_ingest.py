@@ -280,6 +280,16 @@ def decode_versioned(
             all_fields.setdefault(fld.name, []).append((v, fld))
     for name, variants in all_fields.items():
         any_float = any(f.type_name in ("float32", "float64") for _, f in variants)
+        any_string = any(f.type_name == "string" for _, f in variants)
+        if any_string and len(variants) != sum(
+            1 for _, f in variants if f.type_name == "string"
+        ):
+            # a text/numeric union would silently reinterpret one or
+            # the other — refuse instead
+            raise ValueError(
+                f"field {name}: string variants cannot share a "
+                "version-dispatched column with numeric variants"
+            )
         if any_float:
             for _, f in variants:
                 if f.type_name not in ("float32", "float64") and f.length_bits > 53:
@@ -290,9 +300,12 @@ def decode_versioned(
                         "cannot share a version-dispatched column with float "
                         "variants (doubles hold 53 integer bits exactly)"
                     )
-        expr = F.lit(None).cast("double" if any_float else "long")
+        union_type = "string" if any_string else ("double" if any_float else "long")
+        expr = F.lit(None).cast(union_type)
         for v, fld in variants:
-            if fld.type_name in ("float32", "float64"):
+            if fld.type_name == "string":
+                raw = _decode_string(p, fld)
+            elif fld.type_name in ("float32", "float64"):
                 raw = _decode_float(p, fld)
             else:
                 raw = _slice_payload_bits(p, fld.offset_bits, fld.length_bits)

@@ -379,3 +379,43 @@ def test_optional_group_registry_stays_on_pandas(spark):
         ),
     )
     assert choose_extractor(spark, opt) == "pandas"
+
+
+def test_optional_capture_detection_handles_exotic_ops():
+    """Possessive quantifiers / atomic groups (py3.11 re) and unknown
+    composites must not slip optional captures past the detector."""
+    from log_parser_project_spark.operators.parse import _has_optional_capture
+
+    assert _has_optional_capture(r"^X(?:(?P<a>[a-z])b)*+$")
+    assert _has_optional_capture(r"^X(?>(?P<a>[a-z]+) )?y$")
+    assert not _has_optional_capture(r"^X(?>(?P<a>[a-z]+)) y$")
+
+
+def test_choose_extractor_screens_repeat_group(spark):
+    """A portable main regex with an engine-divergent repeat_group
+    (\\w tracks different Unicode tables per engine) must not go jvm."""
+    from log_parser_project_spark.operators.parse import choose_extractor
+
+    pats = (
+        Pattern(
+            pattern_class="alloc", version=1,
+            regex=r"^ALLOC (?P<items>(?:[a-z]+=[0-9]+ ?)+)$",
+            groups=("items",), route="sink_alloc", prefix="ALLOC ",
+            repeat_group=r"(\w+)=(\d+)", repeat_fields=("res", "amount"),
+        ),
+    )
+    assert choose_extractor(spark, pats) == "pandas"
+
+
+def test_bytes_conf_two_letter_suffixes(spark):
+    from log_parser_project_spark.queries import _bytes_conf
+
+    spark.conf.set("x.test.bytes", "64kb")
+    assert _bytes_conf(spark, "x.test.bytes", 1) == 64 * 1024
+    spark.conf.set("x.test.bytes", "1gb")
+    assert _bytes_conf(spark, "x.test.bytes", 1) == 2**30
+    spark.conf.set("x.test.bytes", "134217728b")
+    assert _bytes_conf(spark, "x.test.bytes", 1) == 134217728
+    spark.conf.set("x.test.bytes", "weird")
+    assert _bytes_conf(spark, "x.test.bytes", 42) == 42
+    spark.conf.unset("x.test.bytes")

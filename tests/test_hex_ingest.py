@@ -439,3 +439,24 @@ def test_fuzz_layout_decode_vs_python_oracle(spark):
                         assert have == want, (trial, fld, p.hex(), have, want)
                 else:
                     assert have == want, (trial, fld, p.hex(), have, want)
+
+
+def test_decode_versioned_string_variants(spark):
+    """All-string variants dispatch through the string decoder; mixed
+    string/numeric unions are refused."""
+    import pytest as _pytest
+
+    from log_parser_project_spark.sources import hex_ingest
+
+    rows = [(1, "01" + b"AB\x00Z".hex()), (2, "02" + b"WXYZ".hex())]
+    df = spark.createDataFrame(rows, "ver long, payload_hex string")
+    v1 = [hex_ingest.FieldDef("s", 8, 32, "string")]
+    v2 = [hex_ingest.FieldDef("s", 8, 16, "string")]
+    dec = hex_ingest.decode_versioned(df, F.col("ver"), {1: v1, 2: v2})
+    got = {r.layout_version: r.s for r in dec.collect()}
+    assert got[1] == "AB" and got[2] == "WX"
+    with _pytest.raises(ValueError, match="string variants"):
+        hex_ingest.decode_versioned(
+            df, F.col("ver"),
+            {1: v1, 2: [hex_ingest.FieldDef("s", 8, 8, "uint")]},
+        )
