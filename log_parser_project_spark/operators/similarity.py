@@ -169,6 +169,53 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means on the unit sphere (spherical
+    k-means), fully deterministic: init = first ``k`` corpus vectors by
+    id (normalized), then per iteration ONE expression-side assignment
+    pass (argmax cosine against broadcast centroid literals — no UDF,
+    no explode) and ONE partial-aggregated groupBy computing all
+    per-dimension means as ``dim`` avg() expressions. Driver state is
+    k×dim floats per iteration — aggregate-sized, never corpus-sized.
+    Cells that go empty keep their previous centroid. Returns the
+    unit-normalized centroid list for :func:`ivf_topk` /
+    :func:`pq_topk`."""
+    import math
+
+    def _norm_rows(rows_vals: list[list[float]]) -> list[list[float]]:
+        out = []
+        for v in rows_vals:
+            nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+            out.append([x / nrm for x in v])
+        return out
+
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = _norm_rows([[float(x) for x in r[vec_col]] for r in init])
+    if not cents:
+        return []
+    dim = len(cents[0])
+
+    for _ in range(iters):
+        sims = F.array(*[dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col)) for c in cents])
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        means = (
+            corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
+            .groupBy("cell")
+            .agg(*[F.avg(F.element_at(F.col("v"), d + 1)).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        for r in means:
+            cents[r["cell"]] = [float(r[f"d{d}"]) for d in range(dim)]
+        cents = _norm_rows(cents)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,29 +224,21 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    The deterministic quantizer takes the first ``n_cells`` corpus
-    vectors (by id) as centroids — at real scale you'd k-means them,
-    but the *plan shape* is identical: corpus vectors are assigned to
-    their nearest centroid cell (argmax cosine, computed as dot against
-    unit-norm centroid literals — all expression-side), queries probe
-    their ``n_probe`` nearest cells, candidates come from a cell-key
-    equi-join, and the exact cosine re-rank runs only within probed
-    cells. Shuffle volume ∝ corpus (one cell key per vector), not
-    corpus × queries.
+    Centroids come from :func:`kmeans_centroids` (deterministic
+    spherical k-means; ``kmeans_iters=0`` degrades to the first-k
+    init). Corpus vectors are assigned to their nearest centroid cell
+    (argmax cosine against unit-norm centroid literals — all
+    expression-side), queries probe their ``n_probe`` nearest cells,
+    candidates come from a cell-key equi-join, and the exact cosine
+    re-rank runs only within probed cells. Shuffle volume ∝ corpus
+    (one cell key per vector), not corpus × queries.
     """
-    import math
-
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    )
-    cents = []
-    for r in cent_rows:
-        v = [float(x) for x in r[vec_col]]
-        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append([x / nrm for x in v])
+    cents = kmeans_centroids(corpus, n_cells, iters=kmeans_iters,
+                             id_col=id_col, vec_col=vec_col)
 
     def cell_sims(vec: Column) -> Column:
         return F.array(*[dot(F.array(*[F.lit(x) for x in c]), vec) for c in cents])
@@ -488,6 +527,7 @@ def pq_topk(
     rerank: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """Approximate top-k via product quantization (PQ) with asymmetric
     distance computation and exact re-rank — the embedding-compression
@@ -496,9 +536,10 @@ def pq_topk(
     100 TB float corpus becomes a few TB of codes; scanning is ``m``
     table lookups per vector instead of a ``dim``-wide dot product.
 
-    Codebooks are deterministic (subspace slices of the first
-    ``n_cells`` corpus vectors, the same plan-shape stand-in for
-    k-means as :func:`ivf_topk`). Per partition (``mapInPandas``):
+    Codebooks are subspace slices of :func:`kmeans_centroids` output
+    (deterministic spherical k-means; true per-subspace codebook
+    training would run k-means on each slice independently — same
+    plumbing, m× the training cost). Per partition (``mapInPandas``):
     encode the batch, ADC-score it against every query's lookup table,
     keep the ``rerank·k`` best candidates, and re-rank those few with
     the EXACT cosine (the raw vectors are still in the batch — the
@@ -518,11 +559,12 @@ def pq_topk(
     qn[qn == 0] = 1.0
     Qn = Q / qn
 
-    cent_rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    if not cent_rows:
+    cent_list = kmeans_centroids(corpus, n_cells, iters=kmeans_iters,
+                                 id_col=id_col, vec_col=vec_col)
+    if not cent_list:
         empty = corpus.sparkSession.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(1)).limit(0)
-    cents = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    cents = np.array(cent_list, dtype=np.float64)
     dim = cents.shape[1]
     if dim < m:
         # one dimension per subspace is the finest meaningful split; a

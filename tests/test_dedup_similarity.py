@@ -298,3 +298,39 @@ def test_word_shingles_short_docs_no_crash(spark):
         [(1, "x y"), (2, ""), (3, "a b c d")], "doc_id long, text string")
     got = dedup.word_shingles(df, n=3).collect()
     assert {r.doc_id for r in got} == {3}
+
+
+def test_kmeans_centroids_reduce_quantization_error(spark, sf_dir):
+    """Lloyd's iterations must not hurt: mean max-cosine of corpus
+    vectors to their nearest centroid is at least as good after 3
+    iterations as with the raw first-k init, and assignments stay
+    deterministic across invocations."""
+    import numpy as np
+
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.array([list(r.embedding) for r in e.select("embedding").collect()], dtype=float)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    def fit(iters):
+        C = np.array(similarity.kmeans_centroids(e, 16, iters=iters), dtype=float)
+        return (X @ C.T).max(axis=1).mean()
+
+    init_q, trained_q = fit(0), fit(3)
+    assert trained_q >= init_q
+    a = similarity.kmeans_centroids(e, 16, iters=3)
+    b = similarity.kmeans_centroids(e, 16, iters=3)
+    assert a == b  # fully deterministic
+
+
+def test_ivf_pq_recall_with_kmeans_quantizer(spark, sf_dir):
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(e, q, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(e, q, k=3, n_cells=16, n_probe=6).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.5
