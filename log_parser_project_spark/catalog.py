@@ -397,6 +397,53 @@ class SnapshotCatalog(Catalog):
             out = out.unionByName(d)
         return out
 
+    # -------------------------------------------------------------- compact
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 2**20,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Rewrite the current table state into ~``target_file_bytes``
+        files — Iceberg's ``rewrite_data_files`` maintenance action.
+        Long-running append/replace workloads accrete small files (every
+        micro-batch or resumed group writes its own); scan planning then
+        pays per-file open cost. Compaction commits ONE fresh snapshot
+        with the same rows (old snapshots stay readable until expiry).
+        Sized from the actual on-disk bytes of the live snapshot, not a
+        row-count guess."""
+        snap = self.snapshot(table)
+        if snap is None:
+            raise LookupError(f"no committed table {table!r}")
+        live_bytes = 0
+        for e in snap.state:
+            absdir = os.path.join(self.warehouse, e["dir"])
+            excl = tuple(x + os.sep for x in e["exclude"])
+            for root, _d, fns in os.walk(absdir):
+                rel = os.path.relpath(root, absdir) + os.sep
+                if excl and rel.startswith(excl):
+                    continue
+                live_bytes += sum(
+                    os.path.getsize(os.path.join(root, fn))
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+        n_files = max(1, -(-live_bytes // target_file_bytes))  # ceil
+        df = self.read_table(table)
+        df = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
+        return self.write_table(
+            df,
+            table,
+            mode="overwrite",
+            partition_by=partition_by,
+            lineage={"stage": "compact", "target_file_bytes": target_file_bytes},
+            row_count=snap.row_count,
+        )
+
     # --------------------------------------------------------------- expire
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots; delete data

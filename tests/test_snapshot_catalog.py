@@ -197,3 +197,28 @@ def test_phantom_log_line_excluded_even_after_next_commit(spark, cat):
     assert ids[-2:] == [s2.snapshot_id, s3.snapshot_id]
     with pytest.raises(LookupError):
         cat.read_table("t", as_of="feedfeed")
+
+
+def test_compact_rewrites_small_files(spark, cat):
+    """Many small append snapshots → compact() commits one snapshot with
+    far fewer files, identical rows, and time travel to the pre-compact
+    state still works."""
+    import glob
+
+    for i in range(6):
+        cat.write_table(
+            _df(spark, [(i * 10 + j, "a", f"v{i}-{j}") for j in range(4)]).repartition(4),
+            "t", mode="append" if i else "overwrite",
+        )
+    before = cat.snapshot("t")
+    n_files_before = len(glob.glob(os.path.join(cat.warehouse, "t", "snap-*", "*.parquet")))
+    rows_before = _vals(cat.read_table("t"))
+    assert n_files_before >= 20  # genuinely fragmented
+
+    snap = cat.compact("t")
+    assert snap.op == "overwrite" and snap.row_count == before.row_count
+    live_dir = os.path.join(cat.warehouse, snap.state[0]["dir"])
+    n_files_after = len(glob.glob(os.path.join(live_dir, "*.parquet")))
+    assert n_files_after <= 2  # tiny table → ~1 file
+    assert _vals(cat.read_table("t")) == rows_before
+    assert _vals(cat.read_table("t", as_of=before.snapshot_id)) == rows_before
