@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--job-id", default="default")
     ap.add_argument(
+        "--compact", action="store_true",
+        help="after the run, rewrite the staging sink into "
+             "~128MB files (rewrite_data_files maintenance)",
+    )
+    ap.add_argument(
         "--keep-snapshots", type=int, default=3,
         help="retain this many snapshots per rewritten table after a "
              "successful run (0 = never expire; repeated runs then grow "
@@ -134,6 +139,11 @@ def main() -> None:
             "metrics": {k: v for k, v in res.metrics.items() if k != "sink_counts"},
             "staging_snapshot": res.staging_snapshot,
         }, default=str))
+
+    from log_parser_project_spark.plans.pipeline import STAGING_TABLE as _STAGING
+
+    if args.compact and catalog.exists(_STAGING):
+        catalog.compact(_STAGING, partition_by=["route", "day"])
 
     # retention: every run rewrites the dim tables and commits fresh
     # sink/agg snapshots — without expiry the warehouse grows per run
