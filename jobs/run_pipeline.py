@@ -140,16 +140,21 @@ def main() -> None:
             "staging_snapshot": res.staging_snapshot,
         }, default=str))
 
-    from log_parser_project_spark.plans.pipeline import STAGING_TABLE as _STAGING
+    from log_parser_project_spark.plans.pipeline import STAGING_TABLE
 
-    if args.compact and catalog.exists(_STAGING):
-        catalog.compact(_STAGING, partition_by=["route", "day"])
+    if args.compact:
+        if args.checkpointed:
+            # per-group atomic overwrite IS the checkpointed commit
+            # mechanism — rewriting the group tree would break resume;
+            # fragmentation there is bounded by groups × routes anyway
+            print(json.dumps({"compact": "skipped",
+                              "reason": "checkpointed per-group layout"}))
+        elif catalog.exists(STAGING_TABLE):
+            catalog.compact(STAGING_TABLE, partition_by=["route", "day"])
 
     # retention: every run rewrites the dim tables and commits fresh
     # sink/agg snapshots — without expiry the warehouse grows per run
     if args.keep_snapshots > 0:
-        from log_parser_project_spark.plans.pipeline import STAGING_TABLE
-
         rewritten = ["dim_patterns", "dim_roles", "dim_tools",
                      "dim_revisions", "dim_revision_classes",
                      STAGING_TABLE, "sink_repeat_records"] + [

@@ -415,10 +415,17 @@ class SnapshotCatalog(Catalog):
         snap = self.snapshot(table)
         if snap is None:
             raise LookupError(f"no committed table {table!r}")
+        # live bytes from the snapshot state; a legacy flat-layout table
+        # (empty state) is measured at the table root instead — without
+        # this, live_bytes=0 would repartition(1) a multi-GB table
+        roots = (
+            [(os.path.join(self.warehouse, e["dir"]),
+              tuple(x + os.sep for x in e["exclude"])) for e in snap.state]
+            if snap.state
+            else [(self.path(table), ())]
+        )
         live_bytes = 0
-        for e in snap.state:
-            absdir = os.path.join(self.warehouse, e["dir"])
-            excl = tuple(x + os.sep for x in e["exclude"])
+        for absdir, excl in roots:
             for root, _d, fns in os.walk(absdir):
                 rel = os.path.relpath(root, absdir) + os.sep
                 if excl and rel.startswith(excl):
@@ -441,7 +448,9 @@ class SnapshotCatalog(Catalog):
             mode="overwrite",
             partition_by=partition_by,
             lineage={"stage": "compact", "target_file_bytes": target_file_bytes},
-            row_count=snap.row_count,
+            # recount: the pointer snapshot's row_count is the last
+            # DELTA's count after append/replace commits, not the table's
+            row_count=None,
         )
 
     # --------------------------------------------------------------- expire

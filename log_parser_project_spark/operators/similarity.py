@@ -177,15 +177,21 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means on the unit sphere (spherical
-    k-means), fully deterministic: init = first ``k`` corpus vectors by
+    k-means) with a deterministic init: first ``k`` corpus vectors by
     id (normalized), then per iteration ONE expression-side assignment
     pass (argmax cosine against broadcast centroid literals — no UDF,
     no explode) and ONE partial-aggregated groupBy computing all
     per-dimension means as ``dim`` avg() expressions. Driver state is
     k×dim floats per iteration — aggregate-sized, never corpus-sized.
-    Cells that go empty keep their previous centroid. Returns the
-    unit-normalized centroid list for :func:`ivf_topk` /
-    :func:`pq_topk`."""
+    Cells that go empty keep their previous centroid; null/short
+    vectors are ignored for training. Returns the unit-normalized
+    centroid list for :func:`ivf_topk` / :func:`pq_topk`.
+
+    Determinism caveat: for a FIXED partitioning the result is
+    reproducible run to run, but ``avg()``'s partial-sum order follows
+    the partitioning, so centroids can differ in low-order bits across
+    different parallelism — an argmax near-tie may then flip a
+    vector's cell (inherent to any floating-point distributed mean)."""
     import math
 
     def _norm_rows(rows_vals: list[list[float]]) -> list[list[float]]:
@@ -195,11 +201,13 @@ def kmeans_centroids(
             out.append([x / nrm for x in v])
         return out
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = _norm_rows([[float(x) for x in r[vec_col]] for r in init])
     if not cents:
         return []
     dim = len(cents[0])
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dim)
 
     for _ in range(iters):
         sims = F.array(*[dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col)) for c in cents])
@@ -211,7 +219,10 @@ def kmeans_centroids(
             .collect()
         )
         for r in means:
-            cents[r["cell"]] = [float(r[f"d{d}"]) for d in range(dim)]
+            vals = [r[f"d{d}"] for d in range(dim)]
+            if r["cell"] is None or any(v is None for v in vals):
+                continue  # malformed rows never update a centroid
+            cents[r["cell"]] = [float(v) for v in vals]
         cents = _norm_rows(cents)
     return cents
 

@@ -324,7 +324,7 @@ def test_kmeans_centroids_reduce_quantization_error(spark, sf_dir):
     assert a == b  # fully deterministic
 
 
-def test_ivf_pq_recall_with_kmeans_quantizer(spark, sf_dir):
+def test_ivf_and_pq_recall_with_kmeans_quantizer(spark, sf_dir):
     from log_parser_project_spark.operators import similarity
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -334,3 +334,22 @@ def test_ivf_pq_recall_with_kmeans_quantizer(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id)
            for r in similarity.ivf_topk(e, q, k=3, n_cells=16, n_probe=6).collect()}
     assert len(ivf & exact) / len(exact) >= 0.5
+    pq = {(r.query_id, r.neighbor_id)
+          for r in similarity.pq_topk(e, q, k=3).collect()}
+    assert len(pq & exact) / len(exact) >= 0.5
+
+
+def test_kmeans_ignores_null_and_ragged_vectors(spark, sf_dir):
+    """Null or wrong-dimension embeddings must not crash training or
+    steer a centroid (review r02b finding)."""
+    from log_parser_project_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bad = spark.createDataFrame(
+        [(100001, None), (100002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    mixed = e.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(bad)
+    cents = similarity.kmeans_centroids(mixed, 8, iters=2)
+    clean = similarity.kmeans_centroids(
+        e.select("vec_id", F.col("embedding").cast("array<double>")), 8, iters=2)
+    assert cents == clean

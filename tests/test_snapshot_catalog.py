@@ -216,7 +216,8 @@ def test_compact_rewrites_small_files(spark, cat):
     assert n_files_before >= 20  # genuinely fragmented
 
     snap = cat.compact("t")
-    assert snap.op == "overwrite" and snap.row_count == before.row_count
+    # row_count is the LIVE table's count (24), not the last delta's (4)
+    assert snap.op == "overwrite" and snap.row_count == len(rows_before) == 24
     live_dir = os.path.join(cat.warehouse, snap.state[0]["dir"])
     n_files_after = len(glob.glob(os.path.join(live_dir, "*.parquet")))
     assert n_files_after <= 2  # tiny table → ~1 file
