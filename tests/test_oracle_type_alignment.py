@@ -1,0 +1,70 @@
+"""Arrow-level type alignment between every Spark contract query and
+its DuckDB oracle — the guard behind the driver's value-hash gate.
+
+Round-1 lesson: three queries produced value-identical results that
+hash-MISMATCHED because the engines widened decimal aggregates
+differently (Spark SUM(DECIMAL(18,2)) → decimal(28,2), DuckDB →
+DECIMAL(38,2)), and DuckDB's SUM(BIGINT) silently returns HUGEINT
+(arrow decimal128(38,0)) where Spark stays int64. This test runs both
+engines at sf0.001 and compares the Arrow schemas column by column, so
+a type-level divergence fails HERE instead of in the driver's
+CORRECTNESS file. Plain integer-width differences (int8 vs int32) are
+tolerated — the driver normalizes those; decimal-vs-integer and
+decimal-precision differences are not.
+"""
+
+import duckdb
+import pytest
+
+import log_parser_project_spark.queries_data  # noqa: F401
+import log_parser_project_spark.queries_hex  # noqa: F401
+import log_parser_project_spark.queries_ops  # noqa: F401
+import log_parser_project_spark.queries_ops2  # noqa: F401
+import log_parser_project_spark.queries_ops3  # noqa: F401
+import log_parser_project_spark.queries_scd  # noqa: F401
+from log_parser_project_spark.queries import QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# width-only differences the driver's compare normalizes away
+_INT_WIDTHS = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"}
+
+
+def _norm(t: str) -> str:
+    if t in _INT_WIDTHS:
+        return "int"
+    if t in ("large_string", "string"):
+        return "string"
+    if t.startswith("timestamp["):
+        return "timestamp"
+    return t
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in QUERIES.items() if sql])
+def test_arrow_types_align(name, spark, duck, sf_dir):
+    fn, sql = QUERIES[name]
+    # LIMIT 0 both sides: the check is about SCHEMAS — don't re-execute
+    # what test_duckdb_parity already executes in full
+    stypes = {f.name: str(f.type) for f in fn(spark, sf_dir).limit(0).toArrow().schema}
+    dtypes = {
+        f.name: str(f.type)
+        for f in duck.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    }
+    assert set(stypes) == set(dtypes), f"{name}: column sets differ"
+    bad = {
+        c: (st, dtypes[c])
+        for c, st in stypes.items()
+        if _norm(st) != _norm(dtypes[c])
+    }
+    assert not bad, f"{name}: arrow type mismatches {bad}"
