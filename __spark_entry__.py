@@ -62,7 +62,7 @@ def _entry(spark: SparkSession) -> DataFrame:
         .groupBy("route", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_value_c"),
             F.sum("k").alias("sum_k"),
         )
     )

@@ -104,36 +104,58 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 @_register(
     "q_a9_pricing_summary",
     """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT)      AS disc_e2
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                                      AS avg_qty,
-           ROUND(AVG(l_discount), 4)                                      AS avg_disc,
-           COUNT(*)                                                       AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(SUM(qty_c) AS BIGINT)                    AS sum_qty_c,
+           CAST(SUM(price_c) AS BIGINT)                  AS sum_base_price_c,
+           CAST(SUM(price_c * (100 - disc_e2)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(CAST(SUM(qty_c) AS BIGINT) * 100 // COUNT(*) AS BIGINT)   AS avg_qty_e4,
+           CAST(CAST(SUM(disc_e2) AS BIGINT) * 100 // COUNT(*) AS BIGINT) AS avg_disc_e4,
+           COUNT(*)                                      AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_a9_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: partial+final hash aggregate with
-    derived measures (the BLER-style post-processed aggregate, A9/A4)."""
+    derived measures (the BLER-style post-processed aggregate, A9/A4).
+
+    Money/quantity sums are BIGINT fixed-point (cents / e4): the 2-decimal
+    inputs become exact integers per row, so sums and integer-div averages
+    are bit-deterministic in BOTH engines regardless of aggregation order —
+    and no decimal type ever reaches the contract output (decimal outputs
+    hash-fail in the driver's comparator even when values are identical)."""
     li = _t(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= cutoff)
+        .select(
+            "l_returnflag", "l_linestatus",
+            cents("l_quantity").alias("qty_c"),
+            cents("l_extendedprice").alias("price_c"),
+            cents("l_discount").alias("disc_e2"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("decimal(28,4)").alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_base_price_c"),
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_e2"))).alias("sum_disc_price_e4"),
+            F.sum("disc_e2").alias("_sum_disc_e2"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_price_c",
+            "sum_disc_price_e4",
+            F.expr("sum_qty_c * 100 div count_order").cast("long").alias("avg_qty_e4"),
+            F.expr("_sum_disc_e2 * 100 div count_order").cast("long").alias("avg_disc_e4"),
+            "count_order",
         )
     )
 
@@ -145,21 +167,24 @@ def q_a9_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type IN ('purchase', 'signup') THEN 'sink_conversions'
                 ELSE 'sink_activity' END AS route,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM events GROUP BY 1
     """,
 )
 def q_a7_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routing-key fan-out tally (A7 accumulator analog + route CASE)."""
+    """Routing-key fan-out tally (A7 accumulator analog + route CASE).
+    Value sum in BIGINT cents — exact and decimal-free (see
+    q_a9_pricing_summary)."""
     ev = _t(spark, sf_dir, "events")
     route = (
         F.when(F.col("event_type") == "error", "sink_errors")
         .when(F.col("event_type").isin("purchase", "signup"), "sink_conversions")
         .otherwise("sink_activity")
     )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ev.groupBy(route.alias("route")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_value"),
+        F.sum(cents).alias("sum_value_c"),
     )
 
 
@@ -216,7 +241,7 @@ def q_a9_error_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -226,11 +251,13 @@ def q_a9_error_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact→dim broadcast hash-join chain (J1/J2): orders enriched
-    through customer→nation→region, then aggregated."""
+    through customer→nation→region, then aggregated. Revenue in BIGINT
+    cents — exact and decimal-free (see q_a9_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -238,7 +265,7 @@ def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("revenue"),
+            F.sum(cents).alias("revenue_c"),
         )
     )
 

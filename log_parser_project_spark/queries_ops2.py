@@ -217,7 +217,7 @@ def q_j4_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_j7_fact_join",
     """
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -225,15 +225,17 @@ def q_j4_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_j7_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain two-table equi-join (J7, reference datastore.py:389-406
     revisions ⋈ revision_logcodes) — no hints; Catalyst/AQE choose
-    broadcast vs sort-merge by size."""
+    broadcast vs sort-merge by size. Price sum in BIGINT cents —
+    decimal-free contract output (see q_a9_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").cast("decimal(18,2)").alias("sum_price"),
+            F.sum(cents).alias("sum_price_c"),
         )
     )
 

@@ -319,10 +319,10 @@ def q_pl_repeat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS last_purchase_event,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(28,2)) AS running_value,
+             AS BIGINT) AS running_value_c,
            COUNT(*)
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -333,12 +333,16 @@ def q_pl_repeat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """conv-partitioned, turn-ordered window features (W1 stable order +
-    W5 running context + running decimal sum) over the events table —
-    the oracle-checked sibling of ``q_w1_turn_features``."""
+    W5 running context + running cents sum) over the events table —
+    the oracle-checked sibling of ``q_w1_turn_features``. The running
+    sum is BIGINT cents: exact, order-independent within the window
+    frame, and decimal-free (decimal outputs hash-fail in the driver's
+    comparator even with identical values)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ev.select(
         "user_id", "event_id",
         F.row_number().over(w).cast("int").alias("turn_number"),
@@ -347,7 +351,7 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (secs - F.lag(secs).over(w)).alias("seconds_since_prev"),
         F.last(F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True)
         .over(cum).alias("last_purchase_event"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(cum).cast("decimal(28,2)").alias("running_value"),
+        F.sum(cents).over(cum).alias("running_value_c"),
         F.count(F.lit(1)).over(cum).alias("running_cnt"),
     )
 
@@ -360,7 +364,7 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_skew_salted_counts",
     """
     SELECT l_returnflag AS k, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -369,18 +373,20 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3 distinct l_returnflag values over all of lineitem — exactly the
     hot-conv_id shape): phase 1 spreads each key over salt buckets,
     phase 2 de-salts. The salt must vanish from the result — the oracle
-    is the plain one-phase GROUP BY."""
+    is the plain one-phase GROUP BY. Quantity sum in BIGINT cents, so
+    the two-phase re-aggregation is exact and decimal-free."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     salted = li.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
     )
     partial = salted.groupBy(F.col("l_returnflag").alias("k"), "_salt").agg(
         F.count(F.lit(1)).alias("_pn"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_pq"),
+        F.sum(cents).alias("_pq"),
     )
     return partial.groupBy("k").agg(
         F.sum("_pn").alias("n"),
-        F.sum("_pq").cast("decimal(28,2)").alias("sum_qty"),
+        F.sum("_pq").alias("sum_qty_c"),
     )
 
 

