@@ -15,13 +15,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
-import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
-import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
-import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
-import log_parser_project_spark.queries_ops3  # noqa: F401 — registers batch-5 queries
-import log_parser_project_spark.queries_scd  # noqa: F401 — registers revision-SCD queries
-from log_parser_project_spark.queries import QUERIES
+# ordered_queries() imports every query module and returns the registry
+# window-first: the driver verifies only the FIRST 50 registrations, so
+# the order is pinned explicitly in log_parser_project_spark/contract.py
+from log_parser_project_spark.contract import ordered_queries
+
+QUERIES = ordered_queries()
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -122,8 +122,13 @@ def main() -> None:
     tdf2 = make_transcripts(spark, n_convs=n_convs, parts=cpus * 2)
     for ex in ("arrow", "pandas"):
         d = build_routed(spark, tdf2, extractor=ex)
+        agg = d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1)))
+        # one untimed run per engine: plan-JIT cold start otherwise lands
+        # on whichever engine runs first and inverts the reported ranking
+        # (r02 showed arrow slower than pandas for exactly this reason)
+        agg.collect()
         t0 = time.perf_counter()
-        d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1))).collect()
+        agg.collect()
         timings[f"pipeline_{ex}_extract_pass"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

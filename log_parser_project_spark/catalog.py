@@ -174,6 +174,21 @@ class Catalog:
                 else os.path.join(wh, f"{db.lower()}.db", tbl.lower())
             )
             if os.path.isdir(loc):
+                # never rmtree a path inside this catalog's warehouse:
+                # if the session warehouse dir coincides with (or nests
+                # under) the snapshot-catalog root, <wh>/<tbl> can be a
+                # PATH-BASED table's data dir — deleting it would destroy
+                # an unrelated committed table. In that configuration
+                # leave the stale managed location to saveAsTable (which
+                # errors loudly) rather than silently eating data.
+                wh_root = os.path.realpath(self.warehouse)
+                target = os.path.realpath(loc)
+                if os.path.commonpath([target, wh_root]) == wh_root:
+                    raise ValueError(
+                        f"refusing to clear managed-table location {loc!r}: it lies "
+                        f"inside the snapshot-catalog warehouse {self.warehouse!r}; "
+                        "configure a distinct spark.sql.warehouse.dir for bucketed tables"
+                    )
                 import shutil
 
                 shutil.rmtree(loc)

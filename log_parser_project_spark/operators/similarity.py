@@ -175,6 +175,7 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spherical: bool = True,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means on the unit sphere (spherical
     k-means) with a deterministic init: first ``k`` corpus vectors by
@@ -186,6 +187,13 @@ def kmeans_centroids(
     Cells that go empty keep their previous centroid; null/short
     vectors are ignored for training. Returns the unit-normalized
     centroid list for :func:`ivf_topk` / :func:`pq_topk`.
+
+    With ``spherical=False`` it is plain Lloyd's k-means in R^dim —
+    init vectors are NOT normalized, assignment is nearest-by-L2
+    (via the equivalent ``argmax(dot(v,c) − ‖c‖²/2)``, still one pure
+    expression pass), and updates are raw per-dimension means. That is
+    the right objective for PQ *sub*-codebooks, whose training points
+    (subvectors of unit-norm embeddings) do not live on a sphere.
 
     Determinism caveat: for a FIXED partitioning the result is
     reproducible run to run, but ``avg()``'s partial-sum order follows
@@ -202,16 +210,35 @@ def kmeans_centroids(
         return out
 
     corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # fix the dimensionality from the FIRST vector, then apply the
+    # size filter BEFORE collecting init vectors — a stray wrong-width
+    # vector in the first k would otherwise become a centroid whose
+    # dot() sims evaluate null, permanently starving that cell
+    first = corpus.orderBy(id_col).limit(1).select(F.size(F.col(vec_col)).alias("n")).collect()
+    if not first:
+        return []
+    dim = int(first[0]["n"])
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dim)
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
-    cents = _norm_rows([[float(x) for x in r[vec_col]] for r in init])
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    if spherical:
+        cents = _norm_rows(cents)
     if not cents:
         return []
-    dim = len(cents[0])
-    corpus = corpus.filter(F.size(F.col(vec_col)) == dim)
 
     for _ in range(iters):
-        sims = F.array(*[dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col)) for c in cents])
-        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        if spherical:
+            scores = F.array(*[
+                dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col)) for c in cents
+            ])
+        else:
+            # argmin L2 ⇔ argmax(dot − ‖c‖²/2); ‖v‖² is constant per row
+            scores = F.array(*[
+                dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col))
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in cents
+            ])
+        cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         means = (
             corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
             .groupBy("cell")
@@ -223,7 +250,8 @@ def kmeans_centroids(
             if r["cell"] is None or any(v is None for v in vals):
                 continue  # malformed rows never update a centroid
             cents[r["cell"]] = [float(v) for v in vals]
-        cents = _norm_rows(cents)
+        if spherical:
+            cents = _norm_rows(cents)
     return cents
 
 
@@ -372,7 +400,10 @@ def neardup_pairs(
         if gi == gj:
             ids_a = ids_b = ids
         sims = S[ai, bj]
-        keep = sims >= thr  # threshold on the RAW sim (oracle semantics)
+        # threshold on the RAW sim (oracle semantics); also drop id-equal
+        # pairs — two rows sharing a vec_id meet inside one block and
+        # would emit an a==b self-pair the oracle's strict a<b excludes
+        keep = (sims >= thr) & (ids_a[ai] != ids_b[bj])
         a_ids, b_ids, sims = ids_a[ai[keep]], ids_b[bj[keep]], sims[keep]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
@@ -547,10 +578,13 @@ def pq_topk(
     100 TB float corpus becomes a few TB of codes; scanning is ``m``
     table lookups per vector instead of a ``dim``-wide dot product.
 
-    Codebooks are subspace slices of :func:`kmeans_centroids` output
-    (deterministic spherical k-means; true per-subspace codebook
-    training would run k-means on each slice independently — same
-    plumbing, m× the training cost). Per partition (``mapInPandas``):
+    Codebooks are trained PER SUBSPACE (the real PQ objective, as in
+    FAISS): each of the ``m`` codebooks is an independent
+    :func:`kmeans_centroids` run (``spherical=False`` — plain Lloyd's,
+    L2 assignment) over that subspace's slice of the unit-normalized
+    corpus vectors. Same deterministic first-k-by-id init; driver
+    state is m × n_cells × (dim/m) floats. Per partition
+    (``mapInPandas``):
     encode the batch, ADC-score it against every query's lookup table,
     keep the ``rerank·k`` best candidates, and re-rank those few with
     the EXACT cosine (the raw vectors are still in the batch — the
@@ -570,20 +604,55 @@ def pq_topk(
     qn[qn == 0] = 1.0
     Qn = Q / qn
 
-    cent_list = kmeans_centroids(corpus, n_cells, iters=kmeans_iters,
-                                 id_col=id_col, vec_col=vec_col)
-    if not cent_list:
+    first = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(1)
+        .select(F.size(F.col(vec_col)).alias("n"))
+        .collect()
+    )
+    if not first:
         empty = corpus.sparkSession.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(1)).limit(0)
-    cents = np.array(cent_list, dtype=np.float64)
-    dim = cents.shape[1]
+    dim = int(first[0]["n"])
     if dim < m:
         # one dimension per subspace is the finest meaningful split; a
         # zero-width subspace (dim // m == 0) would make every code 0
         # and silently collapse ADC recall to random
         m = dim
     sub = dim // m  # subspace width (ignore a ragged tail subspace)
-    books = [cents[:, j * sub:(j + 1) * sub] for j in range(m)]  # m × (cells × sub)
+
+    # per-subspace codebooks trained on slices of the UNIT-NORMALIZED
+    # vectors (the same representation encode/ADC operate on). Staged
+    # norm column so the transform lambda doesn't recompute the O(dim)
+    # norm once per element.
+    nv = (
+        corpus.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.when(norm(F.col(vec_col)) == 0, F.lit(1.0))
+            .otherwise(norm(F.col(vec_col)))
+            .alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("_nv"),
+        )
+    )
+    books = []
+    for j in range(m):
+        sub_df = nv.select(
+            F.col(id_col), F.slice(F.col("_nv"), j * sub + 1, sub).alias(vec_col)
+        )
+        book = kmeans_centroids(
+            sub_df, n_cells, iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col, spherical=False,
+        )
+        if not book:
+            empty = corpus.sparkSession.createDataFrame([], out_schema)
+            return empty.withColumn("rank", F.lit(1)).limit(0)
+        books.append(np.array(book, dtype=np.float64))  # m × (cells × sub)
 
     # per-query ADC lookup tables: T[q][j][c] = dot(q_j, book_j[c])
     tables = np.stack(

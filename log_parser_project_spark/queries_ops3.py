@@ -571,10 +571,10 @@ def q_sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("q_sim_pq_topk", None)  # approx — rows-only driver check
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN top-3 (m-subspace codebook encode →
-    ADC lookup-table scan → exact re-rank of survivors) — the
+    """Product-quantization ANN top-3 (per-subspace-trained codebooks →
+    encode → ADC lookup-table scan → exact re-rank of survivors) — the
     embedding-compression scale path; pytest measures recall against
-    the exact path (≈0.87 at sf0.001/sf0.01 with the defaults)."""
+    the exact path (0.93 at sf0.001, 1.0 at sf0.01 with the defaults)."""
     from .operators import similarity
     from .queries import _spread
 
@@ -633,5 +633,12 @@ def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)  # source fully drained
-    # the memory-sink table IS the result — it lives for the session
-    return spark.table(name)
+    # materialize the (bounded: hours × event_types) final state and DROP
+    # the memory sink — repeated invocations must not accumulate
+    # session-lifetime temp views, and the returned frame must not depend
+    # on the sink staying registered
+    sink = spark.table(name)
+    rows = sink.collect()
+    out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    return out

@@ -152,3 +152,20 @@ def test_stream_batch_redelivery_is_idempotent(spark, transcripts_small, warehou
     assert out.select("conv_id", "turn_idx").distinct().count() == n1
     sink(transcripts_small.limit(10), 8)  # a NEW batch appends
     assert spark.read.parquet(cat.path("stream_staging")).count() == n1 + 10
+
+
+def test_r4_stream_query_leaves_no_residual_views(spark, sf_dir):
+    """q_r4_stream_hourly must drop its memory-sink temp view after
+    materializing — repeated bench/driver invocations previously
+    accumulated session-lifetime tables (ADVICE r02)."""
+    from log_parser_project_spark.contract import ordered_queries
+
+    fn, _ = ordered_queries()["q_r4_stream_hourly"]
+    first = fn(spark, sf_dir)
+    n1 = first.count()
+    second = fn(spark, sf_dir)
+    assert second.count() == n1
+    residual = [t.name for t in spark.catalog.listTables() if t.name.startswith("q_r4_mem_")]
+    assert residual == []
+    # the returned frame must not depend on any sink staying registered
+    assert first.count() == n1

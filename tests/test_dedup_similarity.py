@@ -162,8 +162,10 @@ def test_gemm_topk_empty_query_set(spark, sf_dir):
 
 
 def test_pq_topk_recall(spark, sf_dir):
-    """PQ+ADC+re-rank must recover most exact neighbors (measured 0.87
-    at defaults; gate leaves margin for data drift)."""
+    """PQ+ADC+re-rank must recover most exact neighbors. Per-subspace
+    codebook training (round 3) lifted measured recall from 0.87 with
+    sliced-global codebooks to 0.93 at sf0.001 / 1.0 at sf0.01; the
+    gate leaves margin for data drift."""
     from log_parser_project_spark.operators import similarity
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -172,7 +174,7 @@ def test_pq_topk_recall(spark, sf_dir):
              for r in similarity.brute_force_topk(e, q, k=3).collect()}
     pq = {(r.query_id, r.neighbor_id)
           for r in similarity.pq_topk(e, q, k=3).collect()}
-    assert len(exact & pq) / len(exact) >= 0.6
+    assert len(exact & pq) / len(exact) >= 0.8
     # approximate scores are exact cosines of the surviving candidates
     sims = {r.sim for r in similarity.pq_topk(e, q, k=3).collect()}
     assert all(-1.0 <= s <= 1.0 for s in sims)

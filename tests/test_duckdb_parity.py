@@ -9,13 +9,9 @@ import math
 import duckdb
 import pytest
 
-import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
-import log_parser_project_spark.queries_ops  # noqa: F401 — registers ops queries
-import log_parser_project_spark.queries_hex  # noqa: F401 — registers hex queries
-import log_parser_project_spark.queries_ops2  # noqa: F401 — registers batch-4 queries
-import log_parser_project_spark.queries_ops3  # noqa: F401 — registers batch-5 queries
-import log_parser_project_spark.queries_scd  # noqa: F401 — registers revision-SCD queries
-from log_parser_project_spark.queries import QUERIES
+from log_parser_project_spark.contract import ordered_queries
+
+QUERIES = ordered_queries()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -16,13 +16,9 @@ decimal-precision differences are not.
 import duckdb
 import pytest
 
-import log_parser_project_spark.queries_data  # noqa: F401
-import log_parser_project_spark.queries_hex  # noqa: F401
-import log_parser_project_spark.queries_ops  # noqa: F401
-import log_parser_project_spark.queries_ops2  # noqa: F401
-import log_parser_project_spark.queries_ops3  # noqa: F401
-import log_parser_project_spark.queries_scd  # noqa: F401
-from log_parser_project_spark.queries import QUERIES
+from log_parser_project_spark.contract import ordered_queries
+
+QUERIES = ordered_queries()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -223,3 +223,25 @@ def test_compact_rewrites_small_files(spark, cat):
     assert n_files_after <= 2  # tiny table → ~1 file
     assert _vals(cat.read_table("t")) == rows_before
     assert _vals(cat.read_table("t", as_of=before.snapshot_id)) == rows_before
+
+
+def test_write_bucketed_refuses_rmtree_inside_warehouse(spark, tmp_path):
+    """The overwrite path derives the managed-table location from
+    spark.sql.warehouse.dir; if that lies inside the snapshot-catalog
+    warehouse, <wh>/<table> can be a path-based table's data dir — the
+    guard must refuse to delete it (ADVICE r02)."""
+    import os
+
+    import pytest as _pytest
+
+    from log_parser_project_spark.catalog import Catalog
+
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    cat = Catalog(spark, os.path.dirname(wh.rstrip("/")) or wh)
+    # simulate a stale managed location under the catalog warehouse
+    loc = os.path.join(wh, "bkt_guard_tbl")
+    os.makedirs(loc, exist_ok=True)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="refusing to clear"):
+        cat.write_bucketed(df, "bkt_guard_tbl", bucket_by="k", n_buckets=2)
+    assert os.path.isdir(loc)  # nothing was deleted
