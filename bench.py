@@ -119,17 +119,29 @@ def main() -> None:
     # headline pipeline above runs extractor="auto" → compiled-JVM for
     # the shipped registry; these measure the registry-as-data UDF
     # engines a custom registry would fall back to
+    # persist + materialize the input so the pass times the EXTRACT
+    # engine, not transcript synthesis (which otherwise dominates and
+    # masks the engine delta)
     tdf2 = make_transcripts(spark, n_convs=n_convs, parts=cpus * 2)
-    for ex in ("arrow", "pandas"):
+    tdf2.persist(StorageLevel.MEMORY_AND_DISK)
+    tdf2.count()
+
+    def _extract_agg(ex: str):
+        # a FRESH DataFrame per run: re-collecting the same object would
+        # reuse its already-materialized shuffle stages (keyed on RDD
+        # identity) and time only the final reduce (~30 ms)
         d = build_routed(spark, tdf2, extractor=ex)
-        agg = d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1)))
+        return d.agg(F.sum(F.length("route")), F.sum(F.when(F.col("matched"), 1)))
+
+    for ex in ("arrow", "pandas"):
         # one untimed run per engine: plan-JIT cold start otherwise lands
         # on whichever engine runs first and inverts the reported ranking
         # (r02 showed arrow slower than pandas for exactly this reason)
-        agg.collect()
+        _extract_agg(ex).collect()
         t0 = time.perf_counter()
-        agg.collect()
+        _extract_agg(ex).collect()
         timings[f"pipeline_{ex}_extract_pass"] = round(time.perf_counter() - t0, 3)
+    tdf2.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
