@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 # window-first: the driver verifies only the FIRST 50 registrations, so
 # the order is pinned explicitly in log_parser_project_spark/contract.py
 from log_parser_project_spark.contract import ordered_queries
+from log_parser_project_spark.queries import cents
 
 QUERIES = ordered_queries()
 
@@ -61,7 +62,7 @@ def _entry(spark: SparkSession) -> DataFrame:
         .groupBy("route", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_value_c"),
+            F.sum(cents("value")).alias("sum_value_c"),
             F.sum("k").alias("sum_k"),
         )
     )

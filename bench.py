@@ -23,16 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.storagelevel import StorageLevel
 
+from log_parser_project_spark.contract import ordered_queries
 from log_parser_project_spark.generate import make_transcripts
 from log_parser_project_spark.plans.pipeline import build_routed
-from log_parser_project_spark.queries import QUERIES
 from log_parser_project_spark.session import get_spark
-import log_parser_project_spark.queries_data  # noqa: F401,E402 — registers data queries
-import log_parser_project_spark.queries_ops  # noqa: F401,E402 — registers ops queries
-import log_parser_project_spark.queries_hex  # noqa: F401,E402 — registers hex queries
-import log_parser_project_spark.queries_ops2  # noqa: F401,E402 — registers batch-4 queries
-import log_parser_project_spark.queries_ops3  # noqa: F401,E402 — registers batch-5 queries
-import log_parser_project_spark.queries_scd  # noqa: F401,E402 — registers revision-SCD queries
+
+QUERIES = ordered_queries()
 
 HEADLINE = [
     "q_a9_pricing_summary",

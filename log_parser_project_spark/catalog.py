@@ -178,9 +178,8 @@ class Catalog:
                 # if the session warehouse dir coincides with (or nests
                 # under) the snapshot-catalog root, <wh>/<tbl> can be a
                 # PATH-BASED table's data dir — deleting it would destroy
-                # an unrelated committed table. In that configuration
-                # leave the stale managed location to saveAsTable (which
-                # errors loudly) rather than silently eating data.
+                # an unrelated committed table. Abort loudly instead of
+                # silently eating data.
                 wh_root = os.path.realpath(self.warehouse)
                 target = os.path.realpath(loc)
                 if os.path.commonpath([target, wh_root]) == wh_root:

@@ -210,14 +210,23 @@ def kmeans_centroids(
         return out
 
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    # fix the dimensionality from the FIRST vector, then apply the
-    # size filter BEFORE collecting init vectors — a stray wrong-width
-    # vector in the first k would otherwise become a centroid whose
-    # dot() sims evaluate null, permanently starving that cell
-    first = corpus.orderBy(id_col).limit(1).select(F.size(F.col(vec_col)).alias("n")).collect()
-    if not first:
+    # fix the dimensionality as the MOST COMMON vector width (one cheap
+    # count-aggregate; ties break to the smaller width), then apply the
+    # size filter BEFORE collecting init vectors. Probing just the first
+    # row would let a single malformed min-id vector define dim and
+    # filter out the entire valid corpus; letting wrong-width vectors
+    # into the init would seed centroids whose dot() sims evaluate
+    # null, permanently starving those cells.
+    mode = (
+        corpus.groupBy(F.size(F.col(vec_col)).alias("n"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("n").asc())
+        .limit(1)
+        .collect()
+    )
+    if not mode:
         return []
-    dim = int(first[0]["n"])
+    dim = int(mode[0]["n"])
     corpus = corpus.filter(F.size(F.col(vec_col)) == dim)
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in init]
@@ -604,17 +613,18 @@ def pq_topk(
     qn[qn == 0] = 1.0
     Qn = Q / qn
 
-    first = (
+    mode = (
         corpus.filter(F.col(vec_col).isNotNull())
-        .orderBy(id_col)
+        .groupBy(F.size(F.col(vec_col)).alias("n"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("n").asc())
         .limit(1)
-        .select(F.size(F.col(vec_col)).alias("n"))
         .collect()
-    )
-    if not first:
+    )  # most-common width, not first-row width (see kmeans_centroids)
+    if not mode:
         empty = corpus.sparkSession.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(1)).limit(0)
-    dim = int(first[0]["n"])
+    dim = int(mode[0]["n"])
     if dim < m:
         # one dimension per subspace is the finest meaningful split; a
         # zero-width subspace (dim // m == 0) would make every code 0
@@ -640,19 +650,27 @@ def pq_topk(
             F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("_nv"),
         )
     )
-    books = []
-    for j in range(m):
-        sub_df = nv.select(
-            F.col(id_col), F.slice(F.col("_nv"), j * sub + 1, sub).alias(vec_col)
-        )
-        book = kmeans_centroids(
-            sub_df, n_cells, iters=kmeans_iters,
-            id_col=id_col, vec_col=vec_col, spherical=False,
-        )
-        if not book:
-            empty = corpus.sparkSession.createDataFrame([], out_schema)
-            return empty.withColumn("rank", F.lit(1)).limit(0)
-        books.append(np.array(book, dtype=np.float64))  # m × (cells × sub)
+    # cache the normalized corpus for the training loop: m subspace
+    # k-means runs are ~m×(iters+3) Spark actions, and without the cache
+    # every action re-reads the source and redoes the O(n·dim)
+    # normalize+slice
+    nv.persist()
+    try:
+        books = []
+        for j in range(m):
+            sub_df = nv.select(
+                F.col(id_col), F.slice(F.col("_nv"), j * sub + 1, sub).alias(vec_col)
+            )
+            book = kmeans_centroids(
+                sub_df, n_cells, iters=kmeans_iters,
+                id_col=id_col, vec_col=vec_col, spherical=False,
+            )
+            if not book:
+                empty = corpus.sparkSession.createDataFrame([], out_schema)
+                return empty.withColumn("rank", F.lit(1)).limit(0)
+            books.append(np.array(book, dtype=np.float64))  # m × (cells × sub)
+    finally:
+        nv.unpersist()
 
     # per-query ADC lookup tables: T[q][j][c] = dot(q_j, book_j[c])
     tables = np.stack(

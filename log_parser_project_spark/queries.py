@@ -36,6 +36,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def cents(col: str | object) -> "F.Column":
+    """Exact BIGINT fixed-point for 2-decimal money/quantity doubles:
+    ``floor(x*100 + 0.5)``. The SAME expression must appear in every
+    oracle (``CAST(floor(x * 100 + 0.5) AS BIGINT)``) — decimal types
+    are banned from contract outputs (the driver's comparator hash-fails
+    them even when values are byte-identical; see
+    tests/test_oracle_type_alignment.py). Note floor(x+0.5) rounds
+    half-AWAY-from-zero only for positives; for negatives it rounds
+    half-up (toward +inf) — fine because both engines compute the
+    identical double expression, but change it in ONE place only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
 def _est_partitions(sizes: list[int], open_cost: int, max_pb: int, parallelism: int) -> int:
     """Spark's FilePartition planning estimate (maxSplitBytes formula):
     file count alone is neither an upper nor a lower bound on scan
@@ -133,7 +147,6 @@ def q_a9_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fail in the driver's comparator even when values are identical)."""
     li = _t(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
-    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= cutoff)
         .select(
@@ -181,10 +194,9 @@ def q_a7_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type").isin("purchase", "signup"), "sink_conversions")
         .otherwise("sink_activity")
     )
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ev.groupBy(route.alias("route")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(cents).alias("sum_value_c"),
+        F.sum(cents("value")).alias("sum_value_c"),
     )
 
 
@@ -257,7 +269,6 @@ def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -265,7 +276,7 @@ def q_j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(cents).alias("revenue_c"),
+            F.sum(cents("o_totalprice")).alias("revenue_c"),
         )
     )
 

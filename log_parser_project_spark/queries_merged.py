@@ -179,11 +179,14 @@ def q_fx_bitmath(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = k % 256
     signed8 = F.when(raw >= 128, raw - 256).otherwise(raw)
     return (
-        ev.select(
-            F.bit_count(k).alias("popcount"),
-            signed8.alias("signed8"),
-            F.floor((k + 7) / 8).cast("long").alias("n_bytes"),
-            F.upper(F.substring(F.hex(k), 1, 1)).alias("hex_lead"),
+        ev.select(k.alias("k"), signed8.alias("signed8"))
+        .select(
+            F.bit_count(F.col("k")).alias("popcount"),
+            "signed8",
+            # integral `div`, not floor(double /): exact at all magnitudes
+            # (the oracle's // is exact BIGINT division)
+            F.expr("(k + 7) div 8").cast("long").alias("n_bytes"),
+            F.upper(F.substring(F.hex(F.col("k")), 1, 1)).alias("hex_lead"),
         )
         .groupBy("popcount")
         .agg(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .operators import similarity
 from .operators.convert import f32_from_bits, slice_bits
 from .operators.text import ROLLING_MOD, rolling_fingerprint, tokens
-from .queries import QUERIES, _register, _spread, _t
+from .queries import QUERIES, _register, _spread, _t, cents
 
 _K = 'CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT)'
 
@@ -229,13 +229,12 @@ def q_j7_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-free contract output (see q_a9_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(cents).alias("sum_price_c"),
+            F.sum(cents("o_totalprice")).alias("sum_price_c"),
         )
     )
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries import QUERIES, _register, _t
+from .queries import QUERIES, _register, _t, cents
 
 # ---------------------------------------------------------------------------
 # deterministic transcripts derived from the events table (both engines)
@@ -96,22 +96,22 @@ def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     column identical to the ``turns`` CTE (tests/test_duckdb_parity)."""
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents_c = cents("value")
     et = F.col("event_type")
     eid = F.col("event_id")
     text = (
         F.when(et == "click",
-               F.format_string("CALL search args={q=%d n=%d}", k, cents % 10))
+               F.format_string("CALL search args={q=%d n=%d}", k, cents_c % 10))
         .when((et == "error") & (eid % 13 == 0),
               F.format_string("ERROR malformed %d", eid))
         .when(et == "error",
               F.format_string("ERROR code=%d severity=%d msg='event %d'",
-                              cents % 1000, k % 6 + 1, eid))
+                              cents_c % 1000, k % 6 + 1, eid))
         .when((et == "view") & (k % 2 == 0),
               F.format_string("see [doc-%d#%d] and [doc-%d#%d]",
                               k, eid % 7, k + 1, eid % 5))
         .when(et == "view", F.format_string("see [doc-%d#%d]", k, eid % 7))
-        .when(et == "purchase", F.format_string("latency_ms=%d tokens=%d", cents, k))
+        .when(et == "purchase", F.format_string("latency_ms=%d tokens=%d", cents_c, k))
         .when(k % 3 == 0,
               F.format_string("HANDOFF v=2 to=agent%d reason=escalation priority=%d",
                               k % 4, k % 10))
@@ -342,7 +342,6 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ev.select(
         "user_id", "event_id",
         F.row_number().over(w).cast("int").alias("turn_number"),
@@ -351,7 +350,7 @@ def q_w1_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (secs - F.lag(secs).over(w)).alias("seconds_since_prev"),
         F.last(F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True)
         .over(cum).alias("last_purchase_event"),
-        F.sum(cents).over(cum).alias("running_value_c"),
+        F.sum(cents("value")).over(cum).alias("running_value_c"),
         F.count(F.lit(1)).over(cum).alias("running_cnt"),
     )
 
@@ -376,13 +375,12 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the plain one-phase GROUP BY. Quantity sum in BIGINT cents, so
     the two-phase re-aggregation is exact and decimal-free."""
     li = _t(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     salted = li.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
     )
     partial = salted.groupBy(F.col("l_returnflag").alias("k"), "_salt").agg(
         F.count(F.lit(1)).alias("_pn"),
-        F.sum(cents).alias("_pq"),
+        F.sum(cents("l_quantity")).alias("_pq"),
     )
     return partial.groupBy("k").agg(
         F.sum("_pn").alias("n"),
