@@ -94,8 +94,10 @@ WINDOW: tuple[str, ...] = (
     "q_tx_doc_profile",
     "q_tx_redact",
     "q_tx_fingerprint_rolling",
-    # training-data family: dedup
-    "q_dd_jaccard3_pairs",
+    # training-data family: dedup — cluster_dedup strictly subsumes
+    # q_dd_jaccard3_pairs (green r01+r02, now ledger): same guarded
+    # pair graph, plus connected components + survivor assignment
+    "q_dd_cluster_dedup",
     "q_dd_contamination",
     # training-data family: similarity
     "q_sim_neardup",

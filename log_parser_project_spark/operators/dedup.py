@@ -286,3 +286,151 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step every production dedup pipeline runs between "near-dup PAIRS"
+    and "keep ONE document per duplicate group".
+
+    Returns ``(node, comp)`` where ``comp`` is the minimum node id in
+    the node's component (the canonical survivor). Only nodes that
+    appear in ``edges`` are returned; callers left-join and coalesce to
+    cover singletons.
+
+    Algorithm: distributed min-label propagation with path halving.
+    Each round does
+      (1) *neighbor-min*: ``comp(u) := min(comp(u), min over v∈N(u) of
+          comp(v))`` — one shuffle join of the symmetric edge list
+          against the label frame plus one groupBy-min, and
+      (2) *path halving*: ``comp(u) := comp(comp(u))`` — a node-keyed
+          self-join that shortcuts label chains, so a path graph
+          converges in O(log diameter) rounds instead of O(diameter).
+    Labels are node ids and only ever decrease, so the fixed point is
+    exactly the per-component minimum and termination is guaranteed;
+    convergence is detected by an any-label-changed probe (LIMIT 1
+    under a join of two materialized node-sized frames — driver-sized
+    result). Each round's label frame is ``localCheckpoint``-ed: each
+    round references the previous labels three times, so without a
+    lineage CUT the logical plan grows ~3^k and planning itself OOMs
+    (persist alone does NOT truncate the logical plan — the same
+    reason GraphFrames' connected components requires a checkpoint
+    dir). On a cluster, swap ``localCheckpoint`` for a reliable
+    ``checkpoint`` against a checkpoint dir to survive executor loss.
+
+    Scale: per round, shuffle volume is O(|E| + |V|) with uniform
+    id keys; duplicate clusters in real corpora are tiny and dense
+    (diameter ≲ 4), so 2-3 rounds typically suffice — ``max_iter`` is
+    a backstop, and hitting it raises rather than silently returning
+    unconverged labels.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        nbr = e.join(
+            labels.select(F.col("node").alias("v"), "comp"), "v"
+        ).select(F.col("u").alias("node"), "comp")
+        stepped = (
+            nbr.unionByName(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # path halving: follow the label one hop (comp is itself a node
+        # id, so it always resolves; least() ignores the NULL a left
+        # join would produce if it ever didn't)
+        hop = labels.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
+        new = (
+            stepped.join(hop, "comp", "left")
+            .select("node", F.least("comp", "comp2").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Cluster-level dedup assignment: every document mapped to its
+    duplicate-cluster id with survivor marking.
+
+    ``pairs`` is any near-dup pair frame ``(a, b, <sim_col>)`` — exact
+    Jaccard, MinHash-LSH-verified, or embedding near-dup. Output, one
+    row per input document:
+
+    * ``comp_id``    — min doc id of the duplicate cluster (own id for
+      singletons),
+    * ``cluster_size`` — number of documents in the cluster (1 for
+      singletons),
+    * ``is_survivor``  — true iff this doc is the cluster's canonical
+      representative (the one a "drop duplicates" pass keeps),
+    * ``max_sim``      — the doc's strongest duplicate similarity
+      (0.0 for singletons).
+
+    Plan: components over the pair graph (tiny relative to the corpus),
+    then three uniform-key joins back to the corpus frame — no step is
+    quadratic and nothing corpus-sized ever sits on the driver.
+    """
+    comp = connected_components(pairs, "a", "b").withColumnRenamed("node", id_col)
+    sims = (
+        pairs.select(F.col("a").alias(id_col), F.col(sim_col).alias("__s"))
+        .unionByName(pairs.select(F.col("b").alias(id_col), F.col(sim_col).alias("__s")))
+        .groupBy(id_col)
+        .agg(F.round(F.max("__s"), 4).alias("__max_sim"))
+    )
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("__csz"))
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("comp_id", F.coalesce("comp", F.col(id_col)))
+        .join(sims, id_col, "left")
+        .join(sizes.withColumnRenamed("comp", "comp_id"), "comp_id", "left")
+        .select(
+            F.col(id_col),
+            "comp_id",
+            F.coalesce("__csz", F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col("comp_id") == F.col(id_col)).alias("is_survivor"),
+            F.coalesce("__max_sim", F.lit(0.0)).alias("max_sim"),
+        )
+    )

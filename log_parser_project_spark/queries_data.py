@@ -80,6 +80,77 @@ def q_dd_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=16)
 
 
+@_register(
+    "q_dd_cluster_dedup",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 16),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b, ROUND(1.0 * i / (sa.sz + sb.sz - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.a = sa.doc_id
+      JOIN sizes sb ON inter.b = sb.doc_id
+      WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, root) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+    csize AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp),
+    msim AS (
+      SELECT doc_id, ROUND(MAX(jaccard), 4) AS max_sim FROM (
+        SELECT a AS doc_id, jaccard FROM pairs
+        UNION ALL
+        SELECT b AS doc_id, jaccard FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS comp_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           (COALESCE(c.comp, d.doc_id) = d.doc_id) AS is_survivor,
+           COALESCE(m.max_sim, CAST(0.0 AS DOUBLE)) AS max_sim
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN csize s ON s.comp = COALESCE(c.comp, d.doc_id)
+    LEFT JOIN msim m ON m.doc_id = d.doc_id
+    """,
+)
+def q_dd_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: the same guarded 3-gram Jaccard pair graph
+    as ``q_dd_jaccard3_pairs`` (which this strictly subsumes — cluster
+    membership, survivor choice, and ``max_sim`` all derive from the
+    exact pair similarities), run through distributed connected
+    components (min-label propagation + path halving,
+    ``operators/dedup.py::connected_components``) and joined back over
+    every document: (doc_id, comp_id, cluster_size, is_survivor,
+    max_sim). The DuckDB oracle walks the identical pair graph with a
+    recursive CTE."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=16)
+    return dedup.cluster_dedup(d, pairs)
+
+
 @_register("q_dd_minhash_pairs", None)  # approx — rows-only driver check
 def q_dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate→verify dedup (the 100 TB path); pytest

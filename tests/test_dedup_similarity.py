@@ -355,3 +355,55 @@ def test_kmeans_ignores_null_and_ragged_vectors(spark, sf_dir):
     clean = similarity.kmeans_centroids(
         e.select("vec_id", F.col("embedding").cast("array<double>")), 8, iters=2)
     assert cents == clean
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster dedup
+# ---------------------------------------------------------------------------
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = dedup.connected_components(df).collect()
+    return {r["node"]: r["comp"] for r in got}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 6-node path (worst diameter for its size), one triangle, one pair
+    comp = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+                       (10, 11), (11, 12), (10, 12),
+                       (20, 21)])
+    assert {comp[n] for n in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
+
+
+def test_connected_components_long_path_converges_via_halving(spark):
+    # diameter 31: plain propagation needs 31 rounds; with path halving
+    # this must converge inside the default max_iter=30
+    comp = _cc(spark, [(i, i + 1) for i in range(32)])
+    assert set(comp.values()) == {0}
+    assert len(comp) == 33
+
+
+def test_connected_components_edge_order_and_duplicates_irrelevant(spark):
+    comp = _cc(spark, [(5, 3), (3, 5), (5, 3), (9, 5), (1, 9)])
+    assert set(comp.values()) == {1}
+
+
+def test_cluster_dedup_assignment(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (3, 6, 0.8), (2, 5, 0.7)], "a: long, b: long, jaccard: double"
+    )
+    rows = {r["doc_id"]: r for r in dedup.cluster_dedup(docs, pairs).collect()}
+    assert len(rows) == 8
+    # cluster {1,3,6} → comp 1, survivor 1; {2,5} → comp 2
+    assert [rows[i]["comp_id"] for i in (1, 3, 6)] == [1, 1, 1]
+    assert rows[1]["is_survivor"] and not rows[3]["is_survivor"]
+    assert rows[3]["cluster_size"] == 3
+    assert rows[6]["max_sim"] == 0.8 and rows[3]["max_sim"] == 0.9
+    assert rows[2]["comp_id"] == 2 and rows[5]["cluster_size"] == 2
+    # singletons keep their own id, size 1, sim 0.0, survivor
+    for i in (0, 4, 7):
+        r = rows[i]
+        assert (r["comp_id"], r["cluster_size"], r["is_survivor"], r["max_sim"]) == (i, 1, True, 0.0)

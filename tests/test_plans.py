@@ -9,8 +9,9 @@ import pyspark.sql.functions as F
 from log_parser_project_spark.catalog import Catalog
 from log_parser_project_spark.generate import make_transcripts
 from log_parser_project_spark.plans.pipeline import STAGING_TABLE, build_routed, read_sink, run_pipeline
-import log_parser_project_spark.queries_data  # noqa: F401 — registers data queries
-from log_parser_project_spark.queries import QUERIES
+from log_parser_project_spark.contract import ordered_queries
+
+QUERIES = ordered_queries()
 
 
 def _plan(df) -> str:
@@ -156,3 +157,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_cust")
+
+
+def test_so_membership_uses_real_semi_and_anti_joins(spark, sf_dir):
+    """The merged membership query must pin the actual join operators —
+    one LeftSemi and one LeftAnti — not a rewritten outer-join-with-flag."""
+    fn, _ = QUERIES["q_so_membership"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_merged_profiles_are_single_pass(spark, sf_dir):
+    """q_p7a6_brand_profile and q_tx_doc_profile merge 2-3 former
+    queries but must still be ONE scan + ONE partial/final aggregate
+    over their table — merging must not stack extra shuffles."""
+    for name in ("q_p7a6_brand_profile", "q_tx_doc_profile"):
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        # one exchange for the final grouping (plus AQE reads); no join
+        assert "Join" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_fx_bitmath_single_scan_no_join(spark, sf_dir):
+    fn, _ = QUERIES["q_fx_bitmath"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
