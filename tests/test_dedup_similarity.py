@@ -407,3 +407,41 @@ def test_cluster_dedup_assignment(spark):
     for i in (0, 4, 7):
         r = rows[i]
         assert (r["comp_id"], r["cluster_size"], r["is_survivor"], r["max_sim"]) == (i, 1, True, 0.0)
+
+
+def test_minhash_to_cluster_dedup_composes(docs):
+    """The full 100 TB dedup path end-to-end: MinHash-LSH candidate
+    pairs (sub-quadratic) → connected components → per-cluster
+    survivor. Because the LSH pipeline exact-verifies candidates, its
+    pair graph is a subgraph of the exact-Jaccard graph — so every
+    survivor set it produces must be at least as large (never drops a
+    doc the exact path keeps), and on this fixture (recall ≥ 0.8,
+    clusters are tiny/dense so a missed edge rarely splits a
+    component) the cluster assignment should agree on the
+    overwhelming majority of non-singleton docs."""
+    exact_pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    lsh_pairs = dedup.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+
+    exact_assign = {
+        r["doc_id"]: (r["comp_id"], r["is_survivor"])
+        for r in dedup.cluster_dedup(docs, exact_pairs).collect()
+    }
+    lsh_assign = {
+        r["doc_id"]: (r["comp_id"], r["is_survivor"])
+        for r in dedup.cluster_dedup(docs, lsh_pairs).collect()
+    }
+    assert set(lsh_assign) == set(exact_assign)  # one row per doc, both paths
+
+    # survivors: missing LSH edges can only SPLIT clusters, never merge
+    # them (verify step ⇒ subgraph) — so LSH keeps a superset of docs
+    exact_survivors = {d for d, (_, s) in exact_assign.items() if s}
+    lsh_survivors = {d for d, (_, s) in lsh_assign.items() if s}
+    assert exact_survivors <= lsh_survivors
+
+    from collections import Counter
+
+    comp_sizes = Counter(c for c, _ in exact_assign.values())
+    nonsingleton = {d for d, (c, _) in exact_assign.items() if comp_sizes[c] > 1}
+    agree = sum(1 for d in nonsingleton if lsh_assign[d] == exact_assign[d])
+    assert nonsingleton, "fixture should contain duplicate clusters"
+    assert agree / len(nonsingleton) >= 0.8
