@@ -308,11 +308,14 @@ class SnapshotCatalog(Catalog):
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
         row_count=None,
+        replace_leaves: list[str] | None = None,
     ) -> Snapshot:
         if mode not in ("overwrite", "append", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
+        if replace_leaves and mode != "replace_partitions":
+            raise ValueError("replace_leaves only applies to replace_partitions")
         prev = self.snapshot(table)
         seq = (prev.sequence if prev else 0) + 1
         snap_id = uuid.uuid4().hex[:16]
@@ -335,7 +338,11 @@ class SnapshotCatalog(Catalog):
         elif mode == "append":
             state = list(prev.state) + [new_entry]
         else:  # replace_partitions: mask replaced subtrees in old dirs
-            replaced = self._partition_leaves(abs_dir)
+            # replace_leaves extends the mask beyond what the new data
+            # dir physically contains — a partition whose rows were ALL
+            # deleted (e.g. by merge) writes no leaf dir, but its old
+            # rows must still be masked out
+            replaced = set(self._partition_leaves(abs_dir)) | set(replace_leaves or [])
             state = [
                 {"dir": e["dir"], "exclude": sorted(set(e["exclude"]) | set(replaced))}
                 for e in prev.state
@@ -363,6 +370,125 @@ class SnapshotCatalog(Catalog):
         os.replace(tmp, ppath)
         return snap
 
+    # ---------------------------------------------------------------- merge
+    @staticmethod
+    def _leaf_path(partition_by: list[str], values: tuple) -> str:
+        """``key=value[/key=value...]`` leaf path for a partition tuple,
+        with Spark's Hive-style escaping of path-hostile characters
+        (mirrors ExternalCatalogUtils.escapePathName) so the computed
+        mask matches what ``partitionBy`` writes on disk."""
+        unsafe = set('"#%\'*/:=?\\{[]^')
+
+        def esc(v) -> str:
+            if v is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            return "".join(
+                f"%{ord(ch):02X}" if (ch in unsafe or ord(ch) < 0x20 or ord(ch) == 0x7F) else ch
+                for ch in str(v)
+            )
+
+        return "/".join(f"{k}={esc(v)}" for k, v in zip(partition_by, values))
+
+    def merge(
+        self,
+        source: DataFrame,
+        table: str,
+        on: list[str],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        partition_by: list[str] | None = None,
+        lineage: dict | None = None,
+    ) -> Snapshot:
+        """``MERGE INTO`` analog (Iceberg's copy-on-write merge): rows of
+        ``source`` whose ``on`` keys match a target row update (or
+        delete) it; unmatched source rows insert. One snapshot commit;
+        pre-merge state stays time-travelable.
+
+        Copy-on-write granularity: when ``partition_by`` is given AND
+        the partition columns are a subset of the merge keys (so a key
+        pins its partition — the upsert-by-(day, id) shape), only the
+        partitions present in ``source`` are rewritten: the commit is a
+        ``replace_partitions`` whose mask covers exactly the touched
+        leaves, and every other partition's files carry over untouched —
+        at 100 TB a daily upsert rewrites one day, not the table.
+        Otherwise (keys that can move rows across partitions, or an
+        unpartitioned table) the merge is a full-table rewrite, which is
+        what Iceberg's CoW MERGE degrades to when the ON clause can't
+        prune files.
+
+        Guards: ``source`` must be key-unique (duplicate merge keys make
+        the matched-row image nondeterministic — same error Iceberg
+        raises) and column-compatible with the target. An empty source
+        commits nothing and returns the current snapshot.
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched must be update/delete/None, got {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched must be insert/None, got {when_not_matched!r}")
+        if when_matched is None and when_not_matched is None:
+            raise ValueError("merge with no matched and no not-matched clause is a no-op")
+        if not on:
+            raise ValueError("merge requires at least one key column")
+        prev = self.snapshot(table)
+        if prev is None:
+            raise LookupError(f"no committed table {table!r}")
+        target = self.read_table(table)
+        if set(source.columns) != set(target.columns):
+            raise ValueError(
+                f"source columns {sorted(source.columns)} != target columns "
+                f"{sorted(target.columns)}"
+            )
+        if not source.head(1):
+            return prev  # empty source: nothing to commit
+        if (
+            source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).head(1)
+        ):
+            raise ValueError(f"merge source has duplicate keys on {on}")
+
+        pruned = bool(partition_by) and set(partition_by) <= set(on)
+        leaves: list[str] | None = None
+        if pruned:
+            # touched partitions: driver-sized (one tuple per partition)
+            parts = [tuple(r) for r in source.select(*partition_by).distinct().collect()]
+            leaves = sorted(self._leaf_path(partition_by, p) for p in parts)
+            tpart = target.join(
+                F.broadcast(source.select(*partition_by).distinct()), partition_by, "left_semi"
+            )
+        else:
+            tpart = target
+
+        keys = source.select(*on).distinct()
+        kept = tpart.join(keys, on, "left_anti") if when_matched in ("update", "delete") else tpart
+        out = kept.select(*target.columns)
+        tkeys = tpart.select(*on).distinct()
+        if when_matched == "update":
+            out = out.unionByName(source.join(tkeys, on, "left_semi").select(*target.columns))
+        if when_not_matched == "insert":
+            out = out.unionByName(source.join(tkeys, on, "left_anti").select(*target.columns))
+
+        merge_lineage = {
+            "stage": "merge",
+            "on": list(on),
+            "when_matched": when_matched,
+            "when_not_matched": when_not_matched,
+            **(lineage or {}),
+        }
+        if pruned:
+            return self.write_table(
+                out,
+                table,
+                mode="replace_partitions",
+                partition_by=partition_by,
+                lineage=merge_lineage,
+                replace_leaves=leaves,
+            )
+        return self.write_table(
+            out, table, mode="overwrite", partition_by=partition_by, lineage=merge_lineage
+        )
+
     # ----------------------------------------------------------------- read
     def _entry_df(self, entry: dict, schema) -> DataFrame | None:
         absdir = os.path.join(self.warehouse, entry["dir"])
@@ -370,7 +496,15 @@ class SnapshotCatalog(Catalog):
         if schema is not None:
             reader = reader.schema(schema)
         if not entry["exclude"]:
-            return reader.parquet(absdir)
+            # a zero-row delta (e.g. a merge that deleted every row of
+            # its touched partitions) writes a dir with no parquet files
+            # — skip it instead of letting schema inference blow up
+            has_parquet = any(
+                fn.endswith(".parquet")
+                for _root, _d, fns in os.walk(absdir)
+                for fn in fns
+            )
+            return reader.parquet(absdir) if has_parquet else None
         excl = tuple(e + os.sep for e in entry["exclude"])
         files = [
             os.path.join(root, fn)

@@ -245,3 +245,103 @@ def test_write_bucketed_refuses_rmtree_inside_warehouse(spark, tmp_path):
     with _pytest.raises(ValueError, match="refusing to clear"):
         cat.write_bucketed(df, "bkt_guard_tbl", bucket_by="k", n_buckets=2)
     assert os.path.isdir(loc)  # nothing was deleted
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (copy-on-write upsert/delete)
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_updates_and_inserts(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    src = _df(spark, [(2, "b", "Y2"), (3, "c", "z")])
+    s2 = cat.merge(src, "t", on=["k"])
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "Y2"), (3, "c", "z")]
+    # pre-merge state stays time-travelable; lineage records the op
+    assert _vals(cat.read_table("t", as_of=s1.snapshot_id)) == [(1, "a", "x"), (2, "b", "y")]
+    assert s2.lineage["stage"] == "merge" and s2.lineage["on"] == ["k"]
+
+
+def test_merge_delete_removes_matched_rows(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]), "t")
+    src = _df(spark, [(2, "b", "ignored"), (9, "q", "notarget")])
+    cat.merge(src, "t", on=["k"], when_matched="delete", when_not_matched=None)
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (3, "c", "z")]
+
+
+def test_merge_guards(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge(_df(spark, [(2, "b", "y"), (2, "c", "z")]), "t", on=["k"])
+    with _pytest.raises(ValueError, match="columns"):
+        cat.merge(spark.createDataFrame([(1, "a")], "k int, route string"), "t", on=["k"])
+    with _pytest.raises(LookupError):
+        cat.merge(_df(spark, [(1, "a", "x")]), "missing", on=["k"])
+    with _pytest.raises(ValueError, match="no-op"):
+        cat.merge(_df(spark, [(1, "a", "x")]), "t", on=["k"],
+                  when_matched=None, when_not_matched=None)
+    # empty source commits nothing — same snapshot comes back
+    before = cat.snapshot("t")
+    after = cat.merge(_df(spark, []), "t", on=["k"])
+    assert after.snapshot_id == before.snapshot_id
+
+
+def test_merge_partition_pruned_rewrites_only_touched_partitions(spark, cat):
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "y2"), (4, "c", "w")]),
+        "t",
+        partition_by=["route"],
+    )
+    old_dirs = {e["dir"] for e in cat.snapshot("t").state}
+    # keys include the partition column -> CoW at partition granularity
+    src = _df(spark, [(2, "b", "UPD"), (9, "b", "INS")])
+    s2 = cat.merge(src, "t", on=["route", "k"], partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [
+        (1, "a", "x"), (2, "b", "UPD"), (3, "b", "y2"), (4, "c", "w"), (9, "b", "INS")
+    ]
+    # the commit is replace_partitions: old dirs stay in state with ONLY
+    # route=b masked; a and c files carry over un-rewritten
+    assert s2.op == "replace_partitions"
+    carried = [e for e in s2.state if e["dir"] in old_dirs]
+    assert carried and all(e["exclude"] == ["route=b"] for e in carried)
+
+
+def test_merge_delete_entire_partition_masks_its_leaf(spark, cat):
+    """A partition whose rows are ALL deleted writes no leaf dir — the
+    explicit replace_leaves mask must still hide its old rows."""
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "y2")]),
+        "t",
+        partition_by=["route"],
+    )
+    src = _df(spark, [(2, "b", "-"), (3, "b", "-")])
+    cat.merge(src, "t", on=["route", "k"], partition_by=["route"],
+              when_matched="delete", when_not_matched=None)
+    assert _vals(cat.read_table("t")) == [(1, "a", "x")]
+
+
+def test_merge_key_moves_partition_falls_back_to_full_rewrite(spark, cat):
+    """Merge keys that DON'T pin the partition (on=[k], partitioned by
+    route) can move a row across partitions; the merge must degrade to
+    a full-table rewrite and still be correct."""
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), "t", partition_by=["route"]
+    )
+    s2 = cat.merge(_df(spark, [(2, "c", "moved")]), "t", on=["k"], partition_by=["route"])
+    assert s2.op == "overwrite"
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "c", "moved")]
+
+
+def test_leaf_path_escaping_matches_spark_layout(spark, cat):
+    """Partition values with path-hostile characters: the computed mask
+    must match the leaf dir partitionBy actually writes."""
+    df = spark.createDataFrame([(1, "a/b:c", "x"), (2, "plain", "y")],
+                               "k int, route string, v string")
+    cat.write_table(df, "t", partition_by=["route"])
+    src = spark.createDataFrame([(1, "a/b:c", "UPD")], "k int, route string, v string")
+    cat.merge(src, "t", on=["route", "k"], partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [(1, "a/b:c", "UPD"), (2, "plain", "y")]
+    snap = cat.snapshot("t")
+    leaves = {x for e in snap.state for x in e["exclude"]}
+    assert leaves == {"route=a%2Fb%3Ac"}

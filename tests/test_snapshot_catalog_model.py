@@ -31,24 +31,34 @@ def _rows_for(seed: int, i: int):
 def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     cat = SnapshotCatalog(spark, str(tmp_path / f"wh{seed}"))
     model_states: list[list[tuple]] = []  # committed state per snapshot
-    ops = ["overwrite", "append", "replace_partitions", "overwrite",
-           "append", "replace_partitions"]
+    ops = ["overwrite", "append", "replace_partitions", "merge",
+           "overwrite", "append", "replace_partitions", "merge"]
     # rotate the op order per seed for sequence diversity
     ops = ops[seed % len(ops):] + ops[:seed % len(ops)]
 
     snap_ids = []
     for i, op in enumerate(ops):
+        if op == "merge" and not model_states:
+            op = "overwrite"  # merge needs a committed target
         rows = _rows_for(seed, i)
         df = _df(spark, rows)
         if op == "overwrite":
             new_state = sorted(rows)
         elif op == "append":
             new_state = sorted((model_states[-1] if model_states else []) + rows)
+        elif op == "merge":  # upsert keyed on (route, k) — partition-pruned CoW
+            keys = {(r[0], r[1]) for r in rows}
+            new_state = sorted(
+                [r for r in model_states[-1] if (r[0], r[1]) not in keys] + rows
+            )
         else:  # replace_partitions on `route`
             routes = {r[1] for r in rows}
             prev = model_states[-1] if model_states else []
             new_state = sorted([r for r in prev if r[1] not in routes] + rows)
-        snap = cat.write_table(df, "t", mode=op, partition_by=["route"])
+        if op == "merge":
+            snap = cat.merge(df, "t", on=["route", "k"], partition_by=["route"])
+        else:
+            snap = cat.write_table(df, "t", mode=op, partition_by=["route"])
         snap_ids.append(snap.snapshot_id)
         model_states.append(new_state)
         assert _vals(cat.read_table("t")) == new_state, (seed, i, op)
