@@ -59,6 +59,11 @@ class Snapshot:
     op: str = "overwrite"
     state: list = field(default_factory=list)
     sequence: int = 0
+    #: JSON-serialized StructType of the table AT this snapshot
+    #: (SnapshotCatalog only; None on legacy manifests). Appends may
+    #: ADD columns — older data dirs then read back with nulls for the
+    #: later-added columns, Iceberg's add-column schema evolution.
+    schema_json: str | None = None
 
 
 class Catalog:
@@ -288,6 +293,45 @@ class SnapshotCatalog(Catalog):
                 return s
         raise LookupError(f"no snapshot {as_of!r} for table {table!r} (expired?)")
 
+    # ------------------------------------------------------ schema evolution
+    @staticmethod
+    def _evolve_schema(prev: Snapshot | None, df_schema, mode: str):
+        """The table schema AT the new snapshot. ``overwrite`` resets it
+        to the incoming frame's schema; ``append``/``replace_partitions``
+        may ADD columns (Iceberg add-column evolution — the only change
+        a parquet shim can honor losslessly: older files read back with
+        nulls for the new columns). Shared columns must keep their type;
+        dropping or retyping a column requires an overwrite."""
+        from pyspark.sql.types import StructField, StructType
+
+        if mode == "overwrite" or prev is None or not prev.schema_json:
+            return df_schema
+        prev_schema = StructType.fromJson(json.loads(prev.schema_json))
+        prev_by_name = {f.name: f for f in prev_schema.fields}
+        new_by_name = {f.name: f for f in df_schema.fields}
+        missing = [n for n in prev_by_name if n not in new_by_name]
+        if missing:
+            raise ValueError(
+                f"{mode} frame lacks table columns {missing}; dropping a "
+                "column requires mode='overwrite'"
+            )
+        clashes = [
+            n for n, f in new_by_name.items()
+            if n in prev_by_name and f.dataType != prev_by_name[n].dataType
+        ]
+        if clashes:
+            raise ValueError(
+                f"{mode} changes the type of {clashes}; retyping a column "
+                "requires mode='overwrite'"
+            )
+        added = [f for f in df_schema.fields if f.name not in prev_by_name]
+        # evolved columns are nullable by construction: pre-evolution
+        # files have no values for them
+        return StructType(
+            list(prev_schema.fields)
+            + [StructField(f.name, f.dataType, nullable=True) for f in added]
+        )
+
     # ---------------------------------------------------------------- write
     def _partition_leaves(self, absdir: str) -> list[str]:
         """Relative ``key=value[/key=value...]`` leaf-partition paths
@@ -317,6 +361,7 @@ class SnapshotCatalog(Catalog):
         if replace_leaves and mode != "replace_partitions":
             raise ValueError("replace_leaves only applies to replace_partitions")
         prev = self.snapshot(table)
+        table_schema = self._evolve_schema(prev, df.schema, mode)
         seq = (prev.sequence if prev else 0) + 1
         snap_id = uuid.uuid4().hex[:16]
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
@@ -358,6 +403,7 @@ class SnapshotCatalog(Catalog):
             op=mode,
             state=state,
             sequence=seq,
+            schema_json=json.dumps(table_schema.jsonValue()),
         )
         # append to the log first, then atomically flip the pointer —
         # the pointer replace is the commit point
@@ -526,10 +572,18 @@ class SnapshotCatalog(Catalog):
     ) -> DataFrame:
         """Current table state; ``as_of`` = time travel to a snapshot
         id; ``since`` = incremental scan (directories committed after
-        that snapshot — append/replace deltas only)."""
+        that snapshot — append/replace deltas only). When no explicit
+        ``schema`` is given, the SNAPSHOT's recorded schema drives the
+        scan — so after add-column evolution, pre-evolution data dirs
+        read back with nulls in the added columns, and time travel
+        reads each snapshot under the schema it was committed with."""
         snap = self._resolve(table, as_of)
         if snap is None or not snap.state:
             return super().read_table(table, schema=schema)  # non-snapshot table
+        if schema is None and snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
         entries = snap.state
         if since is not None:
             before = self._resolve(table, since)

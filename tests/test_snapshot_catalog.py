@@ -345,3 +345,48 @@ def test_leaf_path_escaping_matches_spark_layout(spark, cat):
     snap = cat.snapshot("t")
     leaves = {x for e in snap.state for x in e["exclude"]}
     assert leaves == {"route=a%2Fb%3Ac"}
+
+
+# ---------------------------------------------------------------------------
+# add-column schema evolution
+# ---------------------------------------------------------------------------
+
+def test_append_adds_column_old_rows_read_null(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    wide = spark.createDataFrame([(2, "b", "y", 0.5)],
+                                 "k int, route string, v string, score double")
+    cat.write_table(wide, "t", mode="append")
+    cur = cat.read_table("t")
+    assert set(cur.columns) == {"k", "route", "v", "score"}
+    rows = {r.k: r.score for r in cur.collect()}
+    assert rows == {1: None, 2: 0.5}
+    # time travel reads the PRE-evolution snapshot under its own schema
+    old = cat.read_table("t", as_of=s1.snapshot_id)
+    assert set(old.columns) == {"k", "route", "v"}
+
+
+def test_append_schema_guards(spark, cat):
+    import pytest as _pytest
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    with _pytest.raises(ValueError, match="lacks table columns"):
+        cat.write_table(spark.createDataFrame([(2, "b")], "k int, route string"),
+                        "t", mode="append")
+    with _pytest.raises(ValueError, match="changes the type"):
+        cat.write_table(
+            spark.createDataFrame([(2, "b", 7)], "k int, route string, v int"),
+            "t", mode="append")
+    # overwrite resets the schema freely
+    cat.write_table(spark.createDataFrame([(2, "b")], "k int, route string"), "t")
+    assert set(cat.read_table("t").columns) == {"k", "route"}
+
+
+def test_evolution_survives_partitioned_replace(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t",
+                    partition_by=["route"])
+    wide = spark.createDataFrame([(9, "b", "NEW", 42)],
+                                 "k int, route string, v string, extra int")
+    cat.write_table(wide, "t", mode="replace_partitions", partition_by=["route"])
+    cur = cat.read_table("t")
+    got = sorted((r.k, r.route, r.v, r.extra) for r in cur.collect())
+    assert got == [(1, "a", "x", None), (9, "b", "NEW", 42)]
