@@ -86,6 +86,82 @@ def stream_pipeline(
     return q
 
 
+def upsert_sink(
+    catalog,
+    table: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+):
+    """foreachBatch MERGE sink — the streaming-upsert idiom (Structured
+    Streaming + Iceberg ``MERGE INTO`` in ``foreachBatch``), truly
+    exactly-once: each commit records its ``batch_id`` in snapshot
+    lineage, and a re-delivered micro-batch (crash after the table
+    commit but before the stream checkpoint advanced) sees its own id
+    on the table pointer and skips — no duplicate snapshot, no
+    double-apply. Requires a ``SnapshotCatalog``; the batch frame must
+    be key-unique on ``keys`` (dropDuplicates upstream if the source
+    can repeat keys within one batch).
+
+    When ``partition_by`` ⊆ ``keys`` the merge rewrites only the
+    partitions the batch touches (copy-on-write at partition
+    granularity) — the shape a conv_id/day-keyed upsert stream wants at
+    scale.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        snap = catalog.snapshot(table)
+        if snap is not None and snap.lineage.get("stream_batch_id") == batch_id:
+            return  # re-delivered batch: already committed
+        # per-BATCH key dedup (merge requires a key-unique source; a
+        # batch spanning several files can carry the same turn twice —
+        # arbitrary winner within one batch, like Iceberg's merge on an
+        # undeduped source would reject). Stream-level dropDuplicates
+        # would be wrong here: stateful whole-stream dedup DROPS later
+        # re-sends, the opposite of upsert.
+        batch_df = batch_df.dropDuplicates(keys)
+        lineage = {"stage": "stream_upsert", "stream_batch_id": batch_id}
+        if snap is None:
+            catalog.write_table(
+                batch_df, table, mode="overwrite",
+                partition_by=partition_by, lineage=lineage,
+            )
+        else:
+            catalog.merge(
+                batch_df, table, on=keys,
+                partition_by=partition_by, lineage=lineage,
+            )
+
+    return sink
+
+
+def stream_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "turns_upserted",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+):
+    """Drain ``input_dir`` (availableNow) upserting each micro-batch
+    into a snapshot table keyed on ``keys`` — late re-sends of a turn
+    REPLACE the earlier row instead of duplicating it, which the
+    append-only ``stream_pipeline`` cannot do. Source offsets live in
+    the stream checkpoint; re-runs process only new files."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(upsert_sink(catalog, table, list(keys)))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def with_watermarked_counts(stream_df: DataFrame) -> DataFrame:
     """Windowed per-route counts under a 10-minute watermark (late data
     beyond the watermark is dropped; state is bounded)."""

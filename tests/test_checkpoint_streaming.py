@@ -169,3 +169,41 @@ def test_r4_stream_query_leaves_no_residual_views(spark, sf_dir):
     assert residual == []
     # the returned frame must not depend on any sink staying registered
     assert first.count() == n1
+
+
+def test_stream_upsert_replaces_resent_turns(spark, tmp_path):
+    """Streaming MERGE sink: a re-sent turn (same conv_id/turn_idx,
+    edited text) must REPLACE the earlier row — and a re-delivered
+    micro-batch must not commit a second snapshot."""
+    from log_parser_project_spark.catalog import SnapshotCatalog
+    from log_parser_project_spark.streaming.stream import stream_upsert, upsert_sink
+
+    input_dir = str(tmp_path / "in")
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = make_transcripts(spark, n_convs=30)
+    batch1.write.mode("append").parquet(input_dir)
+    stream_upsert(spark, input_dir, cat, ckpt)
+    n1 = batch1.count()
+    assert cat.read_table("turns_upserted").count() == n1
+
+    # re-send the first 10 convs' turn 0 with edited text + one new conv
+    edits = (
+        batch1.filter((F.col("conv_id") < "conv-00000010") & (F.col("turn_idx") == 0))
+        .withColumn("text", F.lit("EDITED"))
+    )
+    extra = make_transcripts(spark, n_convs=31).filter(F.col("conv_id") == "conv-00000030")
+    edits.unionByName(extra).write.mode("append").parquet(input_dir)
+    stream_upsert(spark, input_dir, cat, ckpt)
+
+    out = cat.read_table("turns_upserted")
+    assert out.count() == n1 + extra.count()  # upsert, not append
+    assert out.select("conv_id", "turn_idx").distinct().count() == out.count()
+    assert out.filter(F.col("text") == "EDITED").count() == edits.count()
+
+    # simulated batch re-delivery: same batch_id skips, no new snapshot
+    last = cat.snapshot("turns_upserted")
+    sink = upsert_sink(cat, "turns_upserted", ["conv_id", "turn_idx"])
+    sink(edits, last.lineage["stream_batch_id"])
+    assert cat.snapshot("turns_upserted").snapshot_id == last.snapshot_id
