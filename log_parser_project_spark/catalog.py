@@ -353,7 +353,17 @@ class SnapshotCatalog(Catalog):
         lineage: dict | None = None,
         row_count=None,
         replace_leaves: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> Snapshot:
+        """Commit one snapshot. ``stats_cols`` opts the commit into
+        manifest-level file statistics: per-file min/max for those
+        columns, harvested from the parquet FOOTERS the write already
+        produced (metadata-only — no data re-read), stored in the
+        manifest entry. ``read_table(predicate=...)`` then skips whole
+        files at scan-planning time — Iceberg's min/max file skipping,
+        the planning-side pruning that matters when a 100 TB table is
+        millions of files (parquet row-group pruning only helps after a
+        file is already opened)."""
         if mode not in ("overwrite", "append", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "replace_partitions" and not partition_by:
@@ -378,6 +388,8 @@ class SnapshotCatalog(Catalog):
             row_count = self.spark.read.schema(df.schema).parquet(abs_dir).count()
 
         new_entry = {"dir": rel_dir, "exclude": []}
+        if stats_cols:
+            new_entry["files"] = self._file_stats(abs_dir, stats_cols)
         if mode == "overwrite" or prev is None:
             state = [new_entry]
         elif mode == "append":
@@ -415,6 +427,83 @@ class SnapshotCatalog(Catalog):
             json.dump(asdict(snap), f, indent=2)
         os.replace(tmp, ppath)
         return snap
+
+    # ----------------------------------------------------- file statistics
+    @staticmethod
+    def _stat_value(v):
+        """JSON-serializable, order-preserving image of a footer stat.
+        Numbers/strings/bools pass through; date/datetime map to ISO
+        strings (ISO order == chronological order, so range overlap
+        tests stay correct); bytes decode best-effort."""
+        import datetime as _dt
+
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    def _file_stats(self, absdir: str, stats_cols: list[str]) -> dict:
+        """``{relative file path: {col: [min, max]}}`` from parquet
+        footer metadata. A column missing from a file's footer (all
+        nulls, unsupported type) is simply absent — that file is never
+        pruned on that column."""
+        import pyarrow.parquet as pq
+
+        want = set(stats_cols)
+        out: dict[str, dict] = {}
+        for root, _d, fns in os.walk(absdir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fn)
+                md = pq.ParquetFile(fpath).metadata
+                ranges: dict[str, list] = {}
+                # a column must have valid min/max in EVERY row group of
+                # the file, else its whole-file range is unknown
+                invalid: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        name = col.path_in_schema
+                        if name not in want or name in invalid:
+                            continue
+                        st = col.statistics
+                        lo = self._stat_value(st.min) if st and st.has_min_max else None
+                        hi = self._stat_value(st.max) if st and st.has_min_max else None
+                        if lo is None or hi is None:
+                            invalid.add(name)
+                            ranges.pop(name, None)
+                            continue
+                        cur = ranges.get(name)
+                        ranges[name] = (
+                            [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+                        )
+                if ranges:
+                    out[os.path.relpath(fpath, absdir)] = ranges
+        return out
+
+    @staticmethod
+    def _file_matches(stats: dict | None, predicate) -> bool:
+        """True if the file may contain rows satisfying ``predicate =
+        (col, lo, hi)`` (either bound None = unbounded). No stats for
+        the column → can't prune → keep."""
+        col, lo, hi = predicate
+        rng = (stats or {}).get(col)
+        if rng is None:
+            return True
+        fmin, fmax = rng
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
 
     # ---------------------------------------------------------------- merge
     @staticmethod
@@ -536,12 +625,14 @@ class SnapshotCatalog(Catalog):
         )
 
     # ----------------------------------------------------------------- read
-    def _entry_df(self, entry: dict, schema) -> DataFrame | None:
+    def _entry_df(self, entry: dict, schema, predicate=None) -> DataFrame | None:
         absdir = os.path.join(self.warehouse, entry["dir"])
         reader = self.spark.read.option("basePath", absdir)
         if schema is not None:
             reader = reader.schema(schema)
-        if not entry["exclude"]:
+        # manifest stats recorded at commit time (write_table stats_cols)
+        fstats = entry.get("files") if predicate is not None else None
+        if not entry["exclude"] and fstats is None:
             # a zero-row delta (e.g. a merge that deleted every row of
             # its touched partitions) writes a dir with no parquet files
             # — skip it instead of letting schema inference blow up
@@ -557,8 +648,13 @@ class SnapshotCatalog(Catalog):
             for root, _d, fns in os.walk(absdir)
             for fn in fns
             if fn.endswith(".parquet")
-            and not (os.path.relpath(root, absdir) + os.sep).startswith(excl)
+            and not (excl and (os.path.relpath(root, absdir) + os.sep).startswith(excl))
         ]
+        if fstats is not None:
+            files = [
+                f for f in files
+                if self._file_matches(fstats.get(os.path.relpath(f, absdir)), predicate)
+            ]
         if not files:
             return None
         return reader.parquet(*files)
@@ -569,6 +665,7 @@ class SnapshotCatalog(Catalog):
         schema=None,
         as_of: str | None = None,
         since: str | None = None,
+        predicate: tuple | None = None,
     ) -> DataFrame:
         """Current table state; ``as_of`` = time travel to a snapshot
         id; ``since`` = incremental scan (directories committed after
@@ -576,7 +673,19 @@ class SnapshotCatalog(Catalog):
         ``schema`` is given, the SNAPSHOT's recorded schema drives the
         scan — so after add-column evolution, pre-evolution data dirs
         read back with nulls in the added columns, and time travel
-        reads each snapshot under the schema it was committed with."""
+        reads each snapshot under the schema it was committed with.
+
+        ``predicate=(col, lo, hi)`` (either bound None) prunes whole
+        FILES whose manifest min/max range (recorded by
+        ``write_table(stats_cols=...)``) cannot overlap [lo, hi] —
+        scan planning never opens them. Metadata-level only, exactly
+        like Iceberg: the returned frame may still contain rows outside
+        the range (from files that straddle the bound, or files
+        committed without stats), so callers apply their row-level
+        ``.filter`` on top; the predicate just shrinks the file list
+        that filter has to scan."""
+        if predicate is not None and (len(predicate) != 3 or predicate[0] is None):
+            raise ValueError("predicate must be (col, lo, hi)")
         snap = self._resolve(table, as_of)
         if snap is None or not snap.state:
             return super().read_table(table, schema=schema)  # non-snapshot table
@@ -589,7 +698,7 @@ class SnapshotCatalog(Catalog):
             before = self._resolve(table, since)
             seen = {e["dir"] for e in before.state}
             entries = [e for e in snap.state if e["dir"] not in seen]
-        dfs = [d for e in entries if (d := self._entry_df(e, schema)) is not None]
+        dfs = [d for e in entries if (d := self._entry_df(e, schema, predicate)) is not None]
         if not dfs:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)

@@ -103,9 +103,32 @@ def build_routed(
     return df.select(*sink_columns(patterns))
 
 
-def read_sink(catalog: Catalog, sink: str) -> DataFrame:
-    """A logical sink = one route partition of the staging table."""
-    return catalog.read_table(STAGING_TABLE).filter(F.col("route") == sink)
+def read_sink(catalog: Catalog, sink: str, ts_range: tuple | None = None) -> DataFrame:
+    """A logical sink = one route partition of the staging table.
+
+    ``ts_range=(lo, hi)`` (ISO strings or datetimes; either bound None)
+    narrows to a time window: on a SnapshotCatalog the manifest ts
+    stats prune whole files at planning time (the commit records
+    per-file min/max), and the row-level filter on top keeps the result
+    exact either way."""
+    from ..catalog import SnapshotCatalog
+
+    if ts_range is not None and isinstance(catalog, SnapshotCatalog):
+        lo, hi = ts_range
+        iso = lambda v: v.isoformat() if hasattr(v, "isoformat") else v  # noqa: E731
+        df = catalog.read_table(
+            STAGING_TABLE, predicate=("ts", iso(lo) if lo else None, iso(hi) if hi else None)
+        )
+    else:
+        df = catalog.read_table(STAGING_TABLE)
+    df = df.filter(F.col("route") == sink)
+    if ts_range is not None:
+        lo, hi = ts_range
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") <= F.lit(hi))
+    return df
 
 
 def run_pipeline(
@@ -126,6 +149,8 @@ def run_pipeline(
     # written by one task — without this, every task opens a writer per
     # partition value (tasks × routes × days small files).
     staged = routed.withColumn("day", F.to_date("ts")).repartition("route", "day")
+    from ..catalog import SnapshotCatalog
+
     snap = catalog.write_table(
         staged,
         STAGING_TABLE,
@@ -134,6 +159,9 @@ def run_pipeline(
         # row count comes from the Observation populated by this same
         # write action — no second pass
         row_count=lambda: int(get_safe(obs).get("rows_total") or 0),
+        # manifest ts stats (footer metadata only) so time-windowed
+        # sink reads can skip whole files at planning time
+        **({"stats_cols": ["ts"]} if isinstance(catalog, SnapshotCatalog) else {}),
     )
     metrics = get_safe(obs)
 

@@ -82,6 +82,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # -- deterministic oracle comparison -------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # -- int64 timestamps in parquet: the deprecated INT96 default
+        #    writes NO footer min/max statistics, which disables both
+        #    the catalog's manifest-level file skipping on ts columns
+        #    and parquet row-group pruning ---------------------------
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # -- quieter local runs --------------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -390,3 +390,72 @@ def test_evolution_survives_partitioned_replace(spark, cat):
     cur = cat.read_table("t")
     got = sorted((r.k, r.route, r.v, r.extra) for r in cur.collect())
     assert got == [(1, "a", "x", None), (9, "b", "NEW", 42)]
+
+
+# ---------------------------------------------------------------------------
+# manifest min/max file skipping
+# ---------------------------------------------------------------------------
+
+def test_predicate_prunes_files_at_planning_time(spark, cat):
+    """stats_cols commits per-file min/max from parquet footers;
+    read_table(predicate=...) must plan strictly fewer files and still
+    return every matching row."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    # range-partitioned write -> disjoint per-file k ranges
+    cat.write_table(df.repartitionByRange(8, "k"), "t", stats_cols=["k"])
+    snap = cat.snapshot("t")
+    assert snap.state[0].get("files"), "stats must be recorded in the manifest"
+    all_files = cat.read_table("t").inputFiles()
+    pruned = cat.read_table("t", predicate=("k", 100, 150))
+    assert len(pruned.inputFiles()) < len(all_files)
+    got = sorted(r.k for r in pruned.filter(F.col("k").between(100, 150)).collect())
+    assert got == list(range(100, 151))
+    # open bounds
+    lo_only = cat.read_table("t", predicate=("k", 900, None))
+    assert len(lo_only.inputFiles()) < len(all_files)
+    assert lo_only.filter(F.col("k") >= 900).count() == 100
+
+
+def test_predicate_keeps_files_without_stats(spark, cat):
+    """Append without stats_cols: its files carry no ranges and must
+    never be pruned (correctness over pruning)."""
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    df2 = spark.range(100, 200).withColumnRenamed("id", "k")
+    cat.write_table(df1.repartitionByRange(4, "k"), "t", stats_cols=["k"])
+    cat.write_table(df2, "t", mode="append")  # no stats
+    out = cat.read_table("t", predicate=("k", 150, 160))
+    assert out.filter(F.col("k").between(150, 160)).count() == 11
+
+
+def test_predicate_on_timestamp_column(spark, cat):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2026, 1, 1 + i // 10, i % 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    cat.write_table(df.repartitionByRange(4, "ts"), "t", stats_cols=["ts"])
+    all_n = len(cat.read_table("t").inputFiles())
+    day2 = (dt.datetime(2026, 1, 2).isoformat(), dt.datetime(2026, 1, 2, 23).isoformat())
+    pruned = cat.read_table("t", predicate=("ts", day2[0], day2[1]))
+    assert len(pruned.inputFiles()) < all_n
+    assert (
+        pruned.filter(F.col("ts").between("2026-01-02", "2026-01-03")).count() == 10
+    )
+
+
+def test_pipeline_staging_records_ts_stats_and_read_sink_prunes(spark, transcripts_small, tmp_path):
+    from log_parser_project_spark.plans.pipeline import STAGING_TABLE, read_sink, run_pipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, transcripts_small, cat)
+    snap = cat.snapshot(STAGING_TABLE)
+    files = snap.state[0].get("files", {})
+    assert files and all("ts" in st for st in files.values())
+    all_files = cat.read_table(STAGING_TABLE).inputFiles()
+    lo = min(st["ts"][0] for st in files.values())
+    narrow = read_sink(cat, "sink_errors", ts_range=(None, lo))
+    assert len(narrow.inputFiles()) < len(all_files)
+    # exactness: window filter on top of pruning == filter on full scan
+    full = read_sink(cat, "sink_errors").filter(F.col("ts") <= F.lit(lo)).count()
+    assert narrow.count() == full
