@@ -354,6 +354,7 @@ class SnapshotCatalog(Catalog):
         row_count=None,
         replace_leaves: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """Commit one snapshot. ``stats_cols`` opts the commit into
         manifest-level file statistics: per-file min/max for those
@@ -363,7 +364,20 @@ class SnapshotCatalog(Catalog):
         files at scan-planning time — Iceberg's min/max file skipping,
         the planning-side pruning that matters when a 100 TB table is
         millions of files (parquet row-group pruning only helps after a
-        file is already opened)."""
+        file is already opened).
+
+        ``sort_by`` is the table's write sort order with a GLOBAL sort
+        distribution (Iceberg ``write.sort-order`` +
+        ``write.distribution-mode=range``): one range shuffle clusters
+        the sort-column domain across tasks, then rows sort within each
+        task — so each file covers a tight, near-disjoint range instead
+        of a random slice of the whole domain. Point/range predicates
+        on those columns then prune most files; a within-task sort
+        alone would leave every file spanning everything and skipping
+        would never fire. Pair with ``stats_cols`` on the same columns.
+        Skip it on writes already clustered by a different key (the
+        staging fan-out clusters by (route, day) to bound file counts —
+        a ts range shuffle would undo that)."""
         if mode not in ("overwrite", "append", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "replace_partitions" and not partition_by:
@@ -377,6 +391,8 @@ class SnapshotCatalog(Catalog):
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
         abs_dir = os.path.join(self.warehouse, rel_dir)
 
+        if sort_by:
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -459,3 +459,30 @@ def test_pipeline_staging_records_ts_stats_and_read_sink_prunes(spark, transcrip
     # exactness: window filter on top of pruning == filter on full scan
     full = read_sink(cat, "sink_errors").filter(F.col("ts") <= F.lit(lo)).count()
     assert narrow.count() == full
+
+
+def test_sort_order_makes_file_skipping_selective(spark, cat):
+    """Global write sort order: without it a randomly-distributed write
+    leaves every file spanning the whole domain (skipping never fires);
+    with it, a narrow range predicate plans a small fraction of files."""
+    df = (
+        spark.range(0, 10_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("r", F.pmod(F.xxhash64("k"), F.lit(97)))
+        .orderBy("r")  # scramble so input order carries no k locality
+        .drop("r")
+        .repartition(8)
+    )
+    cat.write_table(df, "unsorted", stats_cols=["k"])
+    cat.write_table(df, "sorted", stats_cols=["k"], sort_by=["k"])
+    pred = ("k", 4_000, 4_100)
+    n_uns = len(cat.read_table("unsorted", predicate=pred).inputFiles())
+    n_srt = len(cat.read_table("sorted", predicate=pred).inputFiles())
+    total = len(cat.read_table("sorted").inputFiles())
+    assert n_uns == len(cat.read_table("unsorted").inputFiles())  # no pruning
+    assert n_srt <= max(2, total // 4)  # tight ranges -> most files skipped
+    got = (
+        cat.read_table("sorted", predicate=pred)
+        .filter(F.col("k").between(*pred[1:])).count()
+    )
+    assert got == 101
