@@ -445,3 +445,35 @@ def test_minhash_to_cluster_dedup_composes(docs):
     agree = sum(1 for d in nonsingleton if lsh_assign[d] == exact_assign[d])
     assert nonsingleton, "fixture should contain duplicate clusters"
     assert agree / len(nonsingleton) >= 0.8
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on random edge lists the distributed min-label
+    algorithm must agree exactly with a driver-side union-find."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=1, max_size=80))
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+
+        got = _cc(spark, edges)
+        assert got == want
+
+    check()
