@@ -52,6 +52,69 @@ def deterministic_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key), 100) < rate_pct)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    pct: int,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Exact per-stratum quota sampling via distributed order statistics.
+
+    Keeps exactly ``quota_s = ceil(n_s * pct / 100)`` rows per stratum —
+    the first ``quota_s`` rows of the stratum in the deterministic total
+    order ``(md5(key) asc, key asc)``. A naive ``row_number()`` over the
+    whole stratum would sort every row of a hot stratum in ONE task
+    (straggler/OOM for a dominant language at 100 TB); instead selection
+    is split into two bounded phases:
+
+      1. the bucket id is the first ``bucket_hex_chars`` hex chars of the
+         ordering hash — a string PREFIX, so bucket-major order is
+         *identical* to plain md5 order (a ``% n`` bucket would take the
+         hash's low bits and scramble the order); ``groupBy(stratum,
+         bucket).count()`` → strata × 16^chars rows (driver-small); a
+         running prefix sum per stratum positions each bucket, and the
+         stratum total yields the quota.
+      2. broadcast the (prefix, quota) plan back; ``row_number()`` only
+         WITHIN ``(stratum, bucket)`` — partition size ≈ n_s/16^chars —
+         and keep rows where ``prefix + local_rank <= quota``.
+
+    A single-window ``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(key), key)`` oracle reproduces the selection bit-for-bit, and
+    the selected set is invariant to parallelism, input partitioning,
+    AND ``bucket_hex_chars`` (deeper prefixes only refine the same
+    total order).
+    """
+    h = F.md5(F.col(key).cast("string"))
+    tagged = df.withColumn("_h", h).withColumn(
+        "_b", F.substring("_h", 1, bucket_hex_chars)
+    )
+    w_pre = (
+        Window.partitionBy(stratum).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(stratum)
+    plan = (
+        tagged.groupBy(stratum, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            stratum,
+            "_b",
+            F.coalesce(F.sum("_c").over(w_pre), F.lit(0)).alias("_prefix"),
+            # integer ceil-div quota: exact, engine-portable
+            F.floor((F.sum("_c").over(w_all) * pct + 99) / F.lit(100))
+            .cast("long")
+            .alias("_quota"),
+        )
+    )
+    w_loc = Window.partitionBy(stratum, "_b").orderBy("_h", key)
+    return (
+        tagged.join(F.broadcast(plan), [stratum, "_b"])
+        .withColumn("_r", F.row_number().over(w_loc))
+        .filter(F.col("_prefix") + F.col("_r") <= F.col("_quota"))
+        .drop("_h", "_b", "_prefix", "_quota", "_r")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group: str | list[str],

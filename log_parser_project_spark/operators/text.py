@@ -177,3 +177,47 @@ def subword_token_count(col: str | Column = "text") -> Column:
     the cheap token estimator a training pipeline budgets with."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def tfidf_topk(
+    df: DataFrame, doc_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords over the whole corpus.
+
+    Plan — three shuffles, every key uniform or zipf-bounded:
+
+      1. explode tokens → ``groupBy(doc, token)`` term frequencies
+         (key cardinality = corpus distinct doc-token pairs, uniform);
+      2. ``groupBy(token)`` document frequencies over the already-
+         deduplicated doc-token set (shuffle ∝ vocabulary, not corpus);
+      3. tf ⋈ df on token, then a per-document ``row_number`` window —
+         partition size is one document's distinct-token count, never
+         corpus-sized, so the rank stage survives any corpus scale.
+
+    N (corpus size) is a one-scalar aggregate crossJoin-broadcast, not
+    a driver collect. ``idf = ln((N+1)/(df+1))`` (add-one smoothed);
+    the score is rounded to 4 dp BEFORE ranking so rank order (score
+    desc, token asc) is bit-reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(doc_col, F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(doc_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(doc_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(doc_col, "token", "tfidf", "rnk")
+    )

@@ -523,3 +523,97 @@ def q_tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("clean").contains("<NUM>"), 1).otherwise(0)).cast("long").alias("n_with_num"),
         )
     )
+
+
+# ===========================================================================
+# round 3 additions: corpus keyword extraction, exact stratified sampling,
+# per-language length percentiles
+# ===========================================================================
+
+@_register(
+    "q_tx_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed idf, rank order
+    pinned on the 4-dp-rounded score) — corpus-level keyword extraction
+    with bounded per-stage shuffle keys; see
+    :func:`operators.text.tfidf_topk` for the scale plan."""
+    from .operators.text import tfidf_topk
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return tfidf_topk(d, k=3)
+
+
+@_register(
+    "q_td_stratified_sample",
+    """
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_s
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM r WHERE rn <= (n_s * 10 + 99) // 100
+    """,
+)
+def q_td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota 10% stratified sample per language: distributed
+    order-statistics selection (bucketed prefix-sum plan + within-bucket
+    rank) instead of a whole-stratum sort — the hot-language-safe path;
+    the oracle's single row_number() window proves the two orders agree
+    bit-for-bit. See :func:`operators.sampling.stratified_sample_exact`."""
+    from .operators.sampling import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(d, stratum="lang", key="doc_id", pct=10).select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+@_register(
+    "q_tx_length_percentiles",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_tx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile with exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both
+    rank = p·(n−1) linear interpolation). Exact percentiles buffer a
+    group's values — right for the oracle contract and for dimension-
+    sized groups; at 100 TB swap in ``approx_percentile`` (mergeable
+    sketch, no per-group buffering) with the same call shape."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

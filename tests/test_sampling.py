@@ -1,0 +1,76 @@
+"""Exact-quota stratified sampling: the bucketed order-statistics plan
+must (a) hit each stratum's ceil-quota exactly, (b) select the same
+rows as the naive whole-stratum row_number() selection over the plain
+(md5, key) order, and (c) be invariant to bucket depth and input
+partitioning (the bucket id is a hash PREFIX, so bucket-major order
+equals md5 order at every depth)."""
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from log_parser_project_spark.operators.sampling import stratified_sample_exact
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _naive(df, stratum, key, pct):
+    """Single-window reference selection: first ceil-quota rows per
+    stratum ordered by (md5(key), key) — no bucketing at all."""
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(stratum).orderBy(h, key)
+    n = Window.partitionBy(stratum)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_q", F.floor((F.count(F.lit(1)).over(n) * pct + 99) / F.lit(100)))
+        .filter(F.col("_rn") <= F.col("_q"))
+        .drop("_rn", "_q")
+    )
+
+
+def test_quota_exact_per_stratum(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    got = (
+        stratified_sample_exact(d, "lang", "doc_id", pct=10)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    want = {r["lang"]: math.ceil(r["count"] * 10 / 100) for r in d.groupBy("lang").count().collect()}
+    assert {r["lang"]: r["count"] for r in got} == want
+
+
+def test_matches_naive_window_selection(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(d, "lang", "doc_id", pct=25).collect()
+    )
+    ref = sorted(r["doc_id"] for r in _naive(d, "lang", "doc_id", 25).collect())
+    assert got == ref and len(got) > 0
+
+
+def test_invariant_to_bucket_depth_and_partitioning(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    base = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(d, "lang", "doc_id", pct=10).collect()
+    )
+    for chars in (1, 3):
+        alt = sorted(
+            r["doc_id"]
+            for r in stratified_sample_exact(
+                d, "lang", "doc_id", pct=10, bucket_hex_chars=chars
+            ).collect()
+        )
+        assert alt == base, f"bucket_hex_chars={chars} changed the selection"
+    rep = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            d.repartition(37), "lang", "doc_id", pct=10
+        ).collect()
+    )
+    assert rep == base
