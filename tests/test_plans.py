@@ -185,3 +185,39 @@ def test_fx_bitmath_single_scan_no_join(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_stratified_sample_avoids_whole_stratum_sort(spark, sf_dir):
+    """stratified_sample_exact's only per-row sort must be within
+    (stratum, bucket) — never the whole stratum — and the selection
+    plan joins the driver-small prefix/quota table by broadcast."""
+    from log_parser_project_spark.operators.sampling import stratified_sample_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(stratified_sample_exact(d, "lang", "doc_id", pct=10))
+    assert "BroadcastHashJoin" in plan
+    # the phase-2 rank window partitions on [lang, _b]; a whole-stratum
+    # sort would show a Window/Sort keyed on lang alone
+    import re
+
+    row_windows = [
+        w for w in re.findall(r"Window \[row_number\(\).*", plan)
+    ]
+    assert row_windows and all("_b" in w for w in row_windows), row_windows
+
+
+def test_tfidf_rank_window_is_per_document(spark, sf_dir):
+    """tfidf_topk: the corpus-size scalar joins by broadcast, the rank
+    window partitions per doc_id (bounded by one document's vocabulary,
+    never corpus-sized), and `rnk <= k` is pushed down into a PARTIAL
+    WindowGroupLimit — map-side top-k pruning before the window
+    exchange, so only ~k rows per (partition, doc) ever shuffle."""
+    from log_parser_project_spark.operators.text import tfidf_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(tfidf_topk(d, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window [row_number()" in plan and "[doc_id" in plan.split(
+        "Window [row_number()", 1
+    )[1]
+    assert "row_number(), 3, Partial" in plan and "row_number(), 3, Final" in plan
