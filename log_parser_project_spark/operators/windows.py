@@ -42,3 +42,26 @@ def with_turn_features(df: DataFrame) -> DataFrame:
 def stable_order(df: DataFrame) -> DataFrame:
     """The canonical ordering for per-turn equality checks."""
     return df.orderBy("conv_id", "turn_idx")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+):
+    """Gap-based sessionization via Spark's built-in ``session_window``
+    — the canonical log-analytics rollup (and the exact operator the
+    streaming path would use with a watermark, so batch and streaming
+    sessions agree by construction).
+
+    One shuffle on ``key``; the session assignment itself is a sort
+    within each hash partition, never a per-key global structure, and
+    no per-session state beyond the aggregate accumulators is held.
+    Session boundary semantics are half-open: an event exactly ``gap``
+    after the previous one starts a NEW session (window = [start,
+    last_ts + gap)).
+    """
+    from pyspark.sql import functions as F
+
+    return df.groupBy(key, F.session_window(ts_col, gap))

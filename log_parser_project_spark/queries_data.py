@@ -617,3 +617,56 @@ def q_tx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@_register(
+    "q_w_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(us) // 1000000 AS session_start_s,
+           MAX(us) // 1000000 AS session_last_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(SUM(floor(value * 100 + 0.5)) AS BIGINT) AS sum_value_c
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) with per-session
+    rollups, via the built-in ``session_window`` — the batch form of
+    the exact operator the streaming path would run under a watermark.
+    The oracle derives identical sessions from first principles
+    (lag + running boundary sum), pinning Spark's half-open
+    ``[start, last + gap)`` semantics: a gap of exactly 30 min starts
+    a new session."""
+    from .operators.windows import sessionize
+    from .queries import cents
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        sessionize(ev.withColumn("us", us), key="user_id", ts_col="ts", gap="30 minutes")
+        .agg(
+            F.floor(F.min("us") / 1_000_000).cast("long").alias("session_start_s"),
+            F.floor(F.max("us") / 1_000_000).cast("long").alias("session_last_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+            F.sum(cents("value")).alias("sum_value_c"),
+        )
+        .drop("session_window")
+    )
