@@ -670,3 +670,103 @@ def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("session_window")
     )
+
+
+@_register(
+    "q_w_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_us,
+             MAX(CASE WHEN p.us IS NOT NULL THEN 1 ELSE 0 END) AS converted
+      FROM s LEFT JOIN (
+        SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      ) p ON p.user_id = s.user_id
+         AND p.us >= s.signup_us
+         AND p.us < s.signup_us + 604800000000::BIGINT
+      GROUP BY s.user_id, s.signup_us
+    )
+    SELECT signup_us // 86400000000 AS signup_day,
+           COUNT(*) AS n_signups,
+           CAST(SUM(converted) AS BIGINT) AS n_converted_7d
+    FROM conv GROUP BY signup_day
+    """,
+)
+def q_w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: per user, first signup and
+    whether a purchase lands within the next 7 days, rolled up per
+    signup day. One shuffle on user_id for the first-signup aggregate,
+    one for the interval join (equi on user_id with the time range as
+    a residual predicate — never a cartesian); cohort rollup keys are
+    day-grained and uniform."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", us.alias("p_us"))
+    week_us = 7 * 86400 * 1_000_000
+    conv = (
+        s.join(
+            p,
+            (s["user_id"] == p["user_id"])
+            & (p["p_us"] >= s["signup_us"])
+            & (p["p_us"] < s["signup_us"] + week_us),
+            "left",
+        )
+        .groupBy(s["user_id"], "signup_us")
+        .agg(F.max(F.when(F.col("p_us").isNotNull(), 1).otherwise(0)).alias("converted"))
+    )
+    return conv.groupBy(
+        F.floor(F.col("signup_us") / 86_400_000_000).cast("long").alias("signup_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("converted").cast("long").alias("n_converted_7d"),
+    )
+
+
+@_register(
+    "q_w_retention",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(epoch_us(ts)) // 604800000000::BIGINT AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             epoch_us(e.ts) // 604800000000::BIGINT - f.cohort_week AS week_offset
+      FROM events e JOIN first f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def q_w_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted once per (cohort, week offset) they return in. Epoch-week
+    integer arithmetic keeps the bucketing TZ-free and engine-exact;
+    the first-event dimension joins back on user_id (shuffle ∝ users,
+    dropped to broadcast automatically when the cohort dim is small)."""
+    ev = _t(spark, sf_dir, "events")
+    week_us = 7 * 86400 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.min(us) / week_us).cast("long").alias("cohort_week")
+    )
+    act = (
+        ev.select("user_id", F.floor(us / week_us).cast("long").alias("wk"))
+        .join(first, "user_id")
+        .select(
+            "user_id", "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
