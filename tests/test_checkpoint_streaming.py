@@ -207,3 +207,58 @@ def test_stream_upsert_replaces_resent_turns(spark, tmp_path):
     sink = upsert_sink(cat, "turns_upserted", ["conv_id", "turn_idx"])
     sink(edits, last.lineage["stream_batch_id"])
     assert cat.snapshot("turns_upserted").snapshot_id == last.snapshot_id
+
+
+def test_session_window_streaming_equals_batch(spark, sf_dir):
+    """q_w_sessionize's claim made real: the SAME session_window
+    aggregate run as a Structured Streaming query (availableNow drain,
+    complete mode) produces the identical session set as the batch
+    query — batch and streaming sessions agree by construction."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from log_parser_project_spark.contract import ordered_queries
+    from log_parser_project_spark.operators.windows import sessionize
+    from log_parser_project_spark.queries import cents
+
+    fn, _ = ordered_queries()["q_w_sessionize"]
+    batch = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="sess_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(d, "events.parquet")
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = sessionize(
+        src.withColumn("us", us), key="user_id", ts_col="ts", gap="30 minutes"
+    ).agg(
+        F.floor(F.min("us") / 1_000_000).cast("long").alias("session_start_s"),
+        F.floor(F.max("us") / 1_000_000).cast("long").alias("session_last_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(cents("value")).alias("sum_value_c"),
+    )
+    name = f"sess_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.drop("session_window")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        streamed = sorted(map(tuple, spark.table(name).collect()))
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+    assert streamed == batch and len(batch) > 0
