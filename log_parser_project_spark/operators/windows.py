@@ -58,9 +58,10 @@ def sessionize(
     One shuffle on ``key``; the session assignment itself is a sort
     within each hash partition, never a per-key global structure, and
     no per-session state beyond the aggregate accumulators is held.
-    Session boundary semantics are half-open: an event exactly ``gap``
-    after the previous one starts a NEW session (window = [start,
-    last_ts + gap)).
+    Session boundary semantics are INCLUSIVE (empirically verified,
+    pinned by tests): an event exactly ``gap`` after the previous one
+    MERGES into the session; only a strictly larger gap starts a new
+    one (window = [start, last_ts + gap]).
     """
     from pyspark.sql import functions as F
 

@@ -628,7 +628,7 @@ def q_tx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     s AS (
-      SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+      SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
                          THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY us
                       ROWS UNBOUNDED PRECEDING) AS sid
@@ -649,9 +649,10 @@ def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups, via the built-in ``session_window`` — the batch form of
     the exact operator the streaming path would run under a watermark.
     The oracle derives identical sessions from first principles
-    (lag + running boundary sum), pinning Spark's half-open
-    ``[start, last + gap)`` semantics: a gap of exactly 30 min starts
-    a new session."""
+    (lag + running boundary sum), pinning Spark's INCLUSIVE boundary
+    semantics (verified empirically): an event exactly ``gap`` after
+    the previous one still MERGES into the session — only a strictly
+    larger gap starts a new one."""
     from .operators.windows import sessionize
     from .queries import cents
 

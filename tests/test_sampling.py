@@ -74,3 +74,61 @@ def test_invariant_to_bucket_depth_and_partitioning(spark, sf_dir):
         ).collect()
     )
     assert rep == base
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin session_window's INCLUSIVE boundary (and the oracle's `>`
+    condition) with crafted timestamps: an event exactly gap after the
+    previous MERGES; one microsecond more splits. The real-data parity
+    test can never hit this boundary (timestamps carry microsecond
+    jitter), so it is pinned here explicitly."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + timedelta(minutes=30)),                 # == gap: merge
+        (2, t0), (2, t0 + timedelta(minutes=29, seconds=59)),     # < gap: merge
+        (3, t0), (3, t0 + timedelta(minutes=30, microseconds=1)), # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    spark_sessions = {
+        r[0]: r[1]
+        for r in (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .count()
+            .groupBy("user_id")
+            .count()
+            .collect()
+        )
+    }
+    assert spark_sessions == {1: 1, 2: 1, 3: 2}
+
+    # the oracle's boundary-sum formulation agrees row for row
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    oracle = dict(
+        con.execute(
+            """
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM ev
+        ),
+        s AS (
+          SELECT user_id,
+                 SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, COUNT(DISTINCT sid) FROM s GROUP BY user_id
+        """
+        ).fetchall()
+    )
+    assert oracle == spark_sessions
