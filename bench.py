@@ -69,9 +69,14 @@ def main() -> None:
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
         fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of two timed runs: single-shot timings swing 2x with
+        # turbo/thermal state on a busy box; min is the steady-state
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # transcript pipeline throughput: parse → enrich → route (single
     # partitioned fan-out write) → per-sink aggregates — the real job,
