@@ -107,11 +107,21 @@ def stratified_sample_exact(
         )
     )
     w_loc = Window.partitionBy(stratum, "_b").orderBy("_h", key)
+    # null-SAFE join on the stratum: a plain equi-join would silently
+    # drop the whole NULL stratum (window partitioning groups NULLs
+    # together, so the plan has a row for it and the contract samples it
+    # like any other stratum)
+    pl = plan.select(
+        F.col(stratum).alias("_ps"), F.col("_b").alias("_pb"), "_prefix", "_quota"
+    )
     return (
-        tagged.join(F.broadcast(plan), [stratum, "_b"])
+        tagged.join(
+            F.broadcast(pl),
+            F.col(stratum).eqNullSafe(F.col("_ps")) & (F.col("_b") == F.col("_pb")),
+        )
         .withColumn("_r", F.row_number().over(w_loc))
         .filter(F.col("_prefix") + F.col("_r") <= F.col("_quota"))
-        .drop("_h", "_b", "_prefix", "_quota", "_r")
+        .drop("_h", "_b", "_ps", "_pb", "_prefix", "_quota", "_r")
     )
 
 

@@ -63,6 +63,4 @@ def sessionize(
     MERGES into the session; only a strictly larger gap starts a new
     one (window = [start, last_ts + gap]).
     """
-    from pyspark.sql import functions as F
-
     return df.groupBy(key, F.session_window(ts_col, gap))

@@ -623,14 +623,14 @@ def q_tx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_w_sessionize",
     """
     WITH o AS (
-      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
     ),
     s AS (
       SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
                          THEN 1 ELSE 0 END)
-                OVER (PARTITION BY user_id ORDER BY us
+                OVER (PARTITION BY user_id ORDER BY us, event_id
                       ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

@@ -132,3 +132,76 @@ def test_session_window_exact_gap_boundary(spark):
         ).fetchall()
     )
     assert oracle == spark_sessions
+
+
+def test_null_stratum_is_sampled(spark, sf_dir):
+    """A NULL stratum must be sampled at the same ceil-quota as any
+    other stratum (the join back to the prefix/quota plan is null-safe;
+    a plain equi-join would silently drop every NULL-stratum row)."""
+    import pyspark.sql.functions as F
+
+    d = _docs(spark, sf_dir).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang"))
+    )
+    got = {
+        r["lang"]: r["count"]
+        for r in stratified_sample_exact(d, "lang", "doc_id", pct=10)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    want = {
+        r["lang"]: math.ceil(r["count"] * 10 / 100)
+        for r in d.groupBy("lang").count().collect()
+    }
+    assert None in want and got == want
+
+
+def test_sessionize_oracle_handles_tied_timestamps(spark):
+    """Two events with IDENTICAL timestamps right after a session
+    boundary: Spark's session_window necessarily groups them together;
+    the oracle's running boundary sum must order by (us, event_id) —
+    ordered by us alone the tied rows are peers in arbitrary order and
+    session assignment flickers."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (7, 1, t0),
+        (7, 5, t0 + timedelta(minutes=31)),
+        (7, 9, t0 + timedelta(minutes=31)),  # tied with event 5
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    spark_sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .select("count")
+        .collect()
+    )
+    assert sorted(r[0] for r in spark_sessions) == [1, 2]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    oracle = con.execute(
+        """
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM ev
+        ),
+        s AS (
+          SELECT user_id,
+                 SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT sid, COUNT(*) FROM s GROUP BY sid
+        """
+    ).fetchall()
+    assert sorted(n for _, n in oracle) == [1, 2]
