@@ -172,3 +172,30 @@ def with_watermarked_counts(stream_df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "route", "n")
     )
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-bounded stateful dedup for at-least-once sources —
+    the front-door data-quality op for re-delivered log streams
+    (``dropDuplicatesWithinWatermark``): a key is held in state only
+    while a duplicate can still arrive (until the event-time watermark
+    passes it), so state is bounded by the watermark horizon instead of
+    growing with the whole stream. Duplicates arriving within the
+    watermark delay of each other — in the same micro-batch or across
+    batches — collapse to one row; contrast with ``stream_upsert``,
+    where a later re-send must REPLACE (this op would drop it).
+
+    Size the watermark to the maximum EVENT-TIME lag of a re-delivery,
+    not its wall-clock lag: a row whose event time trails the stream's
+    max by more than the watermark is discarded as late data entirely
+    (pinned in the test — a backfill replaying a month of history needs
+    a month-scale watermark or a separate batch dedup).
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

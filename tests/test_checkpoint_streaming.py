@@ -262,3 +262,45 @@ def test_session_window_streaming_equals_batch(spark, sf_dir):
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
     assert streamed == batch and len(batch) > 0
+
+
+def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """An at-least-once source that re-delivers rows (full duplicate
+    file + a partial third copy, drained across several micro-batches)
+    collapses to exactly the distinct row set under watermark-bounded
+    stateful dedup."""
+    from log_parser_project_spark.streaming.stream import (
+        TRANSCRIPT_SCHEMA,
+        dedup_within_watermark,
+    )
+
+    input_dir = str(tmp_path / "dup_in")
+    batch = make_transcripts(spark, n_convs=40)
+    batch.write.parquet(input_dir)                          # original
+    batch.write.mode("append").parquet(input_dir)           # full re-delivery
+    batch.limit(100).write.mode("append").parquet(input_dir)  # partial re-delivery
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # duplicates span micro-batches
+        .parquet(input_dir)
+    )
+    # the watermark bounds how far BEHIND the stream's max event time a
+    # re-delivered row may arrive: the synthetic corpus spans ~30 days
+    # of event time and files drain in arbitrary order, so anything
+    # shorter silently drops legitimate rows as late data
+    out = dedup_within_watermark(src, keys=("conv_id", "turn_idx"), watermark="45 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_wm")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in spark.sql("select * from dedup_wm").collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in batch.dropDuplicates(["conv_id", "turn_idx"]).collect()
+    )
+    spark.catalog.dropTempView("dedup_wm")
+    assert got == want and len(want) > 0
