@@ -771,3 +771,20 @@ def q_w_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@_register("q_sk_distinct_rollup", None)  # sketch estimates — rows-only by design
+def q_sk_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates from UNIONED per-day HLL sketches
+    (the incremental-rollup pattern: the fact table is scanned once to
+    build day sketches; every coarser grain merges sketches). Rows-only
+    (DuckDB has no byte-compatible HLL); pytest pins union-associativity
+    exactly and error vs exact distinct."""
+    from .operators.sketches import daily_sketches, rollup_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sk = daily_sketches(ev, key="user_id", ts_col="ts")
+    wk = sk.withColumn(
+        "week", (F.unix_date(F.col("day")) / 7).cast("long")
+    )
+    return rollup_estimate(wk, "week").orderBy("week")

@@ -205,3 +205,27 @@ def test_sessionize_oracle_handles_tied_timestamps(spark):
         """
     ).fetchall()
     assert sorted(n for _, n in oracle) == [1, 2]
+
+
+def test_hll_rollup_is_union_associative_and_accurate(spark, sf_dir):
+    """Estimate over a union of daily sketches must equal the estimate
+    of one sketch built over the whole range (loss-free merge), and sit
+    within HLL error of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from log_parser_project_spark.operators.sketches import (
+        daily_sketches,
+        rollup_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    merged = rollup_estimate(daily_sketches(ev)).collect()[0]
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("est")
+    ).collect()[0]["est"]
+    assert merged["distinct_est"] == direct  # associativity: exactly equal
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged["distinct_est"] - exact) / exact < 0.05
+    assert merged["n_rows"] == ev.count()
