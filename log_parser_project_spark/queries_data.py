@@ -788,3 +788,77 @@ def q_sk_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week", (F.unix_date(F.col("day")) / 7).cast("long")
     )
     return rollup_estimate(wk, "week").orderBy("week")
+
+
+# versioned per-event-type rate table: effective instants (days after
+# 2024-01-01 00:00 UTC) and the rate that became active — the literal
+# dim both engines rebuild identically
+_RATE_EPOCH_DAYS: dict[str, tuple[int, ...]] = {
+    "click": (2, 10, 20),
+    "view": (3, 12, 22),
+    "purchase": (5, 14, 24),
+    "signup": (7, 16, 26),
+    "error": (9, 18, 28),
+}
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC, seconds
+
+
+@_register(
+    "q_j_asof_rates",
+    """
+    WITH dim(event_type, eff_us, rate_day) AS (
+      VALUES
+        ('click',    (1704067200 +  2*86400) * 1000000::BIGINT,  2),
+        ('click',    (1704067200 + 10*86400) * 1000000::BIGINT, 10),
+        ('click',    (1704067200 + 20*86400) * 1000000::BIGINT, 20),
+        ('view',     (1704067200 +  3*86400) * 1000000::BIGINT,  3),
+        ('view',     (1704067200 + 12*86400) * 1000000::BIGINT, 12),
+        ('view',     (1704067200 + 22*86400) * 1000000::BIGINT, 22),
+        ('purchase', (1704067200 +  5*86400) * 1000000::BIGINT,  5),
+        ('purchase', (1704067200 + 14*86400) * 1000000::BIGINT, 14),
+        ('purchase', (1704067200 + 24*86400) * 1000000::BIGINT, 24),
+        ('signup',   (1704067200 +  7*86400) * 1000000::BIGINT,  7),
+        ('signup',   (1704067200 + 16*86400) * 1000000::BIGINT, 16),
+        ('signup',   (1704067200 + 26*86400) * 1000000::BIGINT, 26),
+        ('error',    (1704067200 +  9*86400) * 1000000::BIGINT,  9),
+        ('error',    (1704067200 + 18*86400) * 1000000::BIGINT, 18),
+        ('error',    (1704067200 + 28*86400) * 1000000::BIGINT, 28)
+    ),
+    f AS (SELECT event_type, epoch_us(ts) AS us, value FROM events)
+    SELECT f.event_type,
+           CAST(COALESCE(d.rate_day, -1) AS BIGINT) AS rate_day,
+           COUNT(*) AS n,
+           CAST(SUM(floor(f.value * 100 + 0.5)) AS BIGINT) AS sum_value_c
+    FROM f ASOF LEFT JOIN dim d
+      ON f.event_type = d.event_type AND f.us >= d.eff_us
+    GROUP BY 1, 2
+    """,
+)
+def q_j_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time rate lookup: each event joins the rate version
+    active at its timestamp. The Spark side is the zero-shuffle
+    expression path (:func:`operators.asof.asof_lookup` — literal
+    map(key → sorted version array), filter + array_max, codegen'd);
+    the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, pinning inclusive
+    backward semantics and the unmatched→NULL(-1) left behavior."""
+    from .operators.asof import asof_lookup
+    from .queries import cents
+
+    versions = {
+        k: [((_EPOCH_2024 + d * 86400) * 1_000_000, d) for d in days]
+        for k, days in _RATE_EPOCH_DAYS.items()
+    }
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hit = asof_lookup(us, versions, F.col("event_type"))
+    return (
+        ev.withColumn("_v", hit)
+        .groupBy(
+            "event_type",
+            F.coalesce(F.col("_v.attr"), F.lit(-1)).cast("long").alias("rate_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_c"),
+        )
+    )
