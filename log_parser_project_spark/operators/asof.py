@@ -104,3 +104,39 @@ def asof_join_backward(
     ]
     out = u.select(*facts.columns, "_is_dim", *carried)
     return out.filter(F.col("_is_dim") == 0).drop("_is_dim")
+
+
+def range_lookup(
+    ts: Column,
+    intervals: dict[str, list[tuple[int, int, int]]],
+    key: Column,
+) -> Column:
+    """Expression-side range (interval-containment) join against a
+    literal dim of NON-OVERLAPPING intervals: ``intervals`` maps key →
+    [(start_us, end_us, attr), ...]; returns the struct of the single
+    interval containing ``ts`` (``start <= ts < end``), else NULL.
+    Zero shuffle, codegen'd — the same scale envelope as
+    :func:`asof_lookup` (a broadcast-sized interval dim).
+
+    For OVERLAPPING intervals return-all is the general range join:
+    explode the filtered array instead of taking its head. For a dim
+    too big to broadcast, bucket both sides by (key, coarse time
+    bucket) and equi-join on the bucket before the residual range
+    predicate — never a nested-loop over the fact table.
+    """
+    pairs = []
+    for k, ivs in intervals.items():
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(s)).alias("start_us"),
+                    F.lit(int(e)).alias("end_us"),
+                    F.lit(int(a)).alias("attr"),
+                )
+                for s, e, a in sorted(ivs)
+            ]
+        )
+        pairs += [F.lit(k), arr]
+    vmap = F.create_map(*pairs)
+    cand = F.filter(vmap[key], lambda s: (s["start_us"] <= ts) & (ts < s["end_us"]))
+    return F.when(F.size(cand) > 0, F.element_at(cand, 1))

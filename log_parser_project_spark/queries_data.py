@@ -862,3 +862,67 @@ def q_j_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_value_c"),
         )
     )
+
+
+@_register(
+    "q_j_range_campaigns",
+    """
+    WITH dim(event_type, start_us, end_us, campaign_day) AS (
+      VALUES
+        ('click',    (1704067200 +  4*86400) * 1000000::BIGINT, (1704067200 +  7*86400) * 1000000::BIGINT,  4),
+        ('click',    (1704067200 + 13*86400) * 1000000::BIGINT, (1704067200 + 16*86400) * 1000000::BIGINT, 13),
+        ('click',    (1704067200 + 21*86400) * 1000000::BIGINT, (1704067200 + 24*86400) * 1000000::BIGINT, 21),
+        ('view',     (1704067200 +  5*86400) * 1000000::BIGINT, (1704067200 +  8*86400) * 1000000::BIGINT,  5),
+        ('view',     (1704067200 + 14*86400) * 1000000::BIGINT, (1704067200 + 17*86400) * 1000000::BIGINT, 14),
+        ('purchase', (1704067200 +  6*86400) * 1000000::BIGINT, (1704067200 +  9*86400) * 1000000::BIGINT,  6),
+        ('purchase', (1704067200 + 15*86400) * 1000000::BIGINT, (1704067200 + 18*86400) * 1000000::BIGINT, 15),
+        ('signup',   (1704067200 +  7*86400) * 1000000::BIGINT, (1704067200 + 10*86400) * 1000000::BIGINT,  7),
+        ('error',    (1704067200 +  8*86400) * 1000000::BIGINT, (1704067200 + 11*86400) * 1000000::BIGINT,  8)
+    ),
+    f AS (SELECT event_type, epoch_us(ts) AS us, value FROM events)
+    SELECT f.event_type,
+           CAST(COALESCE(d.campaign_day, -1) AS BIGINT) AS campaign_day,
+           COUNT(*) AS n,
+           CAST(SUM(floor(f.value * 100 + 0.5)) AS BIGINT) AS sum_value_c
+    FROM f LEFT JOIN dim d
+      ON f.event_type = d.event_type AND f.us >= d.start_us AND f.us < d.end_us
+    GROUP BY 1, 2
+    """,
+)
+def q_j_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: each event tagged with the
+    campaign window containing its timestamp, unmatched → -1. Spark
+    side is the zero-shuffle expression path
+    (:func:`operators.asof.range_lookup`); the plain-SQL left join with
+    the range predicate is the oracle (intervals are non-overlapping,
+    so the left join cannot fan out)."""
+    from .operators.asof import range_lookup
+    from .queries import cents
+
+    day_us = 86400 * 1_000_000
+    base = _EPOCH_2024 * 1_000_000
+    spans = {
+        "click": (4, 13, 21),
+        "view": (5, 14),
+        "purchase": (6, 15),
+        "signup": (7,),
+        "error": (8,),
+    }
+    intervals = {
+        k: [(base + d * day_us, base + (d + 3) * day_us, d) for d in ds]
+        for k, ds in spans.items()
+    }
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hit = range_lookup(us, intervals, F.col("event_type"))
+    return (
+        ev.withColumn("_c", hit)
+        .groupBy(
+            "event_type",
+            F.coalesce(F.col("_c.attr"), F.lit(-1)).cast("long").alias("campaign_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_c"),
+        )
+    )

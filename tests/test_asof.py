@@ -77,3 +77,22 @@ def test_inclusive_boundary_and_ordering(spark):
         ).collect()
     }
     assert merged == got
+
+
+def test_range_lookup_boundaries(spark):
+    """Interval containment is [start, end): a fact at start matches,
+    at end does not; gaps between intervals return NULL."""
+    from log_parser_project_spark.operators.asof import range_lookup
+
+    iv = {"k": [(100, 200, 1), (300, 400, 2)]}
+    facts = spark.createDataFrame(
+        [(1, 99), (2, 100), (3, 199), (4, 200), (5, 250), (6, 300), (7, 399), (8, 400)],
+        "fid long, us long",
+    )
+    got = {
+        r["fid"]: r["c"]
+        for r in facts.withColumn(
+            "c", range_lookup(F.col("us"), iv, F.lit("k"))["attr"]
+        ).collect()
+    }
+    assert got == {1: None, 2: 1, 3: 1, 4: None, 5: None, 6: 2, 7: 2, 8: None}
