@@ -76,6 +76,11 @@ def asof_join_backward(
     and ``dim_cols`` from the latest dim row at or before ``fact_ts``
     per ``key``. Column names in ``dim_cols`` (and ``dim_ts``) must not
     collide with fact columns."""
+    clash = {"_is_dim", "_ats", "_dimrow"} & set(facts.columns) | (
+        {"_is_dim", "_ats", "_dimrow"} & set(dim.columns)
+    )
+    if clash:
+        raise ValueError(f"reserved column names in input: {sorted(clash)}")
     f = facts.withColumn("_is_dim", F.lit(0)).withColumn("_ats", F.col(fact_ts))
     d = (
         dim.select(key, dim_ts, *dim_cols)
@@ -96,13 +101,21 @@ def asof_join_backward(
         .orderBy(F.col("_ats").asc(), F.col("_is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.when(F.col("_is_dim") == 1, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(c)
-        for c in [dim_ts, *dim_cols]
-    ]
-    out = u.select(*facts.columns, "_is_dim", *carried)
+    # carry the matched version as ONE struct, not per-column: a struct
+    # of a dim row is non-null even when every attribute in it is NULL,
+    # so a version with a genuinely NULL attr carries that NULL instead
+    # of last(ignorenulls) resurrecting an older version's value
+    # (mixed-version rows)
+    dim_row = F.last(
+        F.when(F.col("_is_dim") == 1, F.struct(*[F.col(c) for c in (dim_ts, *dim_cols)])),
+        ignorenulls=True,
+    ).over(w)
+    out = u.select(*facts.columns, "_is_dim", dim_row.alias("_dimrow"))
+    out = out.select(
+        *facts.columns,
+        "_is_dim",
+        *[F.col(f"_dimrow.{c}").alias(c) for c in (dim_ts, *dim_cols)],
+    )
     return out.filter(F.col("_is_dim") == 0).drop("_is_dim")
 
 

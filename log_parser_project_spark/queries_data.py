@@ -785,7 +785,7 @@ def q_sk_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = daily_sketches(ev, key="user_id", ts_col="ts")
     wk = sk.withColumn(
-        "week", (F.unix_date(F.col("day")) / 7).cast("long")
+        "week", F.floor(F.unix_date(F.col("day")) / 7).cast("long")
     )
     return rollup_estimate(wk, "week").orderBy("week")
 

@@ -11,12 +11,14 @@ from log_parser_project_spark.operators.asof import asof_join_backward, asof_loo
 
 
 def test_lookup_and_merge_paths_agree(spark, sf_dir):
+    # the ACTUAL contract dim — importing it means this test pins the
+    # same data the registered query and its DuckDB oracle use
+    from log_parser_project_spark.queries_data import _EPOCH_2024, _RATE_EPOCH_DAYS
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    epoch = 1704067200
-    days = {"click": (2, 10, 20), "view": (3, 12, 22), "purchase": (5, 14, 24),
-            "signup": (7, 16, 26), "error": (9, 18, 28)}
     versions = {
-        k: [((epoch + d * 86400) * 1_000_000, d) for d in ds] for k, ds in days.items()
+        k: [((_EPOCH_2024 + d * 86400) * 1_000_000, d) for d in ds]
+        for k, ds in _RATE_EPOCH_DAYS.items()
     }
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     f = ev.select("event_id", "event_type", us.alias("us"))
@@ -96,3 +98,29 @@ def test_range_lookup_boundaries(spark):
         ).collect()
     }
     assert got == {1: None, 2: 1, 3: 1, 4: None, 5: None, 6: 2, 7: 2, 8: None}
+
+
+def test_merge_path_carries_null_attrs_atomically(spark):
+    """A matched version whose attribute is genuinely NULL must yield
+    NULL — not resurrect an older version's value (the whole dim row
+    carries as one struct; per-column last(ignorenulls) would mix
+    versions)."""
+    facts = spark.createDataFrame([("k", 250)], "key string, us long")
+    dim = spark.createDataFrame(
+        [("k", 100, 5), ("k", 200, None)], "key string, eff_us long, rate int"
+    )
+    row = asof_join_backward(
+        facts, dim, key="key", fact_ts="us", dim_ts="eff_us", dim_cols=["rate"]
+    ).collect()[0]
+    assert row["eff_us"] == 200 and row["rate"] is None
+
+
+def test_merge_path_rejects_reserved_columns(spark):
+    import pytest
+
+    facts = spark.createDataFrame([("k", 1, 0)], "key string, us long, _ats long")
+    dim = spark.createDataFrame([("k", 0, 1)], "key string, eff_us long, rate int")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_backward(
+            facts, dim, key="key", fact_ts="us", dim_ts="eff_us", dim_cols=["rate"]
+        )
