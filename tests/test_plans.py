@@ -221,3 +221,15 @@ def test_tfidf_rank_window_is_per_document(spark, sf_dir):
         "Window [row_number()", 1
     )[1]
     assert "row_number(), 3, Partial" in plan and "row_number(), 3, Final" in plan
+
+
+def test_temporal_lookups_have_no_join_and_one_exchange(spark, sf_dir):
+    """The expression-path as-of and range lookups are literally
+    join-free: the ONLY exchange in either contract query is the final
+    aggregate's — the version/interval resolution itself is a codegen'd
+    expression over a literal map."""
+    for name in ("q_j_asof_rates", "q_j_range_campaigns"):
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("Exchange") == 1, name
+        assert "Join" not in plan, name
