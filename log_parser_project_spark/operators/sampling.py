@@ -86,9 +86,39 @@ def stratified_sample_exact(
     total order).
     """
     h = F.md5(F.col(key).cast("string"))
-    tagged = df.withColumn("_h", h).withColumn(
-        "_b", F.substring("_h", 1, bucket_hex_chars)
-    )
+    return ordered_stratified_select(
+        df.withColumn("_h", h),
+        stratum=stratum,
+        order_col=F.col("_h"),
+        key=key,
+        pct=pct,
+        bucket_col=F.substring("_h", 1, bucket_hex_chars),
+    ).drop("_h")
+
+
+def ordered_stratified_select(
+    df: DataFrame,
+    stratum: str,
+    order_col,
+    key: str,
+    pct: int,
+    bucket_col,
+    keep: str = "first",
+) -> DataFrame:
+    """Distributed order-statistics selection, generalized: per stratum,
+    select (``keep='first'``) or drop (``keep='drop_first'``) exactly
+    ``ceil(n_s * pct / 100)`` rows in the total order
+    ``(order_col asc, key asc)`` — with no whole-stratum sort.
+
+    ``bucket_col`` must be a coarse MONOTONE function of ``order_col``
+    (a hex prefix of an ordering hash for sampling; ``floor(score*K)``
+    for score gates): bucket-major order then equals the flat order, so
+    per-(stratum, bucket) counts + a broadcast prefix-sum plan position
+    every bucket, and the only per-row sort is the rank WITHIN a
+    bucket. The stratum join is null-safe (a NULL stratum selects at
+    quota like any other).
+    """
+    tagged = df.withColumn("_o", order_col).withColumn("_b", bucket_col)
     w_pre = (
         Window.partitionBy(stratum).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -106,22 +136,19 @@ def stratified_sample_exact(
             .alias("_quota"),
         )
     )
-    w_loc = Window.partitionBy(stratum, "_b").orderBy("_h", key)
-    # null-SAFE join on the stratum: a plain equi-join would silently
-    # drop the whole NULL stratum (window partitioning groups NULLs
-    # together, so the plan has a row for it and the contract samples it
-    # like any other stratum)
+    w_loc = Window.partitionBy(stratum, "_b").orderBy("_o", key)
     pl = plan.select(
         F.col(stratum).alias("_ps"), F.col("_b").alias("_pb"), "_prefix", "_quota"
     )
+    sel = F.col("_prefix") + F.col("_r") <= F.col("_quota")
     return (
         tagged.join(
             F.broadcast(pl),
             F.col(stratum).eqNullSafe(F.col("_ps")) & (F.col("_b") == F.col("_pb")),
         )
         .withColumn("_r", F.row_number().over(w_loc))
-        .filter(F.col("_prefix") + F.col("_r") <= F.col("_quota"))
-        .drop("_h", "_b", "_ps", "_pb", "_prefix", "_quota", "_r")
+        .filter(sel if keep == "first" else ~sel)
+        .drop("_o", "_b", "_ps", "_pb", "_prefix", "_quota", "_r")
     )
 
 
