@@ -355,6 +355,9 @@ class SnapshotCatalog(Catalog):
         replace_leaves: list[str] | None = None,
         stats_cols: list[str] | None = None,
         sort_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 4,
     ) -> Snapshot:
         """Commit one snapshot. ``stats_cols`` opts the commit into
         manifest-level file statistics: per-file min/max for those
@@ -377,7 +380,23 @@ class SnapshotCatalog(Catalog):
         would never fire. Pair with ``stats_cols`` on the same columns.
         Skip it on writes already clustered by a different key (the
         staging fan-out clusters by (route, day) to bound file counts —
-        a ts range shuffle would undo that)."""
+        a ts range shuffle would undo that).
+
+        ``bloom_cols`` additionally builds one BLOOM FILTER per (file,
+        column) — the Iceberg-Puffin / Delta-bloom-index analog for
+        EQUALITY probes on high-entropy keys (``conv_id``), where
+        min/max is useless: a hash-distributed key's per-file range
+        spans the whole domain, so range stats prune nothing, but each
+        file only *contains* ~rows/n_files distinct keys and a bloom
+        proves absence. Bits are set by one distributed pass
+        (``xxhash64(key, seed_i) mod m``, k seeds, one groupBy(file)),
+        packed driver-side, and stored in a per-snapshot SIDECAR
+        (``_bloom.json`` inside the data dir — manifests stay small, as
+        with Puffin files). ``read_table(eq=(col, value))`` then skips
+        every file whose bloom misses any probe bit. Sizing: default
+        8192 bits / 4 hashes ≈ 2% false-positive at 1k distinct keys
+        per file; false positives only cost an un-skipped file, never
+        correctness."""
         if mode not in ("overwrite", "append", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "replace_partitions" and not partition_by:
@@ -406,6 +425,9 @@ class SnapshotCatalog(Catalog):
         new_entry = {"dir": rel_dir, "exclude": []}
         if stats_cols:
             new_entry["files"] = self._file_stats(abs_dir, stats_cols)
+        if bloom_cols:
+            self._write_blooms(abs_dir, bloom_cols, bloom_bits, bloom_hashes)
+            new_entry["bloom"] = {"m": bloom_bits, "k": bloom_hashes, "cols": list(bloom_cols)}
         if mode == "overwrite" or prev is None:
             state = [new_entry]
         elif mode == "append":
@@ -520,6 +542,92 @@ class SnapshotCatalog(Catalog):
         if hi is not None and fmin > hi:
             return False
         return True
+
+    # ------------------------------------------------------- bloom sidecars
+    _BLOOM_SIDECAR = "_bloom.json"
+
+    def _write_blooms(self, absdir: str, cols: list[str], m: int, k: int) -> None:
+        """One distributed pass per commit: every (file, col) pair's set
+        bit positions come back as a bounded array (``collect_set`` of
+        ``xxhash64(cast(col as string), seed) mod m`` — at most ``m``
+        elements per file, thousands of times smaller than the data);
+        the driver only packs bits. Values hash via their STRING image
+        so the probe literal never drifts from the stored type; nulls
+        set no bits (an eq-probe is for a concrete value)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(absdir)
+        blooms: dict[str, dict[str, str]] = {}
+        for c in cols:
+            if c not in df.columns:
+                continue
+            probes = [
+                F.pmod(F.xxhash64(F.col(c).cast("string"), F.lit(seed)), F.lit(m))
+                for seed in range(k)
+            ]
+            rows = (
+                df.filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(F.array(*probes)).alias("_p"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            for r in rows:
+                bits = bytearray((m + 7) // 8)
+                for p in r["_ps"]:
+                    bits[p >> 3] |= 1 << (p & 7)
+                rel = os.path.relpath(r["_f"].removeprefix("file://"), absdir)
+                blooms.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
+        side = os.path.join(absdir, self._BLOOM_SIDECAR)
+        tmp = f"{side}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump({"m": m, "k": k, "files": blooms}, f)
+        os.replace(tmp, side)
+
+    def _load_blooms(self, absdir: str) -> dict | None:
+        """Sidecar load with a per-catalog cache (snapshot dirs are
+        immutable once committed, so the cache never goes stale)."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if absdir not in cache:
+            side = os.path.join(absdir, self._BLOOM_SIDECAR)
+            if not os.path.isfile(side):
+                cache[absdir] = None
+            else:
+                with open(side) as f:
+                    cache[absdir] = json.load(f)
+        return cache[absdir]
+
+    def _bloom_positions(self, value, m: int, k: int) -> list[int]:
+        """The k probe bit positions for ``value`` — computed by the
+        SAME JVM xxhash64 the build pass used (a one-row local plan;
+        no python reimplementation to drift)."""
+        from pyspark.sql import functions as F
+
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(F.lit(str(value)), F.lit(seed)), F.lit(m)).alias(f"p{seed}")
+                for seed in range(k)
+            ]
+        ).collect()[0]
+        return [row[f"p{seed}"] for seed in range(k)]
+
+    @staticmethod
+    def _bloom_matches(b64bits: str | None, positions: list[int]) -> bool:
+        """False only when the bloom PROVES the value absent (some probe
+        bit unset). No bloom for the (file, col) → can't prune → keep."""
+        if b64bits is None:
+            return True
+        import base64
+
+        bits = base64.b64decode(b64bits)
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
     # ---------------------------------------------------------------- merge
     @staticmethod
@@ -641,14 +749,24 @@ class SnapshotCatalog(Catalog):
         )
 
     # ----------------------------------------------------------------- read
-    def _entry_df(self, entry: dict, schema, predicate=None) -> DataFrame | None:
+    def _entry_df(self, entry: dict, schema, predicate=None, eq=None) -> DataFrame | None:
         absdir = os.path.join(self.warehouse, entry["dir"])
         reader = self.spark.read.option("basePath", absdir)
         if schema is not None:
             reader = reader.schema(schema)
         # manifest stats recorded at commit time (write_table stats_cols)
         fstats = entry.get("files") if predicate is not None else None
-        if not entry["exclude"] and fstats is None:
+        # bloom sidecar: only consulted when this entry committed blooms
+        # for the probed column
+        bloom = None
+        if eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"]:
+            side = self._load_blooms(absdir)
+            if side is not None:
+                bloom = (
+                    side["files"],
+                    self._bloom_positions(eq[1], side["m"], side["k"]),
+                )
+        if not entry["exclude"] and fstats is None and bloom is None:
             # a zero-row delta (e.g. a merge that deleted every row of
             # its touched partitions) writes a dir with no parquet files
             # — skip it instead of letting schema inference blow up
@@ -671,6 +789,15 @@ class SnapshotCatalog(Catalog):
                 f for f in files
                 if self._file_matches(fstats.get(os.path.relpath(f, absdir)), predicate)
             ]
+        if bloom is not None:
+            fmap, positions = bloom
+            col = eq[0]
+            files = [
+                f for f in files
+                if self._bloom_matches(
+                    (fmap.get(os.path.relpath(f, absdir)) or {}).get(col), positions
+                )
+            ]
         if not files:
             return None
         return reader.parquet(*files)
@@ -682,6 +809,7 @@ class SnapshotCatalog(Catalog):
         as_of: str | None = None,
         since: str | None = None,
         predicate: tuple | None = None,
+        eq: tuple | None = None,
     ) -> DataFrame:
         """Current table state; ``as_of`` = time travel to a snapshot
         id; ``since`` = incremental scan (directories committed after
@@ -699,9 +827,18 @@ class SnapshotCatalog(Catalog):
         the range (from files that straddle the bound, or files
         committed without stats), so callers apply their row-level
         ``.filter`` on top; the predicate just shrinks the file list
-        that filter has to scan."""
+        that filter has to scan.
+
+        ``eq=(col, value)`` prunes via per-file BLOOM filters (recorded
+        by ``write_table(bloom_cols=...)``) — the equality-probe
+        complement to range stats, for keys whose per-file min/max
+        spans everything. Same metadata-only contract: surviving files
+        may still lack the value (bloom false positives, files without
+        blooms), so callers keep their row-level ``.filter``."""
         if predicate is not None and (len(predicate) != 3 or predicate[0] is None):
             raise ValueError("predicate must be (col, lo, hi)")
+        if eq is not None and (len(eq) != 2 or eq[0] is None or eq[1] is None):
+            raise ValueError("eq must be (col, value) with a non-null value")
         snap = self._resolve(table, as_of)
         if snap is None or not snap.state:
             return super().read_table(table, schema=schema)  # non-snapshot table
@@ -714,7 +851,9 @@ class SnapshotCatalog(Catalog):
             before = self._resolve(table, since)
             seen = {e["dir"] for e in before.state}
             entries = [e for e in snap.state if e["dir"] not in seen]
-        dfs = [d for e in entries if (d := self._entry_df(e, schema, predicate)) is not None]
+        dfs = [
+            d for e in entries if (d := self._entry_df(e, schema, predicate, eq)) is not None
+        ]
         if not dfs:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)

@@ -486,3 +486,79 @@ def test_sort_order_makes_file_skipping_selective(spark, cat):
         .filter(F.col("k").between(*pred[1:])).count()
     )
     assert got == 101
+
+
+# ---------------------------------------------------------------------------
+# per-file bloom-filter skipping (equality probes on high-entropy keys)
+# ---------------------------------------------------------------------------
+
+def test_bloom_prunes_files_for_equality_probe(spark, cat):
+    """Hash-distributed key: every file's min/max spans the domain
+    (range stats useless), but each file holds ~1/8 of the keys — the
+    bloom must plan a small fraction of files for eq probes and still
+    return every matching row."""
+    df = (
+        spark.range(0, 4_000)
+        .select(F.concat(F.lit("conv-"), F.col("id")).alias("conv_id"),
+                (F.col("id") % 7).alias("v"))
+        .repartition(8, "conv_id")
+    )
+    cat.write_table(df, "t", bloom_cols=["conv_id"])
+    assert os.path.isfile(
+        os.path.join(cat.warehouse, cat.snapshot("t").state[0]["dir"], "_bloom.json")
+    )
+    total = len(cat.read_table("t").inputFiles())
+    assert total == 8
+    # present keys: planned files must shrink, and rows must survive
+    pruned_counts = []
+    for key in ("conv-17", "conv-1234", "conv-3999"):
+        got = cat.read_table("t", eq=("conv_id", key))
+        pruned_counts.append(len(got.inputFiles()))
+        assert got.filter(F.col("conv_id") == key).count() == 1
+    # each key lives in exactly one file; fp rate ~2% -> typically 1
+    assert max(pruned_counts) <= 3
+    # absent key: bloom proves absence in (almost) every file
+    absent = cat.read_table("t", eq=("conv_id", "conv-999999"))
+    assert len(absent.inputFiles()) <= 2
+    assert absent.filter(F.col("conv_id") == "conv-999999").count() == 0
+
+
+def test_bloom_keeps_files_without_blooms(spark, cat):
+    """Appends committed without bloom_cols must never be pruned, and
+    probing a column with no blooms anywhere is a no-op."""
+    a = spark.createDataFrame([("k1", 1), ("k2", 2)], "conv_id string, v int")
+    b = spark.createDataFrame([("k3", 3)], "conv_id string, v int")
+    cat.write_table(a, "t", bloom_cols=["conv_id"])
+    cat.write_table(b, "t", mode="append")  # no blooms
+    got = cat.read_table("t", eq=("conv_id", "k3"))
+    assert got.filter(F.col("conv_id") == "k3").count() == 1
+    # column without blooms: every file kept
+    got2 = cat.read_table("t", eq=("v", 3))
+    assert got2.count() == 3
+
+
+def test_bloom_composes_with_range_predicate(spark, cat):
+    """eq (bloom) and predicate (min/max) prune independently; both
+    applied -> intersection of survivors, rows intact."""
+    df = (
+        spark.range(0, 2_000)
+        .select(F.concat(F.lit("c"), (F.col("id") % 50)).alias("conv_id"),
+                F.col("id").alias("k"))
+    )
+    cat.write_table(
+        df, "t", stats_cols=["k"], sort_by=["k"], bloom_cols=["conv_id"]
+    )
+    both = cat.read_table("t", predicate=("k", 100, 200), eq=("conv_id", "c7"))
+    only_rng = cat.read_table("t", predicate=("k", 100, 200))
+    assert len(both.inputFiles()) <= len(only_rng.inputFiles())
+    want = df.filter((F.col("k").between(100, 200)) & (F.col("conv_id") == "c7")).count()
+    got = both.filter((F.col("k").between(100, 200)) & (F.col("conv_id") == "c7")).count()
+    assert got == want and want > 0
+
+
+def test_bloom_eq_validation(spark, cat):
+    cat.write_table(spark.createDataFrame([("a", 1)], "c string, v int"), "t")
+    with pytest.raises(ValueError):
+        cat.read_table("t", eq=("c",))
+    with pytest.raises(ValueError):
+        cat.read_table("t", eq=("c", None))
