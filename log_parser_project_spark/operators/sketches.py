@@ -44,3 +44,111 @@ def rollup_estimate(sketches: DataFrame, *group_cols: str) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
     ]
     return sketches.groupBy(*group_cols).agg(*agg) if group_cols else sketches.agg(*agg)
+
+
+# ===========================================================================
+# Mergeable quantile sketches: fixed-boundary histograms
+# ===========================================================================
+#
+# The quantile sibling of the HLL pattern above. Boundaries are FIXED
+# at build time, so per-day bucket counts are exactly mergeable (counts
+# add; no re-scan, no approximation drift on merge): a rollup over any
+# set of days gives bit-identical counts — and therefore bit-identical
+# quantile estimates — to one histogram built over the whole range.
+# Estimation error is bounded by bucket width, chosen once; contrast
+# percentile_approx, whose state is neither materializable nor
+# oracle-checkable. Bucket counts have an EXACT DuckDB oracle.
+
+
+def equiwidth_boundaries(df: DataFrame, col: str, n_buckets: int = 128) -> list[float]:
+    """``n_buckets - 1`` interior cut points spanning [min, max] — one
+    tiny agg over the build input. Callers with skewed domains pass
+    their own (e.g. log-spaced or rank-based) boundaries instead; only
+    FIXEDNESS matters for mergeability, not uniformity."""
+    lo, hi = df.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).collect()[0]
+    if lo is None or hi is None or hi <= lo:
+        raise ValueError(f"column {col!r} has no finite range to bucket")
+    step = (hi - lo) / n_buckets
+    return [lo + step * i for i in range(1, n_buckets)]
+
+
+def _bucket_expr(col: str, boundaries: list[float]):
+    # bucket i = number of boundaries <= x: 0..len(boundaries), a pure
+    # JVM higher-order function (no UDF, no per-row python)
+    bnds = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(bnds, lambda b: b <= F.col(col).cast("double")))
+
+
+def daily_histograms(
+    df: DataFrame,
+    col: str,
+    boundaries: list[float],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One (day, bucket) count table — the materialized sketch. Nulls
+    set no state (same contract as the HLL build). Partial aggregation
+    applies map-side, state is O(days x buckets) regardless of input
+    rows."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.to_date(ts_col).alias("day"),
+            _bucket_expr(col, boundaries).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_rollup(
+    hists: DataFrame,
+    boundaries: list[float],
+    qs: list[float],
+    *group_cols: str,
+) -> DataFrame:
+    """Merge stored histograms to any coarser grain and estimate the
+    ``qs`` quantiles per group by linear interpolation inside the
+    containing bucket. Touches only the sketch table. Open-ended edge
+    buckets clamp to their finite boundary (estimates are exact-bounded
+    only inside [min, max] seen at build time)."""
+    from pyspark.sql import Window
+
+    n = len(boundaries)
+    lo_arr = F.array(F.lit(float(boundaries[0])), *[F.lit(float(b)) for b in boundaries])
+    hi_arr = F.array(*[F.lit(float(b)) for b in boundaries], F.lit(float(boundaries[-1])))
+    merged = hists.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    cum = merged.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w.orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(w).alias("total"),
+    )
+    out = []
+    for q in qs:
+        target = F.lit(float(q)) * F.col("total")
+        # first bucket whose cumulative count reaches the target
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .withColumn(
+                "_rn",
+                F.row_number().over(w.orderBy("bucket")),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        blo = F.element_at(lo_arr, F.col("bucket") + 1)
+        bhi = F.element_at(hi_arr, F.col("bucket") + 1)
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = blo + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)) * (bhi - blo)
+        out.append(
+            hit.select(
+                *group_cols, F.lit(float(q)).alias("q"), est.alias("estimate"),
+                F.col("total").cast("long").alias("n_rows"),
+            )
+        )
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res.orderBy(*group_cols, "q") if group_cols else res.orderBy("q")

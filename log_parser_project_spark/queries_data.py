@@ -926,3 +926,44 @@ def q_j_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_value_c"),
         )
     )
+
+
+@_register(
+    "q_sk_quantile_hist",
+    """
+    SELECT event_type,
+           LEAST(CAST(floor(CAST(value AS DOUBLE) / 10) AS BIGINT), 49) AS bucket,
+           COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_sk_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-boundary histogram sketch (quantile sibling of
+    the HLL rollup): per-day bucket counts built once, merged here to
+    per-event_type grain — counts add exactly, so the rollup is
+    loss-free and has an EXACT oracle (the boundary-array HOF bucket is
+    pinned against DuckDB's independent floor arithmetic). Quantile
+    interpolation over these counts is pytest-pinned
+    (test_histogram_rollup_is_loss_free_and_bounded)."""
+    bnds = [10.0 * i for i in range(1, 50)]  # static: value domain [0, 500)
+    ev = _t(spark, sf_dir, "events")
+    # same build as operators.sketches.daily_histograms, carrying
+    # event_type as an extra build-time dimension
+    daily_et = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(b) for b in bnds]),
+                    lambda b: b <= F.col("value").cast("double"),
+                )
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return daily_et.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -229,3 +229,64 @@ def test_hll_rollup_is_union_associative_and_accurate(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert abs(merged["distinct_est"] - exact) / exact < 0.05
     assert merged["n_rows"] == ev.count()
+
+
+def test_histogram_rollup_is_loss_free_and_bounded(spark, sf_dir):
+    """Fixed-boundary histogram sketches: (a) merging daily sketches
+    gives BIT-IDENTICAL bucket counts — hence identical quantile
+    estimates — to one histogram over the whole range; (b) estimates
+    sit within one bucket width of the exact percentile; (c) bucket
+    counts match an exact DuckDB oracle."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from log_parser_project_spark.operators.sketches import (
+        daily_histograms,
+        equiwidth_boundaries,
+        quantile_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bnds = equiwidth_boundaries(ev, "value", n_buckets=64)
+    daily = daily_histograms(ev, "value", bnds).cache()
+
+    # (a) loss-free merge: daily-rollup == single global histogram
+    global_hist = daily_histograms(
+        ev.withColumn("ts", F.lit("2000-01-01").cast("timestamp")), "value", bnds
+    )
+    merged_counts = sorted(
+        (r.bucket, r.cnt)
+        for r in daily.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    direct_counts = sorted((r.bucket, r.cnt) for r in global_hist.collect())
+    assert merged_counts == direct_counts
+
+    est = {
+        r.q: r.estimate
+        for r in quantile_rollup(daily, bnds, [0.1, 0.5, 0.9, 0.99]).collect()
+    }
+    exact = ev.selectExpr(
+        "percentile(CAST(value AS DOUBLE), array(0.1, 0.5, 0.9, 0.99)) AS p"
+    ).collect()[0]["p"]
+    width = bnds[1] - bnds[0]
+    for q, x in zip([0.1, 0.5, 0.9, 0.99], exact):
+        assert abs(est[q] - x) <= width + 1e-9, (q, est[q], x, width)
+
+    # (c) exact oracle for the sketch table itself
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    bl = ",".join(repr(b) for b in bnds)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT CAST(ts AS DATE) AS day,
+                   (SELECT COUNT(*) FROM unnest([{bl}]) AS t(b)
+                    WHERE b <= CAST(value AS DOUBLE)) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    got = sorted((r.day, r.bucket, r.cnt) for r in daily.collect())
+    assert got == oracle
