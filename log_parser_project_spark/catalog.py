@@ -869,6 +869,7 @@ class SnapshotCatalog(Catalog):
         table: str,
         target_file_bytes: int = 128 * 2**20,
         partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite the current table state into ~``target_file_bytes``
         files — Iceberg's ``rewrite_data_files`` maintenance action.
@@ -903,17 +904,32 @@ class SnapshotCatalog(Catalog):
                 )
         n_files = max(1, -(-live_bytes // target_file_bytes))  # ceil
         df = self.read_table(table)
-        df = (
-            df.repartition(n_files, *partition_by)
-            if partition_by
-            else df.repartition(n_files)
-        )
+        if zorder_by:
+            # rewrite_data_files(strategy='sort', sort_order=zorder(...)):
+            # cluster on the Morton key so min/max skipping fires on
+            # EVERY zorder column, then record those columns' stats
+            from .operators.zorder import zvalue
+
+            df = (
+                df.withColumn("_z", zvalue(df, zorder_by))
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            df = (
+                df.repartition(n_files, *partition_by)
+                if partition_by
+                else df.repartition(n_files)
+            )
         return self.write_table(
             df,
             table,
             mode="overwrite",
             partition_by=partition_by,
-            lineage={"stage": "compact", "target_file_bytes": target_file_bytes},
+            stats_cols=zorder_by,
+            lineage={"stage": "compact", "target_file_bytes": target_file_bytes,
+                     **({"zorder_by": zorder_by} if zorder_by else {})},
             # recount: the pointer snapshot's row_count is the last
             # DELTA's count after append/replace commits, not the table's
             row_count=None,

@@ -562,3 +562,76 @@ def test_bloom_eq_validation(spark, cat):
         cat.read_table("t", eq=("c",))
     with pytest.raises(ValueError):
         cat.read_table("t", eq=("c", None))
+
+
+# ---------------------------------------------------------------------------
+# z-order compaction (multi-column file skipping)
+# ---------------------------------------------------------------------------
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, cat):
+    """Linear sort prunes only its own column (every file spans the
+    other domain); z-order compaction must prune on BOTH columns, with
+    rows intact."""
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+            F.col("id").alias("v"),
+        )
+        .repartition(16)
+    )
+    # explicit partition counts: AQE would coalesce a tiny range
+    # shuffle into one file and leave nothing to prune
+    cat.write_table(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        "lin",
+        stats_cols=["x", "y"],
+    )
+    cat.write_table(df, "zo")
+    cat.compact("zo", target_file_bytes=12_000, zorder_by=["x", "y"])
+    n_lin = len(cat.read_table("lin").inputFiles())
+    n_zo = len(cat.read_table("zo").inputFiles())
+    assert n_zo >= 8  # enough files for pruning to be meaningful
+
+    px, py = ("x", 100, 150), ("y", 800, 850)
+    lin_x = len(cat.read_table("lin", predicate=px).inputFiles())
+    lin_y = len(cat.read_table("lin", predicate=py).inputFiles())
+    zo_x = len(cat.read_table("zo", predicate=px).inputFiles())
+    zo_y = len(cat.read_table("zo", predicate=py).inputFiles())
+    # linear: sharp on x, blind on y
+    assert lin_x < n_lin and lin_y == n_lin
+    # z-order: prunes meaningfully on BOTH
+    assert zo_x <= n_zo // 2 and zo_y <= n_zo // 2, (zo_x, zo_y, n_zo)
+
+    want = df.filter(F.col("x").between(100, 150)).count()
+    got = (
+        cat.read_table("zo", predicate=px).filter(F.col("x").between(100, 150)).count()
+    )
+    assert got == want
+    # lineage records the clustering
+    assert cat.snapshot("zo").lineage["zorder_by"] == ["x", "y"]
+
+
+def test_zvalue_interleaves_bits(spark):
+    """Morton key spot check: bucket bits of col j land at i*d + j."""
+    from log_parser_project_spark.operators.zorder import zvalue
+
+    # domain [0, 255] with 256 buckets -> bucket == value
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (0, 255), (3, 5)], "a int, b int"
+    ).union(spark.createDataFrame([(0, 0), (255, 255)], "a int, b int"))
+    rows = {(r.a, r.b): r.z for r in df.select("a", "b", zvalue(df, ["a", "b"]).alias("z")).collect()}
+    assert rows[(0, 0)] == 0
+    assert rows[(255, 255)] == 0xFFFF
+    assert rows[(0, 255)] == 0xAAAA  # b's bits at odd positions
+    # a=3 (0b11) at even positions = 0b0101; b=5 (0b101) at odd = 0b100010
+    assert rows[(3, 5)] == (0b101 | 0b100010)
+
+
+def test_zorder_requires_two_columns(spark):
+    from log_parser_project_spark.operators.zorder import zvalue
+
+    df = spark.range(3).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError):
+        zvalue(df, ["a"])
