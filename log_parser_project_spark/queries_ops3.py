@@ -640,3 +640,38 @@ def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@_register(
+    "q_skew_hot_join",
+    """
+    WITH dim(k, tier) AS (VALUES ('A', 'accept'), ('N', 'none'), ('R', 'reject')),
+         j AS (SELECT l.l_returnflag AS k, d.tier, l.l_quantity
+               FROM lineitem l JOIN dim d ON l.l_returnflag = d.k)
+    SELECT k, tier, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM j GROUP BY k, tier
+    """,
+)
+def q_skew_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven hot-key salted join (operators/skew.py): every
+    l_returnflag value is a heavy hitter (3 keys over all of lineitem —
+    the hot-conv_id shape), so approx_top_k routes them all through the
+    salted path; the salt must vanish from the result. Oracle is the
+    plain SQL join + GROUP BY."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("k"), "l_quantity"
+    )
+    dim = spark.createDataFrame(
+        [("A", "accept"), ("N", "none"), ("R", "reject")], "k string, tier string"
+    )
+    return (
+        salted_join(li, dim, "k", salt_buckets=16, how="inner")
+        .groupBy("k", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        )
+    )

@@ -84,3 +84,71 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_sketch_finds_hot_key(spark):
+    from log_parser_project_spark.operators.skew import heavy_hitters
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") < 10_000, "conv-hot")
+        .otherwise(F.concat(F.lit("c"), F.col("id")))
+        .alias("conv_id")
+    )
+    hot = heavy_hitters(df, "conv_id", k=10, min_share=0.05)
+    assert hot == ["conv-hot"]
+    assert heavy_hitters(df.limit(0), "conv_id") == []
+
+
+def test_salted_join_exact_under_skew(spark):
+    """Hot-key-only salted join must equal the plain join row-for-row,
+    including null keys and dim misses, for inner and left joins."""
+    from log_parser_project_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 5_000).select(
+        F.when(F.col("id") < 4_000, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("k"),
+        F.col("id").alias("v"),
+    ).union(spark.createDataFrame([(None, -1)], "k string, v long"))
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k3", "B")], "k string, attr string"
+    )
+    nonesafe = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", salt_buckets=8, how=how)
+        want = fact.join(dim, "k", how)
+        assert sorted(map(tuple, got.collect()), key=nonesafe) == sorted(
+            map(tuple, want.collect()), key=nonesafe
+        ), how
+    # explicit hot list short-circuits detection
+    got2 = salted_join(fact, dim, "k", hot_keys=["hot"], how="inner")
+    assert got2.count() == fact.join(dim, "k", "inner").count()
+
+
+def test_salted_collect_matches_plain_ordered_collect(spark):
+    from log_parser_project_spark.operators.skew import salted_collect
+
+    df = spark.range(0, 3_000).select(
+        F.when(F.col("id") < 2_000, "hot").otherwise(
+            F.concat(F.lit("c"), F.col("id") % 5)
+        ).alias("conv_id"),
+        (F.col("id") * 7 % 3_001).alias("turn_idx"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    got = {
+        r.conv_id: r.vals
+        for r in salted_collect(df, "conv_id", "turn_idx", "text", salt_buckets=8).collect()
+    }
+    want = {
+        r.conv_id: r.vals
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ).alias("vals")
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got["hot"]) == 2_000
