@@ -362,8 +362,6 @@ def neardup_pairs(
     """
     import math
 
-    import numpy as np
-
     spark = corpus.sparkSession
     if n_blocks is None:
         n_blocks = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism))
@@ -386,10 +384,21 @@ def neardup_pairs(
         "vid", "vec", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj")
     )
 
+    out_schema = "a long, b long, sim double"
+    return rep.groupBy("gi", "gj").applyInPandas(_block_pair_scorer(thr), out_schema)
+
+
+def _block_pair_scorer(thr: float):
+    """applyInPandas kernel shared by :func:`neardup_pairs` (group key
+    ``(gi, gj)``) and :func:`neardup_pairs_cells` (``(cell, gi, gj)``):
+    the block-pair ids are the LAST TWO key elements. One GEMM per
+    group; emits only pairs with raw sim ≥ ``thr``."""
+    import numpy as np
+
     def score_group(key, pdf):
         import pandas as pd
 
-        gi, gj = key
+        gi, gj = key[-2], key[-1]
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         X = np.array(pdf["vec"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(X, axis=1, keepdims=True)
@@ -398,16 +407,16 @@ def neardup_pairs(
         if gi == gj:
             S = Xn @ Xn.T
             ai, bj = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
         else:
             isa = pdf["blk"].to_numpy() == gi
             A, Bm = Xn[isa], Xn[~isa]
-            aid, bid = ids[isa], ids[~isa]
+            ids_a, ids_b = ids[isa], ids[~isa]
             S = A @ Bm.T
-            ai, bj = np.meshgrid(np.arange(len(aid)), np.arange(len(bid)), indexing="ij")
+            ai, bj = np.meshgrid(
+                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
+            )
             ai, bj = ai.ravel(), bj.ravel()
-            ids_a, ids_b = aid, bid
-        if gi == gj:
-            ids_a = ids_b = ids
         sims = S[ai, bj]
         # threshold on the RAW sim (oracle semantics); also drop id-equal
         # pairs — two rows sharing a vec_id meet inside one block and
@@ -418,8 +427,7 @@ def neardup_pairs(
         hi = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"a": lo, "b": hi, "sim": _round_half_up4(sims)})
 
-    out_schema = "a long, b long, sim double"
-    return rep.groupBy("gi", "gj").applyInPandas(score_group, out_schema)
+    return score_group
 
 
 def neardup_pairs_lsh(
@@ -496,6 +504,107 @@ def neardup_pairs_crossjoin(
         .filter(F.col("_raw") >= threshold)  # RAW threshold — same as neardup_pairs/oracle
         .select("a", "b", F.round("_raw", 4).alias("sim"))
     )
+
+
+def neardup_pairs_cells(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cell-bucketed near-dup pairs — the SUB-QUADRATIC
+    semantic-dedup path (vs :func:`neardup_pairs`'s exact O(n²)):
+    spherical k-means partitions the corpus into ``n_cells`` cells and
+    all-pairs GEMM runs only WITHIN each cell, so compute drops from
+    n² to Σ|cell|² (≈ n²/n_cells for balanced cells) and cross-cell
+    pairs are never materialized. Near-duplicates, being each other's
+    nearest vectors, land in the same cell with high probability —
+    recall is measured in pytest against the exact operator on planted
+    duplicates; precision is exact (every emitted pair is GEMM-verified
+    at the raw threshold, same rounding as the oracle).
+
+    Inside a cell the same hash-block pair decomposition as
+    :func:`neardup_pairs` applies (group key ``(cell, gi, gj)``), so a
+    hot cell is still bounded per-task: task memory is (|cell|/B)²,
+    never |cell|². At 100 TB, ``n_cells`` scales with corpus size
+    (cells ≈ n/target_cell_rows) while driver state stays
+    n_cells×dim floats from :func:`kmeans_centroids`."""
+    import math
+
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(
+        corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    if len(cents) <= 1:
+        return neardup_pairs(corpus, threshold, id_col, vec_col, n_blocks)
+    if n_blocks is None:
+        # ~parallelism groups spread across cells
+        n_blocks = max(
+            2, math.isqrt(max(1, 2 * spark.sparkContext.defaultParallelism // len(cents)))
+        )
+    B = n_blocks
+
+    # cell assignment: argmax cosine against broadcast centroid literals
+    # (centroids are unit-norm, the vector's own norm is a constant per
+    # row — pure expression, no UDF, identical idiom to ivf_topk)
+    scores = F.array(*[
+        dot(F.array(*[F.lit(x) for x in c]), F.col(vec_col)) for c in cents
+    ])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    blk = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == len(cents[0]))
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        cell.alias("cell"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    groups = F.array(*[
+        F.struct(
+            F.least(F.col("blk"), F.lit(j)).alias("gi"),
+            F.greatest(F.col("blk"), F.lit(j)).alias("gj"),
+        )
+        for j in range(B)
+    ])
+    rep = blk.withColumn("g", F.explode(groups)).select(
+        "vid", "vec", "blk", "cell", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj")
+    )
+    out_schema = "a long, b long, sim double"
+    return rep.groupBy("cell", "gi", "gj").applyInPandas(
+        _block_pair_scorer(float(threshold)), out_schema
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space duplicate-cluster assignment (SemDeDup): a
+    cosine near-dup pair graph → distributed connected components →
+    per-document ``(comp_id, cluster_size, is_survivor, max_sim)`` via
+    :func:`~..operators.dedup.cluster_dedup` — the same contract as
+    text cluster dedup, so "drop semantic duplicates" is
+    ``semantic_dedup(df).filter("is_survivor")``.
+
+    ``n_cells=None`` uses the exact pair graph (oracle-checkable);
+    an int routes pair finding through :func:`neardup_pairs_cells`,
+    the sub-quadratic path a 100 TB corpus needs."""
+    from .dedup import cluster_dedup
+
+    if n_cells is None:
+        pairs = neardup_pairs(corpus, threshold, id_col, vec_col)
+    else:
+        pairs = neardup_pairs_cells(
+            corpus, threshold, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    return cluster_dedup(corpus, pairs, id_col=id_col, sim_col="sim")
 
 
 def gemm_topk(

@@ -324,6 +324,63 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs_lsh(e, threshold=0.45)
 
 
+@_register(
+    "q_sim_semantic_dedup",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, root) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+    csize AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp),
+    msim AS (
+      SELECT vec_id, ROUND(MAX(sim), 4) AS max_sim FROM (
+        SELECT a AS vec_id, sim FROM pairs
+        UNION ALL
+        SELECT b AS vec_id, sim FROM pairs
+      ) GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(c.comp, e.vec_id) AS comp_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           (COALESCE(c.comp, e.vec_id) = e.vec_id) AS is_survivor,
+           COALESCE(m.max_sim, CAST(0.0 AS DOUBLE)) AS max_sim
+    FROM embeddings e
+    LEFT JOIN comp c ON c.node = e.vec_id
+    LEFT JOIN csize s ON s.comp = COALESCE(c.comp, e.vec_id)
+    LEFT JOIN msim m ON m.vec_id = e.vec_id
+    """,
+)
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup contract: exact
+    cosine pair graph (block-partitioned GEMM, sim ≥ 0.45) →
+    distributed connected components → per-vector cluster id, size,
+    survivor flag, and strongest-duplicate sim. The DuckDB oracle walks
+    the identical pair graph with a recursive CTE — the embedding
+    analogue of ``q_dd_cluster_dedup``."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(e, threshold=0.45)
+
+
+@_register("q_sim_semdedup_cells", None)  # approx — rows-only driver check
+def q_sim_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed semantic dedup (the sub-quadratic 100 TB path):
+    spherical k-means cells, within-cell GEMM pairs only, same
+    cluster/survivor contract; pytest measures pair recall vs the
+    exact operator on planted duplicates (precision is exact by
+    construction — every pair is GEMM-verified)."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(e, threshold=0.45, n_cells=4)
+
+
 @_register("q_sim_lsh_topk", None)  # approx — rows-only driver check
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-3 (the scale path); pytest measures

@@ -477,3 +477,82 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == want
 
     check()
+
+
+def _planted_embeddings(spark, dim=8, groups=4, members=3):
+    """Deterministic planted near-dup corpus: group g points along axis
+    2g with tiny per-member perturbations on axis 2g+1 (within-group
+    cosine ≈ 0.999, cross-group exactly 0). Ids 0..groups-1 are one
+    member of EACH group so kmeans' first-k-by-id init seeds every
+    group direction exactly once."""
+    rows = []
+    for g in range(groups):
+        for j in range(members):
+            v = [0.0] * dim
+            v[2 * g] = 1.0
+            v[2 * g + 1] = 0.05 * j
+            vid = g if j == 0 else groups + g * (members - 1) + (j - 1)
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_cells_recovers_planted_duplicates(spark):
+    """Cell-bucketed pairs must equal the exact pair set on planted
+    duplicate groups (near-dups share a cell), at several within-cell
+    block counts, and the full semantic_dedup contract must assign the
+    expected clusters/survivors."""
+    e = _planted_embeddings(spark)
+    want = {(r.a, r.b, r.sim)
+            for r in similarity.neardup_pairs(e, threshold=0.45).collect()}
+    assert len(want) == 4 * 3  # all within-group pairs, no cross-group
+    for nb in (None, 3):
+        got = [(r.a, r.b, r.sim) for r in similarity.neardup_pairs_cells(
+            e, threshold=0.45, n_cells=4, n_blocks=nb).collect()]
+        assert len(got) == len(set(got)), f"duplicate pairs at n_blocks={nb}"
+        assert set(got) == want, f"recall/precision diverges at n_blocks={nb}"
+
+    assigned = {r.vec_id: r for r in similarity.semantic_dedup(
+        e, threshold=0.45, n_cells=4).collect()}
+    for g in range(4):
+        cluster = [g, 4 + 2 * g, 5 + 2 * g]
+        for vid in cluster:
+            r = assigned[vid]
+            assert r.comp_id == g and r.cluster_size == 3
+            assert r.is_survivor == (vid == g)
+            assert r.max_sim >= 0.99
+
+
+def test_semantic_dedup_exact_matches_unionfind_expectation(emb):
+    """Exact-path semantic_dedup vs a driver-side union-find over the
+    (tiny) exact pair list — comp ids, sizes, survivors, max_sim."""
+    pairs = similarity.neardup_pairs(emb, threshold=0.45).collect()
+    assert pairs, "fixture should contain near-dup embeddings"
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    best: dict[int, float] = {}
+    for p in pairs:
+        ra, rb = find(p.a), find(p.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        for v in (p.a, p.b):
+            best[v] = max(best.get(v, 0.0), p.sim)
+    comp = {n: find(n) for n in parent}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    got = similarity.semantic_dedup(emb, threshold=0.45).collect()
+    assert len(got) == emb.count()
+    for r in got:
+        want_comp = comp.get(r.vec_id, r.vec_id)
+        assert r.comp_id == want_comp, r
+        assert r.cluster_size == sizes.get(want_comp, 1), r
+        assert r.is_survivor == (r.vec_id == want_comp), r
+        assert r.max_sim == round(best.get(r.vec_id, 0.0), 4), r
