@@ -174,3 +174,58 @@ def pack_sequences(
         df.withColumn("pack_bin", F.floor(start / max_len).cast("int"))
         .withColumn("pack_offset", (start % max_len).cast("long"))
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    temperature: float = 0.5,
+    target_frac_pct: int = 50,
+) -> DataFrame:
+    """Temperature-flattened domain mixture sampling — the corpus-
+    rebalancing step of a multi-source training pipeline (the
+    ``p_d ∝ c_d^τ`` resampling popularized by multilingual/multi-corpus
+    LM training): with domain counts ``c_d``, the target share of
+    domain ``d`` is ``c_d^τ / Σ c^τ`` (τ < 1 upweights small domains),
+    the total kept is ``target_frac_pct`` percent of the corpus, and
+    each domain is downsampled to rate
+    ``min(1, frac · total · c_d^τ / (Σ c^τ · c_d))``.
+
+    Selection is *content-deterministic*, never RNG: a row is kept iff
+    ``hash32(key) · 10⁹ < rate_e9 · 2³²`` where ``hash32`` is the first
+    8 md5 hex digits and ``rate_e9`` the rate rounded to integer
+    nanounits — the comparison is pure BIGINT arithmetic, so the sample
+    is identical across partitionings, parallelism levels, and engines
+    (the only float in the pipeline is the rate itself, quantized to
+    1e-9 before use). Returns the kept rows plus their ``rate_e9``.
+
+    Plan: domain counts are ONE dim-sized aggregate shuffle; the share
+    normalization runs as an unpartitioned window over that dim-sized
+    frame (never corpus-sized); rates broadcast-join back onto the
+    fact; the filter is a codegen'd expression. Skew-free by
+    construction — no shuffle is keyed by the (zipf-ish) domain.
+    """
+    cnt = df.groupBy(F.col(stratum).alias("_s")).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy()
+    tau = float(temperature)
+    pw = F.pow(F.col("_c").cast("double"), F.lit(tau))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac_pct / 100.0)
+        * F.sum("_c").over(w).cast("double")
+        * pw
+        / (F.sum(pw).over(w) * F.col("_c").cast("double")),
+    )
+    rates = cnt.select(
+        "_s",
+        F.floor(rate * 1000000000.0 + F.lit(0.5)).cast("long").alias("rate_e9"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(rates), F.col(stratum).eqNullSafe(F.col("_s")))
+        .filter(h32 * F.lit(1000000000) < F.col("rate_e9") * F.lit(4294967296))
+        .drop("_s")
+    )

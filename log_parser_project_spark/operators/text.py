@@ -221,3 +221,87 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(doc_col, "token", "tfidf", "rnk")
     )
+
+
+def remove_common_units(
+    df: DataFrame,
+    delimiter: str = "\n",
+    min_docs: int | None = None,
+    min_doc_pct: int | None = None,
+    min_chars: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency unit removal — CCNet/RefinedWeb-style
+    boilerplate stripping generalized over the split unit. With
+    ``delimiter='\\n'`` a *line* that occurs (length ≥ ``min_chars``)
+    in at least ``min_docs`` distinct documents — or in at least
+    ``min_doc_pct`` percent of the corpus — is boilerplate (nav bars,
+    disclaimers, repeated headers) and is deleted from every document;
+    with ``delimiter=' '`` the same machinery is document-frequency
+    stopword pruning. Returns one row per input document:
+    ``(id_col, clean_text, n_removed)`` with unit order preserved.
+
+    Plan — scale shape at 100 TB:
+
+      1. ``posexplode(split(...))`` is narrow (no shuffle);
+      2. the document-frequency count is ONE shuffle keyed by the unit
+         string with map-side partial aggregation; the frequency filter
+         happens before anything joins back, so the "common" set is
+         tiny (true boilerplate) — AQE turns the anti-join into a
+         broadcast when it fits, and a shuffled anti-join otherwise;
+      3. reassembly is ONE shuffle keyed by ``id_col`` (uniform);
+         per-document ordering uses ``array_sort`` on (pos, unit)
+         structs INSIDE the aggregate — no global sort. No driver
+         collect anywhere.
+
+    The percent threshold is evaluated in pure integer arithmetic
+    (``df*100 >= n_docs*pct``) so both engines agree bit-for-bit; the
+    corpus size is a one-scalar aggregate crossJoin-broadcast.
+    """
+    if (min_docs is None) == (min_doc_pct is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_pct")
+    import re as _re
+
+    rx = _re.escape(delimiter)
+    units = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), rx)).alias("pos", "unit"),
+    )
+    dfreq = (
+        units.filter(F.length("unit") >= min_chars)
+        .groupBy("unit")
+        .agg(F.countDistinct("_id").alias("_df"))
+    )
+    if min_docs is not None:
+        common = dfreq.filter(F.col("_df") >= min_docs)
+    else:
+        n = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+        common = dfreq.crossJoin(F.broadcast(n)).filter(
+            F.col("_df") * 100 >= F.col("_n_docs") * min_doc_pct
+        )
+    kept = units.join(common.select("unit"), "unit", "left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            delimiter,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    t = F.col(text_col)
+    return (
+        df.join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.when(t.isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("_clean", F.lit("")))
+            .alias("clean_text"),
+            F.when(t.isNull(), F.lit(0))
+            .otherwise(F.size(F.split(t, rx)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

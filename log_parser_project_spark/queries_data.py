@@ -1024,3 +1024,86 @@ def q_sk_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_et.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+# ===========================================================================
+# Corpus-frequency pruning + domain mixture (round-3 additions)
+# ===========================================================================
+
+@_register(
+    "q_tx_df_prune",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS unit,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    common AS (
+      SELECT unit FROM u, n
+      WHERE length(unit) >= 1
+      GROUP BY unit, n.n_docs
+      HAVING COUNT(DISTINCT doc_id) * 100 >= n_docs * 60
+    ),
+    kept AS (SELECT * FROM u WHERE unit NOT IN (SELECT unit FROM common)),
+    agg AS (
+      SELECT doc_id,
+             string_agg(unit, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(a.clean_text, '') END AS clean_text,
+           CAST(CASE WHEN d.text IS NULL THEN 0
+                ELSE len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
+                END AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_tx_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency pruning via :func:`~.operators.text.
+    remove_common_units` with a whitespace unit: every token present in
+    ≥ 60% of documents is corpus boilerplate and is stripped, with unit
+    order preserved on reassembly. The ``delimiter='\\n'`` instantiation
+    of the same operator is CCNet-style boilerplate-line removal,
+    pinned on planted multi-line docs in pytest."""
+    from .operators.text import remove_common_units
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return remove_common_units(d, delimiter=" ", min_doc_pct=60, min_chars=1)
+
+
+@_register(
+    "q_td_domain_mix",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    r AS (
+      SELECT source,
+             CAST(floor(LEAST(
+               1.0,
+               0.5 * (SUM(n) OVER ()) * POW(n, 0.5)
+                   / ((SUM(POW(n, 0.5)) OVER ()) * n)
+             ) * 1000000000 + 0.5) AS BIGINT) AS rate_e9
+      FROM c
+    )
+    SELECT d.doc_id, d.source, r.rate_e9
+    FROM documents d JOIN r ON r.source = d.source
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            * 1000000000
+          < r.rate_e9 * 4294967296
+    """,
+)
+def q_td_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (τ=0.5) domain mixture keeping ~50% of the
+    corpus: small sources are upweighted toward ``c^τ`` shares, each
+    row's fate decided by pure BIGINT md5 arithmetic — the sample is
+    identical across engines and parallelism levels (the oracle
+    reproduces it bit-for-bit)."""
+    from .operators.sampling import domain_mix
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return domain_mix(
+        d, stratum="source", key="doc_id", temperature=0.5, target_frac_pct=50
+    ).select("doc_id", "source", "rate_e9")
