@@ -560,20 +560,40 @@ class SnapshotCatalog(Catalog):
 
         df = self.spark.read.parquet(absdir)
         blooms: dict[str, dict[str, str]] = {}
-        for c in cols:
-            if c not in df.columns:
-                continue
-            probes = [
-                F.pmod(F.xxhash64(F.col(c).cast("string"), F.lit(seed)), F.lit(m))
-                for seed in range(k)
-            ]
-            rows = (
-                df.filter(F.col(c).isNotNull())
-                .select(
-                    F.input_file_name().alias("_f"),
-                    F.explode(F.array(*probes)).alias("_p"),
+        present = [c for c in cols if c in df.columns]
+        if present:
+            # every column's tagged probe array in ONE projection, so the
+            # whole sidecar really is one scan regardless of len(cols)
+            arr_t = "array<struct<c:string,p:bigint>>"
+
+            def _tag(name):
+                # NB: the lambda must stay single-arg — a two-arg lambda
+                # would receive (element, index) from F.transform
+                return lambda p: F.struct(F.lit(name).alias("c"), p.alias("p"))
+
+            entries = []
+            for c in present:
+                probes = F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(c).cast("string"), F.lit(seed)), F.lit(m)
+                        )
+                        for seed in range(k)
+                    ]
                 )
-                .groupBy("_f")
+                tagged = F.transform(probes, _tag(c))
+                entries.append(
+                    F.when(F.col(c).isNotNull(), tagged).otherwise(
+                        F.array().cast(arr_t)
+                    )
+                )
+            rows = (
+                df.select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(F.flatten(F.array(*entries))).alias("_e"),
+                )
+                .select("_f", F.col("_e.c").alias("_c"), F.col("_e.p").alias("_p"))
+                .groupBy("_f", "_c")
                 .agg(F.collect_set("_p").alias("_ps"))
                 .collect()
             )
@@ -582,7 +602,9 @@ class SnapshotCatalog(Catalog):
                 for p in r["_ps"]:
                     bits[p >> 3] |= 1 << (p & 7)
                 rel = os.path.relpath(r["_f"].removeprefix("file://"), absdir)
-                blooms.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
+                blooms.setdefault(rel, {})[r["_c"]] = base64.b64encode(
+                    bytes(bits)
+                ).decode()
         side = os.path.join(absdir, self._BLOOM_SIDECAR)
         tmp = f"{side}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
@@ -606,17 +628,30 @@ class SnapshotCatalog(Catalog):
 
     def _bloom_positions(self, value, m: int, k: int) -> list[int]:
         """The k probe bit positions for ``value`` — computed by the
-        SAME JVM xxhash64 the build pass used (a one-row local plan;
-        no python reimplementation to drift)."""
+        SAME JVM xxhash64 AND the same CAST-to-string the build pass
+        used (``F.lit(value).cast("string")``, never python ``str``:
+        Spark renders booleans as ``true``/``false`` and doubles in its
+        own scientific notation, so a python-formatted probe would miss
+        present values — a silent wrong-result, not a perf loss).
+        Cached per (type, value, m, k): repeated probes and multi-entry
+        sidecars cost one local job total, not one per entry."""
         from pyspark.sql import functions as F
 
-        row = self.spark.range(1).select(
-            *[
-                F.pmod(F.xxhash64(F.lit(str(value)), F.lit(seed)), F.lit(m)).alias(f"p{seed}")
-                for seed in range(k)
-            ]
-        ).collect()[0]
-        return [row[f"p{seed}"] for seed in range(k)]
+        cache = getattr(self, "_bloom_pos_cache", None)
+        if cache is None:
+            cache = self._bloom_pos_cache = {}
+        ck = (type(value).__name__, repr(value), m, k)
+        if ck not in cache:
+            row = self.spark.range(1).select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast("string"), F.lit(seed)), F.lit(m)
+                    ).alias(f"p{seed}")
+                    for seed in range(k)
+                ]
+            ).collect()[0]
+            cache[ck] = [row[f"p{seed}"] for seed in range(k)]
+        return cache[ck]
 
     @staticmethod
     def _bloom_matches(b64bits: str | None, positions: list[int]) -> bool:
@@ -908,14 +943,9 @@ class SnapshotCatalog(Catalog):
             # rewrite_data_files(strategy='sort', sort_order=zorder(...)):
             # cluster on the Morton key so min/max skipping fires on
             # EVERY zorder column, then record those columns' stats
-            from .operators.zorder import zvalue
+            from .operators.zorder import cluster_zorder
 
-            df = (
-                df.withColumn("_z", zvalue(df, zorder_by))
-                .repartitionByRange(n_files, "_z")
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
+            df = cluster_zorder(df, zorder_by, n_partitions=n_files)
         else:
             df = (
                 df.repartition(n_files, *partition_by)

@@ -118,6 +118,8 @@ def ordered_stratified_select(
     bucket. The stratum join is null-safe (a NULL stratum selects at
     quota like any other).
     """
+    if keep not in ("first", "drop_first"):
+        raise ValueError(f"keep must be 'first' or 'drop_first', got {keep!r}")
     tagged = df.withColumn("_o", order_col).withColumn("_b", bucket_col)
     w_pre = (
         Window.partitionBy(stratum).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)

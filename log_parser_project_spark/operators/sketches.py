@@ -112,6 +112,8 @@ def quantile_rollup(
     containing bucket. Touches only the sketch table. Open-ended edge
     buckets clamp to their finite boundary (estimates are exact-bounded
     only inside [min, max] seen at build time)."""
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
     from pyspark.sql import Window
 
     n = len(boundaries)

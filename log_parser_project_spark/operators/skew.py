@@ -33,8 +33,9 @@ def heavy_hitters(
     """Estimated hot values of ``key``: the top-``k`` sketch entries
     whose share of all rows is at least ``min_share``. One narrow pass,
     no shuffle of the data — the sketch is the only thing reduced."""
+    quoted = "`%s`" % key.replace("`", "``")
     row = df.agg(
-        F.expr(f"approx_top_k({key}, {int(k)})").alias("top"),
+        F.expr(f"approx_top_k({quoted}, {int(k)})").alias("top"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if not row["n"]:
@@ -54,7 +55,11 @@ def salted_join(
     side (it is replicated ``salt_buckets``-fold for hot keys). With
     ``hot_keys=None`` they are sketch-detected from ``fact``. Exact:
     every fact row joins exactly once per matching dim row, salted or
-    not."""
+    not. Only ``inner`` and ``left`` (fact-preserving) joins are
+    supported: a right/full join against the salt-replicated dim would
+    emit one spurious unmatched row per empty (hot key, salt) bucket."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if hot_keys is None:
         hot_keys = heavy_hitters(fact, key)
     if not hot_keys:
@@ -102,8 +107,15 @@ def salted_collect(
     def ordered_vals(c):
         return F.transform(F.array_sort(c), lambda s: s[value_col])
 
+    # NULL keys always take the plain path: isin() is NULL (not False)
+    # for NULL inputs, so a bare ~isin filter would silently drop the
+    # NULL-key group the plain groupBy contract keeps
     plain = (
-        df.filter(~F.col(key).isin(hot_keys) if hot_keys else F.lit(True))
+        df.filter(
+            (~F.col(key).isin(hot_keys)) | F.col(key).isNull()
+            if hot_keys
+            else F.lit(True)
+        )
         .groupBy(key)
         .agg(ordered_vals(F.collect_list(pair)).alias("vals"))
     )

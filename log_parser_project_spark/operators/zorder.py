@@ -52,6 +52,11 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
     whole-stage-codegen friendly, no python in the hot path."""
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+    # keep every interleaved bit inside the 63 value bits of a long:
+    # position (bits-1)*d + (d-1) = bits*d - 1 must stay < 63, else the
+    # top bucket bit lands in the sign bit (max-bucket rows sort FIRST)
+    # and beyond that Java's shiftleft wraps the shift amount mod 64
+    bits = max(1, min(bits, 62 // len(cols)))
     ranges = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
@@ -73,13 +78,18 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
     return reduce(Column.bitwiseOR, parts)
 
 
-def cluster_zorder(df: DataFrame, cols: list[str], bits: int = BITS) -> DataFrame:
+def cluster_zorder(
+    df: DataFrame, cols: list[str], bits: int = BITS, n_partitions: int | None = None
+) -> DataFrame:
     """Range-cluster ``df`` by its Morton key: one range exchange (same
     shuffle count as a linear sort) + within-task sort, then the key is
-    dropped — downstream writes inherit the clustering."""
-    return (
-        df.withColumn("_z", zvalue(df, cols, bits))
-        .repartitionByRange("_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+    dropped — downstream writes inherit the clustering.
+    ``n_partitions`` pins the output file count (compaction passes a
+    size-derived target); None keeps the session default."""
+    z = df.withColumn("_z", zvalue(df, cols, bits))
+    z = (
+        z.repartitionByRange(n_partitions, "_z")
+        if n_partitions is not None
+        else z.repartitionByRange("_z")
     )
+    return z.sortWithinPartitions("_z").drop("_z")

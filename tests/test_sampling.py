@@ -392,3 +392,21 @@ def test_domain_mix_matches_integer_oracle(spark, sf_dir):
         .select("source", "rate_e9").distinct().collect()
     }
     assert r_flat == {"big": 500000000, "small": 500000000}
+
+
+def test_quantile_rollup_and_select_validate_arguments(spark):
+    """Empty quantile list and keep-mode typos fail loudly, not with an
+    IndexError or a silently inverted selection."""
+    import pytest
+
+    from log_parser_project_spark.operators.sampling import ordered_stratified_select
+    from log_parser_project_spark.operators.sketches import quantile_rollup
+
+    hists = spark.createDataFrame([("a", 0, 1)], "g string, bucket int, cnt long")
+    with pytest.raises(ValueError):
+        quantile_rollup(hists, [0.0, 1.0], [], "g")
+    df = spark.createDataFrame([("a", 1)], "s string, v int")
+    with pytest.raises(ValueError):
+        ordered_stratified_select(
+            df, "s", F.col("v"), "v", 50, F.col("v"), keep="frist"
+        )

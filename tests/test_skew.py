@@ -152,3 +152,37 @@ def test_salted_collect_matches_plain_ordered_collect(spark):
     }
     assert got == want
     assert len(got["hot"]) == 2_000
+
+
+def test_salted_collect_keeps_null_key_group(spark):
+    """NULL keys must survive the hot/cold split: ~isin(hot) is NULL
+    (not False) for NULL inputs, so the cold filter needs an explicit
+    isNull branch — same contract as the plain groupBy."""
+    from log_parser_project_spark.operators.skew import salted_collect
+
+    df = spark.createDataFrame(
+        [("hot", 2, "b"), ("hot", 1, "a"), (None, 2, "y"), (None, 1, "x"),
+         ("c1", 1, "z")],
+        "conv_id string, turn_idx long, text string",
+    )
+    got = {
+        r.conv_id: r.vals
+        for r in salted_collect(
+            df, "conv_id", "turn_idx", "text", salt_buckets=4, hot_keys=["hot"]
+        ).collect()
+    }
+    assert got == {"hot": ["a", "b"], None: ["x", "y"], "c1": ["z"]}
+
+
+def test_salted_join_rejects_non_fact_preserving_how(spark):
+    """right/full joins against the salt-replicated dim would emit one
+    spurious row per empty (hot key, salt) bucket — refused up front."""
+    import pytest
+
+    from log_parser_project_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([("hot", 1)], "k string, v int")
+    dim = spark.createDataFrame([("hot", "H")], "k string, attr string")
+    for how in ("full", "right", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", hot_keys=["hot"], how=how)

@@ -635,3 +635,52 @@ def test_zorder_requires_two_columns(spark):
     df = spark.range(3).select(F.col("id").alias("a"))
     with pytest.raises(ValueError):
         zvalue(df, ["a"])
+
+
+def test_bloom_probe_matches_typed_values(spark, cat):
+    """The probe must hash Spark's CAST(col AS STRING) image of the
+    typed value, not python str(): booleans render 'true'/'True' and
+    big doubles '1.0E20'/'1e+20' differently, and a formatting drift is
+    a silent false negative (present rows pruned away)."""
+    df = spark.createDataFrame(
+        [(True, 1e20, 1), (False, 2.5, 2)], "flag boolean, x double, v int"
+    )
+    cat.write_table(df, "typed", bloom_cols=["flag", "x"])
+    assert cat.read_table("typed", eq=("flag", True)).filter("flag").count() == 1
+    assert (
+        cat.read_table("typed", eq=("x", 1e20)).filter(F.col("x") == 1e20).count()
+        == 1
+    )
+    # and the two-column sidecar is complete (single-pass build)
+    import base64 as _b64  # noqa: F401
+
+    side = json.load(
+        open(
+            os.path.join(
+                cat.warehouse, cat.snapshot("typed").state[0]["dir"], "_bloom.json"
+            )
+        )
+    )
+    for per_file in side["files"].values():
+        assert set(per_file) == {"flag", "x"}
+
+
+def test_zvalue_wide_column_lists_stay_in_value_bits(spark):
+    """8+ columns must not push interleaved bits into the long's sign
+    bit (max-bucket rows would sort FIRST) nor wrap shift amounts mod
+    64 — bits-per-column is capped so extreme corners stay ordered."""
+    from log_parser_project_spark.operators.zorder import zvalue
+
+    for ncols in (8, 9):
+        cols = [f"c{i}" for i in range(ncols)]
+        df = spark.range(0, 100).select(
+            *[F.col("id").alias(c) for c in cols]
+        )
+        zmap = {
+            r.c0: r.z
+            for r in df.select(F.col("c0"), zvalue(df, cols).alias("z")).collect()
+        }
+        assert all(z >= 0 for z in zmap.values()), ncols
+        # extreme corners land in the extreme cells (top-bucket ties ok)
+        assert zmap[0] == min(zmap.values()), ncols
+        assert zmap[99] == max(zmap.values()), ncols
