@@ -1107,3 +1107,74 @@ def q_td_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(
         d, stratum="source", key="doc_id", temperature=0.5, target_frac_pct=50
     ).select("doc_id", "source", "rate_e9")
+
+
+# ===========================================================================
+# Hierarchical aggregation (ROLLUP / CUBE) + pivot — classic OLAP surface
+# ===========================================================================
+
+@_register(
+    "q_a_rollup_hierarchy",
+    """
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+             AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def q_a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation — (event_type, day) → per-type
+    subtotals → grand total in ONE pass (Spark expands the grouping
+    sets map-side; the shuffle still carries one partially-aggregated
+    record per (set, key), never the raw rows). ``gid`` is the grouping
+    bitmask so rollup NULLs are distinguishable from natural NULLs —
+    the same mechanism the pipeline's one-pass sink aggregate uses
+    (``operators/aggregate.py``), here pinned against DuckDB's ROLLUP.
+    Values as BIGINT cents (driver hash contract)."""
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    day = F.to_date("ts")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("sum_value_cents"),
+        )
+    )
+
+
+@_register(
+    "q_a_pivot_matrix",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type pivot matrix with an EXPLICIT value list — the
+    two-pass schema-inference pivot is a scale anti-pattern (extra scan
+    + unbounded column blowup); with pinned values Spark compiles the
+    pivot to one hash aggregate whose state is |days| × 5 counters,
+    map-side combined like any aggregate. Missing cells are 0, not
+    NULL (count semantics), matching the FILTER oracle."""
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
