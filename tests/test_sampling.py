@@ -410,3 +410,28 @@ def test_quantile_rollup_and_select_validate_arguments(spark):
         ordered_stratified_select(
             df, "s", F.col("v"), "v", 50, F.col("v"), keep="frist"
         )
+
+
+def test_remove_common_units_roundtrip_with_special_delimiters(spark):
+    """With an impossible threshold the operator must be an exact
+    identity (split → anti-join nothing → ordered reassembly), even for
+    regex-metacharacter delimiters ('|', '.') — the split pattern is
+    re.escape'd, so these must not act as regex operators."""
+    from log_parser_project_spark.operators.text import remove_common_units
+
+    texts = [
+        "a|b|c||d", "x.y..z", "no delims here", "", "trail|", "|lead",
+        "mixed.|.both|x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for delim in ("|", "."):
+        out = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in remove_common_units(
+                df, delimiter=delim, min_docs=10_000, min_chars=1
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert out[i] == (t, 0), (delim, t, out[i])
