@@ -228,22 +228,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"
+def hash_neardup_pairs(
+    hashes: DataFrame, hash_col: str, id_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 8-bit bytes (any equal byte →
-    candidate; pigeonhole guarantees full recall for hamming ≤ 7),
-    then verify the true hamming distance."""
-    sh = simhash(df, id_col, text_col)
+    """Near-dup pairs over ANY 64-bit fingerprint column: band on 8-bit
+    bytes (any equal byte → candidate; pigeonhole guarantees full
+    recall for hamming ≤ 7 — 8 disjoint bands can't all differ on ≤7
+    flipped bits), then verify the true hamming distance. Shared by
+    text SimHash and image perceptual hashes (``multimodal.ahash64``).
+
+    Scale shape: the band explode is ×8 on (id, hash) pairs only —
+    never payloads; the candidate join keys on (band, bucket), uniform
+    for hash-like fingerprints; verify is a codegen'd ``bit_count(a^b)``.
+    """
     quarters = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), q * 8).bitwiseAND(F.lit(0xFF)).alias(f"q{q}")
+        F.shiftrightunsigned(F.col(hash_col), q * 8).bitwiseAND(F.lit(0xFF)).alias(f"q{q}")
         for q in range(8)
     ])
-    banded = sh.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(quarters).alias("band", "bucket")
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.posexplode(quarters).alias("band", "bucket")
     )
-    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "band", "bucket")
+    a = banded.select(F.col(id_col).alias("a"), F.col(hash_col).alias("sim_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), F.col(hash_col).alias("sim_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
         .select("a", "b", "sim_a", "sim_b").distinct()
@@ -254,6 +260,14 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash — see :func:`hash_neardup_pairs` for
+    the banding/verify mechanics."""
+    return hash_neardup_pairs(simhash(df, id_col, text_col), "simhash", id_col, max_hamming)
 
 
 def contaminated_ids(

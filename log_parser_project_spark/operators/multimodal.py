@@ -155,3 +155,51 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", F.posexplode(frames).alias("frame_idx", "_"),)
         .select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ms"))
     )
+
+
+def _decode_gray_stub(payload: bytes) -> "pd.Series":
+    """STUB image decode → 8×8 grayscale grid (real deployment:
+    ``PIL.Image.open(...).convert('L').resize((8, 8))``). The fake
+    treats the payload's own bytes AS the pixel grid (tiled/truncated
+    to 64), so byte-level payload similarity carries through to pixel
+    similarity — which is what lets the perceptual-hash pipeline be
+    tested honestly on planted near-duplicates without an image lib."""
+    import numpy as np
+
+    buf = (payload * (64 // max(1, len(payload)) + 1))[:64]
+    return np.frombuffer(bytes(buf), dtype=np.uint8)
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image — a REAL perceptual-hash
+    algorithm (mean-threshold the 8×8 grayscale grid; only the pixel
+    decode underneath is the documented stub): bit i set iff pixel i is
+    above the grid mean. Runs as one Arrow-batched ``mapInPandas``
+    stage over the binary payloads; emits ``(media_id, phash)`` only —
+    downstream joins never shuffle the payload bytes."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                g = _decode_gray_stub(p).astype(np.float64)
+                bits = np.packbits((g > g.mean()).astype(np.uint8), bitorder="little")
+                out.append(int(np.frombuffer(bits.tobytes(), dtype=np.int64)[0]))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": pd.array(out, dtype="int64")})
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, "media_id long, phash long")
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs: aHash fingerprints → byte-banded
+    candidate join (full recall for hamming ≤ 7 by pigeonhole) → exact
+    ``bit_count(xor)`` verify — the same banding machinery as text
+    SimHash (``dedup.hash_neardup_pairs``), applied to the image hash.
+    At 100 TB the payload bytes stay in the one decode stage; the
+    near-dup join moves 16 bytes per image."""
+    from .dedup import hash_neardup_pairs
+
+    return hash_neardup_pairs(ahash64(media), "phash", "media_id", max_hamming)

@@ -1178,3 +1178,26 @@ def q_a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
     )
+
+
+@_register("q_mm_phash_neardup", None)  # synthetic media, rows-only
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by 64-bit average-hash: synthetic media
+    plus deterministic planted near-duplicates (each base image copied
+    with its last payload byte zeroed — one perturbed pixel under the
+    stub decode), banded-hamming candidates, exact bit_count verify.
+    The planted copies must dominate the pair list; pytest pins recall
+    exactly against a brute-force hamming scan."""
+    media = multimodal.synth_media(spark, n=64)
+    base = media.filter(F.col("kind") == "image").limit(8)
+    planted = base.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        F.concat(
+            F.substring("payload", 1, 63), F.lit(bytearray(b"\x00"))
+        ).alias("payload"),
+        "meta",
+    )
+    return multimodal.phash_neardup_pairs(
+        media.unionByName(planted), max_hamming=7
+    )

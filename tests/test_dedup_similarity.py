@@ -556,3 +556,56 @@ def test_semantic_dedup_exact_matches_unionfind_expectation(emb):
         assert r.cluster_size == sizes.get(want_comp, 1), r
         assert r.is_survivor == (r.vec_id == want_comp), r
         assert r.max_sim == round(best.get(r.vec_id, 0.0), 4), r
+
+
+def test_phash_neardup_matches_bruteforce_hamming(spark):
+    """aHash near-dup pairs (banded candidates + verify) must equal a
+    brute-force hamming scan over all image pairs — full recall at
+    hamming ≤ 7 is a pigeonhole guarantee, precision is the exact
+    verify. Planted one-byte-perturbed copies must all be found."""
+    from log_parser_project_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=96)
+    base = media.filter(F.col("kind") == "image").limit(6)
+    planted = base.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        F.concat(F.substring("payload", 1, 63), F.lit(bytearray(b"\x00"))).alias("payload"),
+        "meta",
+    )
+    allm = media.unionByName(planted)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in multimodal.phash_neardup_pairs(allm, max_hamming=7).collect()
+    }
+    hashes = multimodal.ahash64(allm).collect()
+    want = set()
+    for i, ra in enumerate(hashes):
+        for rb in hashes[i + 1:]:
+            d = bin((ra.phash ^ rb.phash) & (2**64 - 1)).count("1")
+            if d <= 7:
+                x, y = sorted((ra.media_id, rb.media_id))
+                want.add((x, y, d))
+    assert got == want
+    # every planted copy pairs with its base
+    base_ids = [r.media_id for r in base.select("media_id").collect()]
+    found = {(a, b) for a, b, _ in got}
+    assert all((i, i + 1000) in found for i in base_ids), (base_ids, found)
+
+
+def test_ahash_is_mean_threshold_of_stub_grid(spark):
+    """The fingerprint must be exactly the documented algorithm: bit i
+    set iff grid byte i exceeds the grid mean (little-endian packing)."""
+    import numpy as np
+
+    from log_parser_project_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=32).filter(F.col("kind") == "image")
+    rows = {r.media_id: r.payload for r in media.collect()}
+    got = {r.media_id: r.phash for r in multimodal.ahash64(media).collect()}
+    assert set(got) == set(rows) and rows
+    for mid, payload in rows.items():
+        g = np.frombuffer((bytes(payload) * 2)[:64], dtype=np.uint8).astype(float)
+        bits = np.packbits((g > g.mean()).astype(np.uint8), bitorder="little")
+        want = int(np.frombuffer(bits.tobytes(), dtype=np.int64)[0])
+        assert got[mid] == want, mid
