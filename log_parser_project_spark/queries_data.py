@@ -1201,3 +1201,126 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(
         media.unionByName(planted), max_hamming=7
     )
+
+
+@_register(
+    "q_w_anomaly_hours",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour_ts, cnt,
+             COUNT(*)      OVER w AS n_base,
+             AVG(cnt)      OVER w AS mu,
+             STDDEV_SAMP(cnt) OVER w AS sd
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, cnt,
+           CAST(floor((cnt - mu) / sd * 10000 + 0.5) AS BIGINT) AS z_e4,
+           (cnt - mu) / sd >= 3.0 AS is_spike
+    FROM scored
+    WHERE n_base >= 12 AND sd > 0
+    """,
+)
+def q_w_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike detection over hourly event counts — the
+    log-analytics anomaly primitive: each hour scored against the
+    TRAILING 24 hours only (rowsBetween(-24, -1) — no leakage of the
+    scored hour into its own baseline), flagged at z ≥ 3. Pure window
+    expressions over an hourly pre-aggregate: the window partition is
+    one event type's hours, never raw events, so the frame scan is
+    bounded at any corpus scale. z quantized to e4 BIGINT for the
+    driver hash; warm-up hours (< 12 baseline rows) excluded."""
+    from pyspark.sql import Window
+
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    scored = (
+        hourly.withColumn("n_base", F.count(F.lit(1)).over(w))
+        .withColumn("mu", F.avg("cnt").over(w))
+        .withColumn("sd", F.stddev_samp("cnt").over(w))
+    )
+    # guard the division: sd = 0 rows are filtered out, but ANSI mode
+    # evaluates the projection before the filter — when() short-circuits
+    z = F.when(F.col("sd") > 0, (F.col("cnt") - F.col("mu")) / F.col("sd"))
+    return (
+        scored.withColumn("z_e4", F.floor(z * 10000 + F.lit(0.5)).cast("long"))
+        .withColumn("is_spike", z >= 3.0)
+        .filter((F.col("n_base") >= 12) & (F.col("sd") > 0))
+        .select("event_type", "hour_ts", "cnt", "z_e4", "is_spike")
+    )
+
+
+@_register(
+    "q_profile_columns",
+    """
+    SELECT 'event_type' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_type) AS VARCHAR) AS min_str,
+           CAST(MAX(event_type) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(MIN(event_id) AS VARCHAR), CAST(MAX(event_id) AS VARCHAR)
+    FROM events
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality `DESCRIBE`-at-scale op):
+    per-column row/null/distinct counts and min/max, computed in ONE
+    scan — all columns' stats are expressions of the same aggregate
+    node (count-distinct expands via Spark's distinct-aggregate
+    rewrite), then unpivoted to one row per column. String-typed
+    min/max so one schema fits every column."""
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    cols = ["event_type", "user_id", "event_id"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__dist"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = ev.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"{c}__n").alias("n_rows"),
+                    F.col(f"{c}__null").alias("n_null"),
+                    F.col(f"{c}__dist").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_str"),
+                    F.col(f"{c}__max").alias("max_str"),
+                )
+                for c in cols
+            ])
+        ).alias("s")
+    )
+    return stacked.select("s.*")
