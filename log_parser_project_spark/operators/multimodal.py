@@ -163,9 +163,15 @@ def _decode_gray_stub(payload: bytes) -> "pd.Series":
     treats the payload's own bytes AS the pixel grid (tiled/truncated
     to 64), so byte-level payload similarity carries through to pixel
     similarity — which is what lets the perceptual-hash pipeline be
-    tested honestly on planted near-duplicates without an image lib."""
+    tested honestly on planted near-duplicates without an image lib.
+
+    NULL/empty payloads decode to the all-zero grid (phash 0) — the
+    same value any constant-pixel image hashes to — rather than
+    crashing the executor task on ``b'' * 65 == b''``."""
     import numpy as np
 
+    if not payload:
+        payload = b"\x00"
     buf = (payload * (64 // max(1, len(payload)) + 1))[:64]
     return np.frombuffer(bytes(buf), dtype=np.uint8)
 

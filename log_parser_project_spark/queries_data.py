@@ -1189,7 +1189,9 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The planted copies must dominate the pair list; pytest pins recall
     exactly against a brute-force hamming scan."""
     media = multimodal.synth_media(spark, n=64)
-    base = media.filter(F.col("kind") == "image").limit(8)
+    # orderBy before limit: a bare limit() has no ordering contract, so
+    # WHICH images get planted copies would depend on partition layout
+    base = media.filter(F.col("kind") == "image").orderBy("media_id").limit(8)
     planted = base.select(
         (F.col("media_id") + 1000).alias("media_id"),
         "kind",
@@ -1213,29 +1215,41 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT event_type, hour_ts, cnt,
-             COUNT(*)      OVER w AS n_base,
-             AVG(cnt)      OVER w AS mu,
-             STDDEV_SAMP(cnt) OVER w AS sd
+             CAST(COUNT(*)       OVER w AS BIGINT) AS n_base,
+             CAST(SUM(cnt)       OVER w AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS q
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, hour_ts, cnt,
-           CAST(floor((cnt - mu) / sd * 10000 + 0.5) AS BIGINT) AS z_e4,
-           (cnt - mu) / sd >= 3.0 AS is_spike
+    SELECT event_type, hour_ts, cnt, n_base,
+           n_base * cnt - s AS dev_n,
+           (n_base * cnt - s) >= 0
+             AND (n_base * cnt - s) * (n_base * cnt - s) * (n_base - 1)
+                 >= 9 * n_base * (n_base * q - s * s) AS is_spike
     FROM scored
-    WHERE n_base >= 12 AND sd > 0
+    WHERE n_base >= 12 AND n_base * q - s * s > 0
     """,
 )
 def q_w_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score spike detection over hourly event counts — the
     log-analytics anomaly primitive: each hour scored against the
     TRAILING 24 hours only (rowsBetween(-24, -1) — no leakage of the
-    scored hour into its own baseline), flagged at z ≥ 3. Pure window
-    expressions over an hourly pre-aggregate: the window partition is
-    one event type's hours, never raw events, so the frame scan is
-    bounded at any corpus scale. z quantized to e4 BIGINT for the
-    driver hash; warm-up hours (< 12 baseline rows) excluded."""
+    scored hour into its own baseline), flagged at z ≥ 3.
+
+    The spike test is EXACT integer arithmetic — z ≥ 3 rewritten by
+    cross-multiplication as ``dev_n ≥ 0 ∧ dev_n²·(n−1) ≥ 9·n·(n·Q−S²)``
+    over the window's BIGINT count/sum/sum-of-squares (S, Q), because
+    Spark and DuckDB evaluate windowed STDDEV_SAMP with different
+    float algorithms (per-frame recompute vs segment-tree combining)
+    and a quantized float quotient can flip by one ulp between
+    engines. ``dev_n = n·cnt − S`` is the n-scaled deviation (exact,
+    sortable by spike magnitude at fixed n). BIGINT headroom: the
+    worst term is ``(24·cnt)²·23`` — safe below cnt ≈ 2.5e7 events per
+    (type, hour); beyond that, shift counts to a coarser unit before
+    scoring. The window partition is one event type's HOURS, never raw
+    events, so the frame scan is bounded at any corpus scale. Warm-up
+    hours (< 12 baseline rows) and zero-variance baselines excluded."""
     from pyspark.sql import Window
 
     ev = _spread(spark, _t(spark, sf_dir, "events"))
@@ -1249,17 +1263,20 @@ def q_w_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         hourly.withColumn("n_base", F.count(F.lit(1)).over(w))
-        .withColumn("mu", F.avg("cnt").over(w))
-        .withColumn("sd", F.stddev_samp("cnt").over(w))
+        .withColumn("s", F.sum("cnt").over(w))
+        .withColumn("q", F.sum(F.col("cnt") * F.col("cnt")).over(w))
     )
-    # guard the division: sd = 0 rows are filtered out, but ANSI mode
-    # evaluates the projection before the filter — when() short-circuits
-    z = F.when(F.col("sd") > 0, (F.col("cnt") - F.col("mu")) / F.col("sd"))
+    dev_n = F.col("n_base") * F.col("cnt") - F.col("s")
+    var_nn = F.col("n_base") * F.col("q") - F.col("s") * F.col("s")
     return (
-        scored.withColumn("z_e4", F.floor(z * 10000 + F.lit(0.5)).cast("long"))
-        .withColumn("is_spike", z >= 3.0)
-        .filter((F.col("n_base") >= 12) & (F.col("sd") > 0))
-        .select("event_type", "hour_ts", "cnt", "z_e4", "is_spike")
+        scored.withColumn("dev_n", dev_n)
+        .withColumn(
+            "is_spike",
+            (dev_n >= 0)
+            & (dev_n * dev_n * (F.col("n_base") - 1) >= 9 * F.col("n_base") * var_nn),
+        )
+        .filter((F.col("n_base") >= 12) & (var_nn > 0))
+        .select("event_type", "hour_ts", "cnt", "n_base", "dev_n", "is_spike")
     )
 
 

@@ -566,7 +566,7 @@ def test_phash_neardup_matches_bruteforce_hamming(spark):
     from log_parser_project_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, n=96)
-    base = media.filter(F.col("kind") == "image").limit(6)
+    base = media.filter(F.col("kind") == "image").orderBy("media_id").limit(6)
     planted = base.select(
         (F.col("media_id") + 1000).alias("media_id"),
         "kind",
