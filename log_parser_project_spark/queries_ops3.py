@@ -675,3 +675,67 @@ def q_skew_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_quantity")).alias("sum_qty_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# log mining: template discovery + multiline record assembly
+# ---------------------------------------------------------------------------
+
+_TEMPLATES_SQL = f"""
+    WITH {_TURNS_CTE}
+    SELECT regexp_replace(regexp_replace(text, '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                          '[0-9]+', '<N>', 'g') AS template,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           MIN(text) AS example
+    FROM turns GROUP BY 1
+"""
+
+
+@_register("q_log_templates", _TEMPLATES_SQL)
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log template mining — the inverse of the registry
+    decode: DISCOVER the pattern inventory by masking variable tokens
+    (hex → <HEX> before digits → <N>) and grouping on the constant
+    skeleton. This is how the reference's message-ID → field-layout
+    registry would be bootstrapped from an unlabeled log corpus. One
+    groupBy whose key cardinality is the template-inventory size, so
+    map-side combine collapses the shuffle at any corpus scale."""
+    from .operators.logmine import mine_templates
+
+    return mine_templates(events_transcripts(spark, sf_dir))
+
+
+_MULTILINE_SQL = f"""
+    WITH {_TURNS_CTE},
+    numbered AS (
+      SELECT conv_id, turn_idx, text,
+             SUM(CASE WHEN text LIKE 'see [%' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec_id
+      FROM turns
+    )
+    SELECT conv_id,
+           CAST(rec_id AS BIGINT) AS rec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(turn_idx) AS INTEGER) AS start_turn,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS record
+    FROM numbered GROUP BY conv_id, rec_id
+"""
+
+
+@_register("q_log_multiline", _MULTILINE_SQL)
+def q_log_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline record assembly (the logstash-multiline / stack-trace
+    pre-parse stage): citation lines ("see [doc-…]") are continuation
+    lines folded into the preceding anchor record via a running
+    SUM(is_start) window inside each conversation, then ONE ordered
+    concat per record (array_sort on struct(turn_idx, text) — exact
+    order however collect_list saw the rows). Records never span
+    conversations, so window state stays bounded at any scale."""
+    from .operators.logmine import assemble_records
+
+    t = events_transcripts(spark, sf_dir)
+    return assemble_records(
+        t, is_start=~F.col("text").like("see [%")
+    ).select("conv_id", "rec_id", "n_lines", "start_turn", "record")

@@ -1,0 +1,63 @@
+"""Log-mining operators: template masking and multiline assembly."""
+
+import pyspark.sql.functions as F
+
+from log_parser_project_spark.operators.logmine import (
+    assemble_records,
+    mask_template,
+    mine_templates,
+)
+
+
+def test_mask_template_hex_before_digits(spark):
+    df = spark.createDataFrame(
+        [("ERROR code=476 at 0xDEADbeef offset 12",),
+         ("ERROR code=9 at 0x1 offset 40000",)],
+        "text string",
+    )
+    got = {r[0] for r in df.select(mask_template("text")).collect()}
+    # hex masked FIRST — otherwise 0xDEADbeef would decay to 0x<N>DEADbeef
+    assert got == {"ERROR code=<N> at <HEX> offset <N>"}
+
+
+def test_mine_templates_counts_and_example(spark):
+    df = spark.createDataFrame(
+        [("c1", "login uid=1"), ("c1", "login uid=2"), ("c2", "login uid=9"),
+         ("c2", "logout uid=9")],
+        "conv_id string, text string",
+    )
+    got = {r.template: r for r in mine_templates(df).collect()}
+    assert got["login uid=<N>"].n_lines == 3
+    assert got["login uid=<N>"].n_convs == 2
+    assert got["login uid=<N>"].example == "login uid=1"  # lexicographic min
+    assert got["logout uid=<N>"].n_lines == 1
+
+
+def test_assemble_records_folds_continuations(spark):
+    rows = [
+        ("c1", 1, "Exception A"),
+        ("c1", 2, "  at frame1"),
+        ("c1", 3, "  at frame2"),
+        ("c1", 4, "Exception B"),
+        ("c1", 5, "  at frame3"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        r.rec_id: r
+        for r in assemble_records(df, is_start=~F.col("text").startswith("  ")).collect()
+    }
+    assert got[1].record == "Exception A\n  at frame1\n  at frame2"
+    assert got[1].n_lines == 3 and got[1].start_turn == 1
+    assert got[2].record == "Exception B\n  at frame3"
+
+
+def test_assemble_records_keeps_preanchor_lines_as_record_zero(spark):
+    # a stream resumed mid-record: continuation lines BEFORE any anchor
+    rows = [("c1", 1, "  orphan frame"), ("c1", 2, "Exception A"), ("c1", 3, "  at f")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        r.rec_id: r.record
+        for r in assemble_records(df, is_start=~F.col("text").startswith("  ")).collect()
+    }
+    assert got[0] == "  orphan frame"  # kept, not dropped
+    assert got[1] == "Exception A\n  at f"
