@@ -448,3 +448,38 @@ def cluster_dedup(
             F.coalesce("__max_sim", F.lit(0.0)).alias("max_sim"),
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate-span accounting (the substring-dedup measurement
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every distinct n-token span of every document, counted
+    across the corpus; a span is DUPLICATED iff it occurs in ≥ 2
+    documents. Emits per-document ``n_spans`` / ``n_dup`` — the
+    verbatim-overlap coverage a span-removal pass would cut.
+
+    Shape at scale: the span table is computed ONCE (a groupBy+join
+    formulation would scan and re-shingle the corpus once per join
+    side — Spark cannot share one exchange between two consumers
+    without caching a corpus-sized intermediate); the per-span count
+    is a whole-partition window after one shuffle on the uniform span
+    key, then one groupBy back to documents. No pair join — the
+    n_docs≥2 test happens AT the span key, so a span shared by 10⁶
+    documents costs one counter, not 10¹² pairs (contrast
+    ``jaccard_pairs``, which needs its ``max_doc_freq`` guard for
+    exactly that reason).
+    """
+    from pyspark.sql import Window
+
+    spans = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        spans.withColumn("n_docs", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup"),
+        )
+    )

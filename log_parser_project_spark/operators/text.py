@@ -305,3 +305,20 @@ def remove_common_units(
             .alias("n_removed"),
         )
     )
+
+
+def hashed_linear_score(toks: Column, buckets: int = 1024) -> Column:
+    """Linear quality-classifier scoring under the hashing trick (the
+    fasttext-style bag-of-words filter every large corpus pipeline
+    runs): feature index = md5-bucket of the token, weight = the
+    bucket's (deterministically "trained") integer weight in
+    [-100, 100], document score = Σ weights. Pure expressions — the
+    model evaluates inside whole-stage codegen with NO weight-table
+    join or shuffle at all; with externally trained weights the same
+    shape becomes a broadcast map over the bucket id. Integer weights
+    keep the score exact (a float Σ would be summation-order-
+    dependent across engines and partitionings)."""
+    w = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % buckets
+    ) % 201 - 100
+    return F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + w(t))

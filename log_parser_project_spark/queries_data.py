@@ -1341,3 +1341,75 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+@_register(
+    "q_dd_dup_spans",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT shingle, COUNT(*) AS n_docs FROM sp GROUP BY shingle)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM sp JOIN cnt USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span coverage (Lee et al. substring-dedup
+    accounting): distinct 5-token spans per doc, duplicated iff seen
+    in ≥ 2 docs; per-doc span/duplicate counts. NO pair join — the
+    ≥2-docs test happens at the span key, so a span shared by a
+    million documents costs one counter, not 10¹² pairs."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dedup.dup_span_coverage(d, n=5)
+
+
+@_register(
+    "q_tx_model_quality",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks,
+                    t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 1024) % 201) - 100))
+                 AS BIGINT)
+             ELSE 0 END AS score
+      FROM d
+    )
+    SELECT doc_id, score, score >= 0 AS keep FROM scored
+    """,
+)
+def q_tx_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering under the hashing trick: a
+    fasttext-style linear classifier whose feature index is the
+    md5-bucket of each token and whose integer weights evaluate as
+    pure expressions — scoring runs inside whole-stage codegen with
+    zero joins/shuffles; swap the hash-derived weight for a broadcast
+    map to serve externally trained weights. Integer weights keep the
+    score exact across engines and partitionings (a float Σ would be
+    summation-order-dependent)."""
+    from .operators.text import hashed_linear_score, tokens
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select("doc_id", hashed_linear_score(F.col("__toks")).alias("score"))
+        .withColumn("keep", F.col("score") >= 0)
+    )

@@ -609,3 +609,46 @@ def test_ahash_is_mean_threshold_of_stub_grid(spark):
         bits = np.packbits((g > g.mean()).astype(np.uint8), bitorder="little")
         want = int(np.frombuffer(bits.tobytes(), dtype=np.int64)[0])
         assert got[mid] == want, mid
+
+
+def test_dup_span_coverage_planted(spark):
+    """Planted verbatim 5-token span shared by two docs: both get
+    n_dup = number of their distinct spans that are cross-doc
+    duplicated; the unique doc gets n_dup = 0. Short docs (<5 tokens)
+    produce no spans and no output row."""
+    from log_parser_project_spark.operators.dedup import dup_span_coverage
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"{shared} over the lazy dog"),
+        (2, f"prefix words here {shared}"),
+        (3, "completely different content with many unique tokens inside"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_coverage(df, n=5).collect()}
+    assert 4 not in got  # 2 tokens -> no 5-gram spans
+    # doc 1: 5 spans, only the planted one is shared
+    assert got[1].n_spans == 5 and got[1].n_dup == 1
+    assert got[2].n_spans == 4 and got[2].n_dup == 1
+    assert got[3].n_dup == 0 and got[3].n_spans == 4  # 8 tokens -> 4 spans
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from log_parser_project_spark.operators.text import hashed_linear_score, tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, ""), (4, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in df.select(
+            "doc_id",
+            hashed_linear_score(tokens("text")).alias("score"),
+        ).collect()
+    }
+    assert out[1] == out[2]            # content-deterministic
+    assert out[3] == 0                 # empty doc scores the bias (0)
+    assert -100 <= out[4] <= 100       # single token bounded by weight range
+    assert out[1] != 0                 # 3 tokens, vanishing chance of exact 0
