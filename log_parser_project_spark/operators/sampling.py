@@ -231,3 +231,45 @@ def domain_mix(
         .filter(h32 * F.lit(1000000000) < F.col("rate_e9") * F.lit(4294967296))
         .drop("_s")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep op
+    (RAG passages / LM training windows with cross-boundary overlap,
+    stride < size). One row per chunk: (id, chunk_idx, n_tokens,
+    chunk). The final partial window is KEPT (minimum 1 token) so no
+    suffix is silently dropped; a doc shorter than ``size`` yields
+    exactly one chunk. Pure expressions — tokenize once into a real
+    column (HOF lambdas defeat CSE, the ``word_shingles`` 19× note),
+    then one ``sequence(step=stride)`` explode; no shuffle at all:
+    chunking is embarrassingly parallel and Catalyst keeps it in the
+    scan stage."""
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride ({stride}) <= size ({size})")
+    from .text import tokens
+
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # window starts 1, 1+stride, …, filtered to those that still start
+    # a non-empty window; an empty doc produces no chunks
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: s <= n,
+    )
+    start = F.col("__start")
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), toks, F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            ((start - 1) / stride).cast("int").alias("chunk_idx"),
+            F.least(F.size(toks) - start + 1, F.lit(size)).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, start, size)).alias("chunk"),
+        )
+    )

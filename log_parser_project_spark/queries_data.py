@@ -1413,3 +1413,35 @@ def q_tx_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", hashed_linear_score(F.col("__toks")).alias("score"))
         .withColumn("keep", F.col("score") >= 0)
     )
+
+
+@_register(
+    "q_td_chunk_windows",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, len(toks) AS n, toks,
+             unnest(range(1, len(toks) + 1, 48)) AS s
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+           CAST(least(n - s + 1, 64) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk
+    FROM x
+    """,
+)
+def q_td_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (RAG passages / LM training
+    windows): 64-token chunks every 48 tokens — 16-token overlap across
+    boundaries, final partial window kept. Zero shuffles: tokenize →
+    sequence(step)-explode → slice, all inside the scan stage; the op
+    is embarrassingly parallel at any corpus size."""
+    from .operators.sampling import chunk_documents
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return chunk_documents(d, size=64, stride=48)

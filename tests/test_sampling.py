@@ -435,3 +435,35 @@ def test_remove_common_units_roundtrip_with_special_delimiters(spark):
         }
         for i, t in enumerate(texts):
             assert out[i] == (t, 0), (delim, t, out[i])
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from log_parser_project_spark.operators.sampling import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.chunk_idx): r for r in chunk_documents(df, size=4, stride=3).collect()}
+    # doc 1: starts 1,4,7,10 -> 4 chunks; overlap of 1 token between neighbors
+    assert [got[(1, i)].chunk for i in range(4)] == [
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10",
+    ]
+    assert got[(1, 3)].n_tokens == 1  # kept partial tail
+    # doc shorter than size -> exactly one chunk
+    assert [k for k in got if k[0] == 2] == [(2, 0)]
+    assert got[(2, 0)].chunk == "a b c" and got[(2, 0)].n_tokens == 3
+    # empty doc -> no chunks
+    assert not [k for k in got if k[0] == 3]
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from log_parser_project_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=0)
