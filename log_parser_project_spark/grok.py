@@ -33,22 +33,32 @@ GROK_PRIMITIVES: dict[str, str] = {
     "GREEDYDATA": ".*",
     "BRACEBODY": "[^}]*",     # inside {...}
     "QUOTEBODY": "[^']*",     # inside '...'
-    # the standard logstash vocabulary, ASCII-explicit renderings —
-    # internally NON-capturing so a %{PRIM:field} wrap stays one group
-    "BASE10NUM": "[+-]?[0-9]+(?:\\.[0-9]+)?",
+    # the standard logstash vocabulary, ASCII-explicit renderings that
+    # track real logstash semantics (octet-validated IPV4, hour-only tz
+    # offsets, leading-dot decimals, trailing-dot FQDNs, 63-char DNS
+    # labels) WITHOUT the lookbehind/atomic-group constructs logstash's
+    # Oniguruma allows — those would break the RE2/JVM extractors.
+    # Internally NON-capturing so a %{PRIM:field} wrap stays one group.
+    "BASE10NUM": "[+-]?(?:[0-9]+(?:\\.[0-9]+)?|\\.[0-9]+)",
     "HEXNUM": "0x[0-9a-fA-F]+",
-    "IPV4": "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "IPV4": (
+        "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})\\.){3}"
+        "(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})"
+    ),
     "MAC": "(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
     "UUID": "[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
-    "HOSTNAME": "(?:[A-Za-z0-9][A-Za-z0-9-]*\\.)*[A-Za-z0-9][A-Za-z0-9-]*",
+    "HOSTNAME": (
+        "(?:[A-Za-z0-9][A-Za-z0-9-]{0,62}\\.)*"
+        "[A-Za-z0-9][A-Za-z0-9-]{0,62}\\.?"
+    ),
     "EMAILADDRESS": "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+",
-    "UNIXPATH": "(?:/[A-Za-z0-9_.-]+)+/?",
+    "UNIXPATH": "(?:/[A-Za-z0-9_%!$@:.,+~-]*)+",
     "QS": '"[^"]*"',          # quoted string, quotes included
     "QUOTEDSTRING": '"[^"]*"',
     "LOGLEVEL": "(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
     "TIMESTAMP_ISO8601": (
         "[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}"
-        "(?:\\.[0-9]+)?(?:Z|[+-][0-9]{2}:?[0-9]{2})?"
+        "(?:\\.[0-9]+)?(?:Z|[+-][0-9]{2}(?::?[0-9]{2})?)?"
     ),
     "HTTPMETHOD": "(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
 }

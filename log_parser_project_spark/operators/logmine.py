@@ -13,10 +13,13 @@ into their anchor record before parsing).
 
 Both are pure DataFrame expressions — no UDFs, one shuffle each:
 
-* ``mine_templates``: mask → groupBy(template). Template cardinality
-  is the pattern-inventory size (tiny), so map-side partial
-  aggregation collapses the shuffle to ~|templates| rows per task at
-  any corpus scale.
+* ``mine_templates``: mask → groupBy(template). The count/example
+  aggregates partial-aggregate map-side to ~|templates| rows per
+  task; the ``countDistinct(conv)`` column plans as a two-stage
+  distinct aggregate whose FIRST shuffle keys on (template, conv) —
+  volume ∝ distinct template-per-conversation pairs, bounded by the
+  line count but not by the inventory. At 100 TB swap it for
+  ``approx_count_distinct`` to collapse that stage to sketch rows.
 * ``assemble_records``: running SUM(is_start) window inside each
   partition key (one conversation/file — bounded), then one groupBy
   of (key, record id). Records never span partition keys, so the
@@ -46,10 +49,19 @@ def mine_templates(
     lines: DataFrame,
     text_col: str = "text",
     conv_col: str = "conv_id",
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Discover the template inventory of a log stream: one row per
     masked skeleton with its line count, distinct-source spread, and
-    the lexicographically-least concrete example (deterministic)."""
+    the lexicographically-least concrete example (deterministic).
+
+    ``approx_distinct=True`` swaps the exact ``countDistinct`` for the
+    HLL ``approx_count_distinct`` — at 100 TB that collapses the
+    distinct-aggregate's (template, conv)-keyed first shuffle into
+    map-side-merged sketches, making the whole op inventory-sized."""
+    n_convs = (
+        F.approx_count_distinct("_conv") if approx_distinct else F.countDistinct("_conv")
+    )
     return (
         lines.select(
             mask_template(text_col).alias("template"),
@@ -59,7 +71,7 @@ def mine_templates(
         .groupBy("template")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.countDistinct("_conv").alias("n_convs"),
+            n_convs.alias("n_convs"),
             F.min("_text").alias("example"),
         )
     )

@@ -243,8 +243,12 @@ def chunk_documents(
     """Overlapping token-window chunking — the context-window prep op
     (RAG passages / LM training windows with cross-boundary overlap,
     stride < size). One row per chunk: (id, chunk_idx, n_tokens,
-    chunk). The final partial window is KEPT (minimum 1 token) so no
-    suffix is silently dropped; a doc shorter than ``size`` yields
+    chunk). A partial tail window is kept only when it contains tokens
+    the previous window did NOT reach — a tail that is a strict suffix
+    of its predecessor would seed the training set with verbatim
+    duplicate passages, the artifact the dedup operators exist to
+    remove. No suffix is ever dropped (the last kept window always
+    ends at the final token); a doc shorter than ``size`` yields
     exactly one chunk. Pure expressions — tokenize once into a real
     column (HOF lambdas defeat CSE, the ``word_shingles`` 19× note),
     then one ``sequence(step=stride)`` explode; no shuffle at all:
@@ -256,11 +260,13 @@ def chunk_documents(
 
     toks = F.col("__toks")
     n = F.size(toks)
-    # window starts 1, 1+stride, …, filtered to those that still start
-    # a non-empty window; an empty doc produces no chunks
+    # window starts 1, 1+stride, …; keep s iff it starts a non-empty
+    # window AND (it is the first, or the previous window ended before
+    # the document end — i.e. this window adds unseen tokens:
+    # (s-stride)+size-1 < n  ⟺  s <= n - size + stride)
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
-        lambda s: s <= n,
+        lambda s: (s <= n) & ((s == 1) | (s <= n - size + stride)),
     )
     start = F.col("__start")
     return (

@@ -317,8 +317,16 @@ def hashed_linear_score(toks: Column, buckets: int = 1024) -> Column:
     join or shuffle at all; with externally trained weights the same
     shape becomes a broadcast map over the bucket id. Integer weights
     keep the score exact (a float Σ would be summation-order-
-    dependent across engines and partitionings)."""
-    w = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % buckets
-    ) % 201 - 100
+    dependent across engines and partitionings).
+
+    The bucket→weight map multiplies by a Knuth-style odd constant
+    before the mod-201 fold so the weight range stays two-sided for
+    ANY bucket count (a plain ``bucket % 201`` is all-negative for
+    buckets ≤ 100 — a filter that silently rejects the whole corpus).
+    """
+    from .sampling import hash_bucket
+
+    if buckets < 2:
+        raise ValueError(f"need buckets >= 2, got {buckets}")
+    w = lambda t: (hash_bucket(t, buckets) * 2654435761) % 201 - 100  # noqa: E731
     return F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + w(t))

@@ -1388,7 +1388,8 @@ def q_dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN len(toks) > 0 THEN
                CAST(list_sum(list_transform(toks,
-                    t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 1024) % 201) - 100))
+                    t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+                          * 2654435761) % 201 - 100))
                  AS BIGINT)
              ELSE 0 END AS score
       FROM d
@@ -1433,6 +1434,7 @@ def q_tx_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(n - s + 1, 64) AS INTEGER) AS n_tokens,
            array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk
     FROM x
+    WHERE s = 1 OR s <= n - 64 + 48
     """,
 )
 def q_td_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

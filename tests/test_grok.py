@@ -63,19 +63,32 @@ def test_citation_regex_not_expressible_loses_nothing():
 
 
 PRIMITIVE_EXAMPLES = {
-    # primitive: (full matches, rejects)
-    "BASE10NUM": (["42", "-3.5", "+7"], ["1.2.3", "abc"]),
+    # primitive: (full matches, rejects) — the match sets include the
+    # logstash-fidelity cases a ported pattern relies on (octet-checked
+    # IPs, hour-only tz offsets, leading-dot decimals, trailing-dot
+    # FQDNs, %/@/~ path characters)
+    "BASE10NUM": (["42", "-3.5", "+7", ".5", "-.25"], ["1.2.3", "abc", "."]),
     "HEXNUM": (["0xDEADbeef", "0x0"], ["DEAD", "0x"]),
-    "IPV4": (["127.0.0.1", "10.255.0.42"], ["1.2.3", "a.b.c.d"]),
+    "IPV4": (
+        ["127.0.0.1", "10.255.0.42", "255.255.255.255", "0.0.0.0"],
+        ["1.2.3", "a.b.c.d", "999.999.999.999", "256.1.1.1"],
+    ),
     "MAC": (["aa:bb:cc:00:11:22"], ["aa:bb:cc:00:11", "zz:bb:cc:00:11:22"]),
     "UUID": (["123e4567-e89b-12d3-a456-426614174000"], ["123e4567e89b", ""]),
-    "HOSTNAME": (["example.com", "a.b-c.de", "localhost"], ["-x", ""]),
+    "HOSTNAME": (
+        ["example.com", "a.b-c.de", "localhost", "fqdn.example.com."],
+        ["-x", "", "a..b"],
+    ),
     "EMAILADDRESS": (["a.b+c@ex-1.co.uk"], ["a@b", "@x.com"]),
-    "UNIXPATH": (["/usr/local/bin", "/a/b/"], ["usr/local", ""]),
+    "UNIXPATH": (
+        ["/usr/local/bin", "/a/b/", "/", "/tmp/%cache@host:1,x+y~z"],
+        ["usr/local", ""],
+    ),
     "QS": (['"hello world"', '""'], ['"unterminated', "bare"]),
     "LOGLEVEL": (["INFO", "WARNING", "CRITICAL"], ["info", "LOG"]),
     "TIMESTAMP_ISO8601": (
-        ["2026-08-17T12:00:00", "2026-08-17 12:00:00.123Z", "2026-08-17T12:00:00+02:00"],
+        ["2026-08-17T12:00:00", "2026-08-17 12:00:00.123Z",
+         "2026-08-17T12:00:00+02:00", "2026-08-17T12:00:00+02"],
         ["2026-08-17", "12:00:00"],
     ),
     "HTTPMETHOD": (["GET", "DELETE"], ["get", "FETCH"]),

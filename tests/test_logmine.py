@@ -61,3 +61,13 @@ def test_assemble_records_keeps_preanchor_lines_as_record_zero(spark):
     }
     assert got[0] == "  orphan frame"  # kept, not dropped
     assert got[1] == "Exception A\n  at f"
+
+
+def test_mine_templates_approx_distinct_close_to_exact(spark):
+    rows = [(f"c{i % 7}", f"login uid={i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    exact = mine_templates(df).collect()[0]
+    approx = mine_templates(df, approx_distinct=True).collect()[0]
+    assert exact.n_convs == 7
+    assert abs(approx.n_convs - 7) <= 1  # HLL at tiny cardinality is ~exact
+    assert approx.n_lines == exact.n_lines == 200

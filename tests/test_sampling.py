@@ -445,11 +445,13 @@ def test_chunk_documents_overlap_and_tail(spark):
         [(1, toks), (2, "a b c"), (3, "")], "doc_id long, text string"
     )
     got = {(r.doc_id, r.chunk_idx): r for r in chunk_documents(df, size=4, stride=3).collect()}
-    # doc 1: starts 1,4,7,10 -> 4 chunks; overlap of 1 token between neighbors
-    assert [got[(1, i)].chunk for i in range(4)] == [
-        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10",
+    # doc 1 (10 tokens): candidate starts 1,4,7,10 — start 10's window
+    # ("t10") is a strict suffix of the previous chunk, so it is
+    # SUPPRESSED (it would plant a verbatim duplicate passage)
+    assert [got[(1, i)].chunk for i in range(3)] == [
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10",
     ]
-    assert got[(1, 3)].n_tokens == 1  # kept partial tail
+    assert (1, 3) not in got
     # doc shorter than size -> exactly one chunk
     assert [k for k in got if k[0] == 2] == [(2, 0)]
     assert got[(2, 0)].chunk == "a b c" and got[(2, 0)].n_tokens == 3
@@ -467,3 +469,14 @@ def test_chunk_documents_rejects_bad_stride(spark):
         chunk_documents(df, size=4, stride=5)
     with _pytest.raises(ValueError):
         chunk_documents(df, size=4, stride=0)
+
+
+def test_chunk_documents_tail_kept_when_it_adds_tokens(spark):
+    from log_parser_project_spark.operators.sampling import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(1, 12))  # 11 tokens
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    got = {r.chunk_idx: r for r in chunk_documents(df, size=4, stride=3).collect()}
+    # starts 1,4,7,10: start 10's window reaches t11, unseen by start 7
+    assert got[3].chunk == "t10 t11" and got[3].n_tokens == 2
+    assert len(got) == 4
