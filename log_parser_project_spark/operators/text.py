@@ -312,9 +312,10 @@ def hashed_linear_score(toks: Column, buckets: int = 1024) -> Column:
     fasttext-style bag-of-words filter every large corpus pipeline
     runs): feature index = md5-bucket of the token, weight = the
     bucket's (deterministically "trained") integer weight in
-    [-100, 100], document score = Σ weights. Pure expressions — the
-    model evaluates inside whole-stage codegen with NO weight-table
-    join or shuffle at all; with externally trained weights the same
+    [-100, 100], document score = Σ weights. Pure JVM expressions (a
+    higher-order ``aggregate`` lambda — interpreted, not codegen'd,
+    but zero Python and NO weight-table join or shuffle at all);
+    with externally trained weights the same
     shape becomes a broadcast map over the bucket id. Integer weights
     keep the score exact (a float Σ would be summation-order-
     dependent across engines and partitionings).

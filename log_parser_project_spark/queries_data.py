@@ -1401,8 +1401,8 @@ def q_tx_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering under the hashing trick: a
     fasttext-style linear classifier whose feature index is the
     md5-bucket of each token and whose integer weights evaluate as
-    pure expressions — scoring runs inside whole-stage codegen with
-    zero joins/shuffles; swap the hash-derived weight for a broadcast
+    pure JVM expressions — an interpreted higher-order lambda with
+    zero Python, zero joins, zero shuffles; swap the hash-derived weight for a broadcast
     map to serve externally trained weights. Integer weights keep the
     score exact across engines and partitionings (a float Σ would be
     summation-order-dependent)."""

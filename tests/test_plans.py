@@ -233,3 +233,38 @@ def test_temporal_lookups_have_no_join_and_one_exchange(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert plan.count("Exchange") == 1, name
         assert "Join" not in plan, name
+
+
+def test_chunk_windows_has_no_shuffle(spark, sf_dir):
+    """Chunking is embarrassingly parallel: the whole query must stay
+    in the scan stage — no Exchange beyond the test-spread repartition,
+    no join, no aggregate."""
+    fn, _ = QUERIES["q_td_chunk_windows"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 1  # only the _spread repartition
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_dup_spans_single_scan_no_join(spark, sf_dir):
+    """The duplicate-span plan must compute the span table ONCE (a
+    groupBy+self-join formulation re-shingles the corpus per join
+    side) and contain no join at all — the >=2-docs test is a window
+    over the span-key shuffle."""
+    fn, _ = QUERIES["q_dd_dup_spans"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_model_quality_is_pure_jvm_expressions(spark, sf_dir):
+    """The hashed-linear scorer must evaluate as JVM expressions in the
+    scan stage: no python evaluation, no weight-table join, no
+    aggregate exchange. (HOF lambdas are interpreted JVM expressions —
+    they don't enter whole-stage codegen — so the assertion is
+    no-python/no-join/no-agg, not a codegen span.)"""
+    fn, _ = QUERIES["q_tx_model_quality"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # only the _spread repartition
