@@ -118,21 +118,33 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
+    shingled: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    include_size: bool = False,
 ) -> DataFrame:
     """k min-hash values per doc from one explode + one aggregate.
 
     Hash family: xxhash64(shingle, i) — deterministic, independent-ish
-    per seed column. Returns (id, sig: array<bigint> of length k).
+    per seed column. Returns (id, sig: array<bigint> of length k), plus
+    ``sz`` (the doc's shingle count) when ``include_size`` — the count
+    rides the SAME partial-aggregated shuffle, so callers that need
+    sizes for Jaccard math don't pay a second shingle pass.
     """
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    if include_size:
+        mins.append(F.count(F.lit(1)).alias("sz"))
     agg = shingled.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    cols = [
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    ]
+    if include_size:
+        cols.append(F.col("sz"))
+    return agg.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -180,12 +192,23 @@ def minhash_dedup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
-    exact-Jaccard verify. Returns (a, b, jaccard ≥ threshold)."""
+    exact-Jaccard verify. Returns (a, b, jaccard ≥ threshold).
+
+    Scale shape: doc sizes ride the signature aggregate's shuffle
+    (``include_size`` — no separate shingle pass), and the verify
+    joins are semi-pruned to CANDIDATE docs before their shuffle, so
+    the exact-verify stage moves shingles ∝ candidate docs, not ∝
+    corpus — the whole point of LSH is that candidates ≪ corpus."""
     sh = word_shingles(df, n, id_col, text_col)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes, id_col), bands, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
+    sig_sz = minhash_signatures(sh, num_hashes, id_col, include_size=True)
+    cands = lsh_candidate_pairs(sig_sz.select(id_col, "sig"), bands, id_col)
+    sizes = sig_sz.select(id_col, "sz")
+    a_sh = sh.join(
+        cands.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("a"), "shingle")
+    b_sh = sh.join(
+        cands.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("b"), "shingle")
     inter = (
         cands.join(a_sh, "a")
         .join(b_sh, ["b", "shingle"])
