@@ -201,13 +201,21 @@ def minhash_dedup_pairs(
     corpus — the whole point of LSH is that candidates ≪ corpus."""
     sh = word_shingles(df, n, id_col, text_col)
     sig_sz = minhash_signatures(sh, num_hashes, id_col, include_size=True)
-    cands = lsh_candidate_pairs(sig_sz.select(id_col, "sig"), bands, id_col)
+    # checkpoint the candidate pairs: three consumers below (two
+    # semi-join builds + the verify join) would otherwise re-execute
+    # the band self-join's post-shuffle stages per consumer
+    # (ReuseExchange shares only the shuffle files); the frame is
+    # candidate-pair-sized — small by LSH design
+    cands = lsh_candidate_pairs(
+        sig_sz.select(id_col, "sig"), bands, id_col
+    ).localCheckpoint(eager=False)
     sizes = sig_sz.select(id_col, "sz")
+    # left_semi treats the right side as a set — no distinct needed
     a_sh = sh.join(
-        cands.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("a").alias(id_col)), id_col, "left_semi"
     ).select(F.col(id_col).alias("a"), "shingle")
     b_sh = sh.join(
-        cands.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("b").alias(id_col)), id_col, "left_semi"
     ).select(F.col(id_col).alias("b"), "shingle")
     inter = (
         cands.join(a_sh, "a")

@@ -483,11 +483,11 @@ def test_chunk_documents_tail_kept_when_it_adds_tokens(spark):
 
 
 def test_chunk_documents_properties_fuzz(spark):
-    """Property fuzz over random docs/size/stride (ONE Spark job for
-    all examples): every token position is covered by >=1 chunk, the
-    last kept chunk always ends at the final token, no chunk is a
-    substring-suffix duplicate of its predecessor, and chunk_idx is
-    contiguous from 0."""
+    """Property fuzz over random docs (one Spark job per (size, stride)
+    pair — the parameters are plan constants, so docs batch per pair):
+    every token position is covered by >=1 chunk, the last kept chunk
+    always ends at the final token, no chunk is a substring-suffix
+    duplicate of its predecessor, and chunk_idx is contiguous from 0."""
     import random
 
     from log_parser_project_spark.operators.sampling import chunk_documents
@@ -508,7 +508,7 @@ def test_chunk_documents_properties_fuzz(spark):
         for r in chunk_documents(df, size=size, stride=stride).collect():
             out.setdefault(r.doc_id, []).append(r)
         for d, _txt in batch:
-            _, _, n = params[d][0], params[d][1], params[d][2]
+            n = params[d][2]
             chunks = sorted(out.get(d, []), key=lambda r: r.chunk_idx)
             if n == 0:
                 assert not chunks
@@ -527,20 +527,28 @@ def test_chunk_documents_properties_fuzz(spark):
             assert covered == set(range(1, n + 1))  # full coverage, no gaps
 
 
-def test_mask_template_is_idempotent():
+def test_mask_template_is_idempotent(spark):
     """Masking a masked line is a no-op (<N>/<HEX> contain no digits),
-    so template mining composes safely with pre-masked input."""
+    so template mining composes safely with pre-masked input. The REAL
+    mask_template column is cross-checked against the python replica
+    on every sample (one Spark job), then idempotence is fuzzed on the
+    proven-equal replica."""
+    import random
     import re as _re
 
-    from log_parser_project_spark.operators.logmine import mask_template  # noqa: F401
+    from log_parser_project_spark.operators.logmine import mask_template
 
-    # pure-python replica of the two regexp_replace passes
     def mask(s):
         return _re.sub(r"[0-9]+", "<N>", _re.sub(r"0x[0-9a-fA-F]+", "<HEX>", s))
 
-    import random
     rng = random.Random(11)
     alphabet = "ab 0x9F 17 <N> code= :"
-    for _ in range(200):
-        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
-        assert mask(mask(s)) == mask(s)
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {r.i: r.m for r in df.select("i", mask_template("s").alias("m")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == mask(s), s            # Spark column == replica
+        assert mask(mask(s)) == mask(s), s     # idempotence
