@@ -34,6 +34,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--input", default=None, help="transcripts parquet dir (else synthetic)")
+    ap.add_argument("--input-text", default=None,
+                    help="raw text-log dir: one conversation per file, line order exact")
+    ap.add_argument("--multiline-indent", action="store_true",
+                    help="with --input-text: fold indented continuation lines into "
+                         "their anchor record before parsing")
     ap.add_argument("--convs", type=int, default=10000)
     ap.add_argument("--hot-rows", type=int, default=0)
     ap.add_argument(
@@ -112,7 +117,32 @@ def main() -> None:
         dim_revision_classes_df(spark), "dim_revision_classes", lineage={"stage": "registry"}
     )
 
-    if args.input:
+    if args.input_text:
+        from log_parser_project_spark.sources.textlog import (
+            read_text_log,
+            textlog_transcripts,
+        )
+
+        transcripts = textlog_transcripts(read_text_log(spark, args.input_text))
+        if args.multiline_indent:
+            # fold indented continuation lines into their anchor record
+            from pyspark.sql import functions as F
+
+            from log_parser_project_spark.operators.logmine import assemble_records
+
+            recs = assemble_records(
+                transcripts, is_start=~F.col("text").rlike(r"^[ \t]")
+            )
+            transcripts = recs.select(
+                "conv_id",
+                F.col("rec_id").cast("int").alias("turn_idx"),
+                F.lit("log").alias("role"),
+                F.col("record").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts"),
+            )
+        fingerprint = f"text:{args.input_text}"
+    elif args.input:
         transcripts = spark.read.parquet(args.input)
         fingerprint = args.input
     else:
