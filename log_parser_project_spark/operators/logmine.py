@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mask_template", "mine_templates", "assemble_records"]
+__all__ = ["mask_template", "mine_templates", "assemble_records", "template_drift"]
 
 
 def mask_template(text: Column | str) -> Column:
@@ -110,4 +110,36 @@ def assemble_records(
             ),
             sep,
         ).alias("record"),
+    )
+
+
+def template_drift(
+    lines: DataFrame,
+    side: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Template-inventory drift between two slices of one log stream
+    (deploy A vs deploy B, last week vs this week): per template, the
+    line count on each side and a status — ``appeared`` (only side B),
+    ``vanished`` (only side A), ``both``. New/vanished templates are
+    the release-regression signal template mining exists to surface.
+
+    ``side`` must evaluate to FALSE for slice A and TRUE for slice B.
+    One conditional aggregate over one groupBy — no join of two
+    separately-mined inventories, so one corpus pass total, and the
+    same map-side-combine shape as :func:`mine_templates`."""
+    b = side.cast("boolean")
+    return (
+        lines.select(mask_template(text_col).alias("template"), b.alias("_b"))
+        .groupBy("template")
+        .agg(
+            F.sum((~F.col("_b")).cast("long")).alias("n_a"),
+            F.sum(F.col("_b").cast("long")).alias("n_b"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("n_a") == 0, "appeared")
+            .when(F.col("n_b") == 0, "vanished")
+            .otherwise("both"),
+        )
     )

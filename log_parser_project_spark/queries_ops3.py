@@ -739,3 +739,35 @@ def q_log_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_records(
         t, is_start=~F.col("text").like("see [%")
     ).select("conv_id", "rec_id", "n_lines", "start_turn", "record")
+
+
+_DRIFT_SQL = f"""
+    WITH {_TURNS_CTE},
+    m AS (
+      SELECT regexp_replace(regexp_replace(text, '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                            '[0-9]+', '<N>', 'g') AS template,
+             CAST(substr(conv_id, 6) AS BIGINT) % 2 AS b
+      FROM turns
+    )
+    SELECT template,
+           CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CASE WHEN SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) = 0 THEN 'appeared'
+                WHEN SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) = 0 THEN 'vanished'
+                ELSE 'both' END AS status
+    FROM m GROUP BY template
+"""
+
+
+@_register("q_log_template_drift", _DRIFT_SQL)
+def q_log_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-inventory drift between two corpus slices (here: even
+    vs odd conversations — the deploy-A/deploy-B shape): per-template
+    counts on each side plus appeared/vanished/both status — the
+    release-regression signal. ONE conditional aggregate over one
+    corpus pass; no join of separately-mined inventories."""
+    from .operators.logmine import template_drift
+
+    t = events_transcripts(spark, sf_dir)
+    side = F.substring("conv_id", 6, 20).cast("long") % 2 == 1
+    return template_drift(t, side=side)

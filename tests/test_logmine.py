@@ -71,3 +71,21 @@ def test_mine_templates_approx_distinct_close_to_exact(spark):
     assert exact.n_convs == 7
     assert abs(approx.n_convs - 7) <= 1  # HLL at tiny cardinality is ~exact
     assert approx.n_lines == exact.n_lines == 200
+
+
+def test_template_drift_statuses(spark):
+    from log_parser_project_spark.operators.logmine import template_drift
+
+    rows = [
+        (0, "login uid=1"), (0, "login uid=2"),     # side A only? no — also in B
+        (1, "login uid=3"),
+        (0, "legacy op=7"),                          # vanished (A only)
+        (1, "newthing id=9"), (1, "newthing id=10"), # appeared (B only)
+    ]
+    df = spark.createDataFrame(rows, "b int, text string")
+    got = {r.template: r for r in template_drift(df, side=F.col("b") == 1).collect()}
+    assert got["login uid=<N>"].status == "both"
+    assert (got["login uid=<N>"].n_a, got["login uid=<N>"].n_b) == (2, 1)
+    assert got["legacy op=<N>"].status == "vanished"
+    assert got["newthing id=<N>"].status == "appeared"
+    assert got["newthing id=<N>"].n_b == 2 and got["newthing id=<N>"].n_a == 0
