@@ -209,3 +209,55 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     from .dedup import hash_neardup_pairs
 
     return hash_neardup_pairs(ahash64(media), "phash", "media_id", max_hamming)
+
+
+def _pcm_stub(payload: bytes) -> "pd.Series":
+    """STUB audio decode → int8-centered PCM samples (real deployment:
+    ``librosa.load``/ffmpeg). The fake treats each payload byte as one
+    sample offset by -128, so byte-level payload structure carries
+    through to energy structure — NULL/empty payloads decode to one
+    silent sample rather than crashing the task."""
+    import numpy as np
+
+    if not payload:
+        payload = b"\x80"
+    return np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int32) - 128
+
+
+def audio_frame_energy(media: DataFrame, frame_samples: int = 16,
+                       silence_rms_e4: int = 50_000) -> DataFrame:
+    """Per-frame RMS energy over audio payloads — the energy/VAD
+    segmentation primitive audio data prep runs first (silence
+    trimming, speech-span detection). One Arrow-batched ``mapInPandas``
+    stage: payload bytes stay in the decode stage, downstream sees only
+    (media_id, frame_idx, n_samples, rms_e4, is_silence). The final
+    partial frame is kept (real trailing audio). Energy is emitted as
+    BIGINT e4 — exact, portable, sortable."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id, out_fi, out_ns, out_rms = [], [], [], []
+        for pdf in it:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = _pcm_stub(p)
+                for fi in range(0, len(s), frame_samples):
+                    frame = s[fi : fi + frame_samples]
+                    rms = math.sqrt(float((frame.astype("int64") ** 2).mean()))
+                    out_id.append(mid)
+                    out_fi.append(fi // frame_samples)
+                    out_ns.append(len(frame))
+                    out_rms.append(int(math.floor(rms * 10_000 + 0.5)))
+            yield pd.DataFrame({
+                "media_id": pd.array(out_id, dtype="int64"),
+                "frame_idx": pd.array(out_fi, dtype="int32"),
+                "n_samples": pd.array(out_ns, dtype="int32"),
+                "rms_e4": pd.array(out_rms, dtype="int64"),
+            })
+            out_id, out_fi, out_ns, out_rms = [], [], [], []
+
+    frames = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        batches, "media_id long, frame_idx int, n_samples int, rms_e4 long"
+    )
+    return frames.withColumn("is_silence", F.col("rms_e4") < silence_rms_e4)

@@ -1447,3 +1447,14 @@ def q_td_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return chunk_documents(d, size=64, stride=48)
+
+
+@_register("q_mm_audio_energy", None)  # synthetic media, rows-only
+def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy + silence flag over audio payloads (the
+    VAD/energy segmentation prep op): Arrow-batched mapInPandas decode
+    stage emits only (media_id, frame_idx, n_samples, rms_e4,
+    is_silence) — payload bytes never leave the decode stage. pytest
+    pins the energies against a numpy replica."""
+    media = multimodal.synth_media(spark, n=64)
+    return multimodal.audio_frame_energy(media, frame_samples=16)

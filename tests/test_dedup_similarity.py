@@ -652,3 +652,49 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     assert out[3] == 0                 # empty doc scores the bias (0)
     assert -100 <= out[4] <= 100       # single token bounded by weight range
     assert out[1] != 0                 # 3 tokens, vanishing chance of exact 0
+
+
+def test_audio_frame_energy_matches_numpy_replica(spark):
+    import math
+
+    import numpy as np
+
+    from log_parser_project_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=64)
+    audio = {r.media_id: bytes(r.payload) for r in media.filter("kind = 'audio'").collect()}
+    got = {}
+    for r in multimodal.audio_frame_energy(media, frame_samples=16).collect():
+        got[(r.media_id, r.frame_idx)] = (r.n_samples, r.rms_e4, r.is_silence)
+    assert audio and {m for m, _ in got} == set(audio)
+    for mid, payload in audio.items():
+        s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+        n_frames = math.ceil(len(s) / 16)
+        assert {fi for m, fi in got if m == mid} == set(range(n_frames))
+        for fi in range(n_frames):
+            frame = s[fi * 16 : fi * 16 + 16]
+            rms_e4 = int(math.floor(math.sqrt(float((frame**2).mean())) * 10_000 + 0.5))
+            ns, got_rms, silent = got[(mid, fi)]
+            assert ns == len(frame) and got_rms == rms_e4
+            assert silent == (rms_e4 < 50_000)
+
+
+def test_audio_frame_energy_empty_and_partial(spark):
+    from log_parser_project_spark.operators import multimodal
+
+    rows = [(1, "audio", b"", None), (2, "audio", None, None),
+            (3, "audio", bytes(range(20)), None)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, meta string")
+    got = {}
+    for r in multimodal.audio_frame_energy(df.select("media_id", "kind", "payload"),
+                                           frame_samples=16).collect():
+        got.setdefault(r.media_id, []).append(r)
+    # empty/NULL payloads -> one truly-silent single-sample frame
+    # (stub sample 0x80 centers to 0), no crash
+    for mid in (1, 2):
+        (f,) = got[mid]
+        assert f.frame_idx == 0 and f.n_samples == 1
+        assert f.rms_e4 == 0 and f.is_silence
+    # 20 samples at 16/frame -> full frame + 4-sample partial tail kept
+    a, b = sorted(got[3], key=lambda r: r.frame_idx)
+    assert (a.n_samples, b.n_samples) == (16, 4)
