@@ -47,6 +47,16 @@ def main(argv: list[str] | None = None) -> int:
     p_rev.add_argument("--year", help='year, e.g. "2026"')
     p_rev.add_argument("--pattern-class", help="class to trace through revisions")
 
+    p_m = sub.add_parser(
+        "mine",
+        help="discover the template inventory of a raw text-log directory "
+             "(Drain-style masking; the bootstrap for a registry)",
+    )
+    p_m.add_argument("--input-text", required=True, help="log directory (one file per stream)")
+    p_m.add_argument("--limit", type=int, default=50, help="top templates by line count")
+    p_m.add_argument("--approx", action="store_true",
+                     help="HLL distinct-file counts (the 100 TB path)")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -76,7 +86,23 @@ def main(argv: list[str] | None = None) -> int:
             print(out)
         return 0
 
-    if args.cmd == "list":
+    if args.cmd == "mine":
+        from pyspark.sql import functions as F
+
+        from .operators.logmine import mine_templates
+        from .sources.textlog import read_text_log
+
+        df = (
+            mine_templates(
+                read_text_log(spark, args.input_text),
+                conv_col="file",
+                approx_distinct=args.approx,
+            )
+            .withColumnRenamed("n_convs", "n_files")
+            .orderBy(F.desc("n_lines"), "template")
+            .limit(args.limit)
+        )
+    elif args.cmd == "list":
         df = qh.list_patterns(spark)
     elif args.cmd == "versions":
         df = qh.versions_of(spark, args.pattern_class)

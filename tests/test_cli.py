@@ -56,3 +56,18 @@ def test_cli_decode_packet(tmp_path):
     assert out["layout_version"] == 1
     assert out["fields"] == {"u8": 42, "s8": -1}
     assert out["metadata"]["decode_time_ms"] > 0
+
+
+def test_cli_mine_templates(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("login uid=1\nlogin uid=2\nboot at 0xFF00\n")
+    (d / "b.log").write_text("login uid=9\n")
+    rows = json.loads(_run("mine", "--input-text", str(d), "--limit", "10"))
+    by_t = {r["template"]: r for r in rows}
+    assert by_t["login uid=<N>"]["n_lines"] == 3
+    assert by_t["login uid=<N>"]["n_files"] == 2
+    assert by_t["login uid=<N>"]["example"] == "login uid=1"
+    assert by_t["boot at <HEX>"]["n_lines"] == 1
+    # ordered by n_lines desc
+    assert rows[0]["template"] == "login uid=<N>"
