@@ -5,8 +5,10 @@ Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 Chains the engine's dataset-prep operators over the documents table:
 model-based quality filter → exact dedup survivor selection →
 duplicate-span accounting → leakage-free split → overlapping context
-chunks. Every step is a lazy DataFrame transform; one action at the
-end executes the whole plan.
+chunks. Every step is a lazy DataFrame transform; the report at the
+end runs several actions, so the shared prefix (quality filter +
+dedup) is persisted once instead of recomputing from parquet per
+action.
 """
 
 import sys
@@ -29,8 +31,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     scored = docs.withColumn("score", hashed_linear_score(tokens("text")))
     kept = scored.filter(F.col("score") >= 0)
 
-    # 2. exact dedup (md5 fingerprint, min-id survivor)
-    unique = exact_dedup(kept)
+    # 2. exact dedup (md5 fingerprint, min-id survivor) — persisted:
+    # every report line below branches off this frame
+    unique = exact_dedup(kept).persist()
 
     # 3. duplicate-span accounting (Lee et al.) — report, don't drop
     spans = dup_span_coverage(unique, n=5)

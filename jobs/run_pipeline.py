@@ -33,9 +33,10 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
-    ap.add_argument("--input", default=None, help="transcripts parquet dir (else synthetic)")
-    ap.add_argument("--input-text", default=None,
-                    help="raw text-log dir: one conversation per file, line order exact")
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--input", default=None, help="transcripts parquet dir (else synthetic)")
+    src.add_argument("--input-text", default=None,
+                     help="raw text-log dir: one conversation per file, line order exact")
     ap.add_argument("--multiline-indent", action="store_true",
                     help="with --input-text: fold indented continuation lines into "
                          "their anchor record before parsing")
@@ -129,17 +130,10 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             from log_parser_project_spark.operators.logmine import assemble_records
+            from log_parser_project_spark.sources.textlog import records_transcripts
 
-            recs = assemble_records(
-                transcripts, is_start=~F.col("text").rlike(r"^[ \t]")
-            )
-            transcripts = recs.select(
-                "conv_id",
-                F.col("rec_id").cast("int").alias("turn_idx"),
-                F.lit("log").alias("role"),
-                F.col("record").alias("text"),
-                F.lit(None).cast("string").alias("tool"),
-                F.lit(None).cast("timestamp").alias("ts"),
+            transcripts = records_transcripts(
+                assemble_records(transcripts, is_start=~F.col("text").rlike(r"^[ \t]"))
             )
         fingerprint = f"text:{args.input_text}"
     elif args.input:

@@ -90,11 +90,14 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from .operators.logmine import mine_templates
-        from .sources.textlog import read_text_log
+        from .sources.textlog import read_text_lines
 
+        # mining is order-independent → the parallel line-split read
+        # (a single giant unrotated file splits across tasks instead of
+        # loading as one wholetext row)
         df = (
             mine_templates(
-                read_text_log(spark, args.input_text),
+                read_text_lines(spark, args.input_text),
                 conv_col="file",
                 approx_distinct=args.approx,
             )

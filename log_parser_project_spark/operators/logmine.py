@@ -124,13 +124,17 @@ def template_drift(
     ``vanished`` (only side A), ``both``. New/vanished templates are
     the release-regression signal template mining exists to surface.
 
-    ``side`` must evaluate to FALSE for slice A and TRUE for slice B.
+    ``side`` must evaluate to FALSE for slice A and TRUE for slice B;
+    rows where it is NULL belong to NEITHER slice and are excluded
+    explicitly (an unfiltered NULL would silently poison the counts —
+    an all-NULL template would read n_a=NULL/n_b=NULL status 'both').
     One conditional aggregate over one groupBy — no join of two
     separately-mined inventories, so one corpus pass total, and the
     same map-side-combine shape as :func:`mine_templates`."""
     b = side.cast("boolean")
     return (
-        lines.select(mask_template(text_col).alias("template"), b.alias("_b"))
+        lines.filter(b.isNotNull())
+        .select(mask_template(text_col).alias("template"), b.alias("_b"))
         .groupBy("template")
         .agg(
             F.sum((~F.col("_b")).cast("long")).alias("n_a"),

@@ -64,15 +64,9 @@ def test_grok_parse_over_assembled_records(spark, tmp_path):
 
     t = textlog_transcripts(read_text_log(spark, _write(tmp_path)))
     recs = assemble_records(t, is_start=~F.col("text").startswith("  "))
-    # adapt records back to the transcript shape for the parser
-    df = recs.select(
-        "conv_id",
-        F.col("rec_id").cast("int").alias("turn_idx"),
-        F.lit("log").alias("role"),
-        F.col("record").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
-    )
+    from log_parser_project_spark.sources.textlog import records_transcripts
+
+    df = records_transcripts(recs)
     pat = grok_pattern(
         "applog", 1,
         r"(?s)^%{NOTSPACE:day} %{LOGLEVEL:level} %{WORD:msg} id=%{INT:id}.*$",
@@ -89,3 +83,38 @@ def test_grok_parse_over_assembled_records(spark, tmp_path):
     # unclassified non-match, not silently dropped; INFO is record 3
     assert not got[("b.log", 2)].matched and got[("b.log", 2)].pattern_class is None
     assert got[("b.log", 3)].matched and got[("b.log", 3)].extracted["level"] == "INFO"
+
+
+def test_trailing_empty_lines_and_crlf_and_empty_file(spark, tmp_path):
+    d = tmp_path / "logs2"
+    d.mkdir()
+    (d / "t.log").write_text("a\n\n\n")          # two REAL trailing empty lines
+    (d / "w.log").write_bytes(b"x=1\r\ny=2\r\n")  # CRLF
+    (d / "e.log").write_text("")                  # zero lines
+    got = {}
+    for r in read_text_log(spark, str(d)).collect():
+        got.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.line_no, r.text))
+    assert sorted(got["t.log"]) == [(1, "a"), (2, ""), (3, "")]
+    assert sorted(got["w.log"]) == [(1, "x=1"), (2, "y=2")]  # no \r residue
+    assert "e.log" not in got  # empty file -> no phantom line
+
+
+def test_read_text_lines_parallel_variant(spark, tmp_path):
+    from log_parser_project_spark.sources.textlog import read_text_lines
+
+    d = tmp_path / "logs3"
+    d.mkdir()
+    (d / "a.log").write_bytes(b"p=1\r\np=2\n")
+    rows = read_text_lines(spark, str(d)).collect()
+    assert sorted(r.text for r in rows) == ["p=1", "p=2"]
+
+
+def test_template_drift_null_side_excluded(spark):
+    from log_parser_project_spark.operators.logmine import template_drift
+
+    rows = [(True, "login uid=1"), (None, "login uid=2"), (None, "ghost id=3")]
+    df = spark.createDataFrame(rows, "b boolean, text string")
+    got = {r.template: r for r in template_drift(df, side=F.col("b")).collect()}
+    # NULL-side rows belong to neither slice
+    assert got["login uid=<N>"].n_a == 0 and got["login uid=<N>"].n_b == 1
+    assert "ghost id=<N>" not in got
