@@ -279,3 +279,65 @@ def chunk_documents(
             F.concat_ws(" ", F.slice(toks, start, size)).alias("chunk"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    is_target,
+    buckets: int = 512,
+    keep_threshold_e4: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance scoring toward a target distribution
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling"), in the exact-integer formulation this engine's
+    oracle discipline requires: hashed-unigram bucket frequencies
+    stand in for the n-gram feature space, and a document's score is
+    the mean per-token target/source frequency ratio in e4 fixed
+    point — ``ratio_e4(b) = (cnt_t(b)+1)·R·10⁴ ÷ ((cnt_all(b)+1)·T)``
+    (add-one smoothed, integer division, so Spark and DuckDB agree
+    bit-for-bit where a float log-likelihood Σ would drift).
+
+    Scale shape: ONE token-explode aggregate builds the bucket table
+    (``buckets`` rows — aggregate-sized), which is collected and
+    re-emitted as a LITERAL array, so scoring runs as a pure JVM
+    higher-order aggregate over each doc's token array: zero joins,
+    zero shuffles in the scoring pass. ``keep`` selects docs scoring
+    at least ``keep_threshold_e4`` (10 000 ≡ ratio 1.0 — more
+    target-like than source-average). Empty docs score no rows (same
+    as the SQL formulation). Totals enter the ratio as Python ints —
+    no int64 overflow headroom concern until corpus token counts
+    approach 10¹⁴·buckets.
+    """
+    from .text import tokens
+
+    toks = F.col("__toks")
+    bkt = lambda t: hash_bucket(t, buckets)  # noqa: E731
+    tok = df.select(
+        F.explode(tokens(text_col)).alias("t"), is_target.cast("long").alias("_t")
+    )
+    counts = (
+        tok.groupBy(bkt(F.col("t")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt_all"), F.sum("_t").alias("cnt_t"))
+        .collect()
+    )
+    r_tot = sum(r.cnt_all for r in counts)
+    t_tot = sum(r.cnt_t for r in counts)
+    if t_tot == 0:
+        raise ValueError("importance_resample: target slice has no tokens")
+    ratio = [0] * buckets
+    for r in counts:
+        ratio[r.b] = (r.cnt_t + 1) * r_tot * 10_000 // ((r.cnt_all + 1) * t_tot)
+    lit_ratio = F.array(*[F.lit(v) for v in ratio])
+    score_sum = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(lit_ratio, (bkt(t) + 1).cast("int")),
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.size(toks).alias("__n"), score_sum.alias("__s"))
+        .select(F.col(id_col), F.expr("__s div __n").alias("score_e4"))
+        .withColumn("keep", F.col("score_e4") >= keep_threshold_e4)
+    )

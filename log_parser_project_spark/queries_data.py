@@ -1458,3 +1458,48 @@ def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the energies against a numpy replica."""
     media = multimodal.synth_media(spark, n=64)
     return multimodal.audio_frame_energy(media, frame_samples=16)
+
+
+@_register(
+    "q_td_importance",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT % 512 AS b,
+             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS is_t
+      FROM d
+    ),
+    bc AS (
+      SELECT b, COUNT(*) AS cnt_all, CAST(SUM(is_t) AS BIGINT) AS cnt_t
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT SUM(cnt_all) AS r_tot, SUM(cnt_t) AS t_tot FROM bc),
+    rt AS (
+      SELECT b, (cnt_t + 1) * r_tot * 10000 // ((cnt_all + 1) * t_tot) AS ratio_e4
+      FROM bc, tot
+    ),
+    scored AS (
+      SELECT tok.doc_id, CAST(SUM(rt.ratio_e4) // COUNT(*) AS BIGINT) AS score_e4
+      FROM tok JOIN rt ON tok.b = rt.b
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, score_e4, score_e4 >= 10000 AS keep FROM scored
+    """,
+)
+def q_td_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling toward a target slice (docs
+    from src0/src1 stand in for the curated target corpus): hashed-
+    unigram bucket frequency ratios in exact e4 integer arithmetic,
+    per-doc mean ratio, keep iff more target-like than source-average.
+    The 512-bucket ratio table is aggregate-sized and re-enters the
+    plan as a LITERAL array — the scoring pass is a pure JVM HOF
+    aggregate with zero joins and zero shuffles."""
+    from .operators.sampling import importance_resample
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return importance_resample(d, is_target=F.col("source").isin("src0", "src1"))

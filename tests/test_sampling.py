@@ -552,3 +552,34 @@ def test_mask_template_is_idempotent(spark):
     for i, s in enumerate(samples):
         assert got[i] == mask(s), s            # Spark column == replica
         assert mask(mask(s)) == mask(s), s     # idempotence
+
+
+def test_importance_resample_prefers_target_like_docs(spark):
+    import pytest as _pytest
+
+    from log_parser_project_spark.operators.sampling import importance_resample
+
+    # target vocabulary {alpha..delta}; source vocabulary {w1..w8}
+    rows = []
+    for i in range(8):
+        rows.append((i, "t", "alpha beta gamma delta alpha beta"))
+    for i in range(8, 24):
+        rows.append((i, "s", "w1 w2 w3 w4 w5 w6 w7 w8"))
+    rows.append((24, "s", "alpha beta gamma delta"))  # target-LIKE source doc
+    rows.append((25, "s", ""))                        # empty: no score row
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = {r.doc_id: r for r in
+           importance_resample(df, is_target=F.col("grp") == "t", buckets=64).collect()}
+    assert 25 not in got
+    target_scores = [got[i].score_e4 for i in range(8)]
+    source_scores = [got[i].score_e4 for i in range(8, 24)]
+    assert min(target_scores) > max(source_scores)
+    assert got[24].score_e4 == got[0].score_e4 or got[24].keep  # target-like kept
+    assert all(got[i].keep for i in range(8)) and not any(got[i].keep for i in range(8, 24))
+    # parallelism-invariant (content-deterministic)
+    again = {r.doc_id: r.score_e4 for r in
+             importance_resample(df.repartition(13), is_target=F.col("grp") == "t",
+                                 buckets=64).collect()}
+    assert again == {k: v.score_e4 for k, v in got.items()}
+    with _pytest.raises(ValueError, match="no tokens"):
+        importance_resample(df.filter("grp = 's'"), is_target=F.col("grp") == "t")
