@@ -306,16 +306,26 @@ def importance_resample(
     zero shuffles in the scoring pass. ``keep`` selects docs scoring
     at least ``keep_threshold_e4`` (10 000 ≡ ratio 1.0 — more
     target-like than source-average). Empty docs score no rows (same
-    as the SQL formulation). Totals enter the ratio as Python ints —
-    no int64 overflow headroom concern until corpus token counts
-    approach 10¹⁴·buckets.
+    as the SQL formulation); rows where ``is_target`` is NULL count
+    as source-only (CASE … ELSE 0 semantics, matching the oracle).
+
+    Ratios are CLIPPED at 10⁹ (``RATIO_CAP_E4`` ≡ ratio 10⁵) — the
+    standard importance-weight clipping of DSIR-style selection, and
+    what bounds the int64 score sum: without it a tiny target slice
+    against a huge corpus makes ``ratio_e4 ≈ R·10⁴/T`` and a long
+    document's Σ silently wraps Spark's non-ANSI long while DuckDB
+    sums in HUGEINT (parity break). Clipped, the per-doc bound is
+    ``n_tokens·10⁹`` — safe below ~9·10⁹ tokens per document.
     """
     from .text import tokens
+
+    RATIO_CAP_E4 = 1_000_000_000
 
     toks = F.col("__toks")
     bkt = lambda t: hash_bucket(t, buckets)  # noqa: E731
     tok = df.select(
-        F.explode(tokens(text_col)).alias("t"), is_target.cast("long").alias("_t")
+        F.explode(tokens(text_col)).alias("t"),
+        F.coalesce(is_target.cast("long"), F.lit(0)).alias("_t"),
     )
     counts = (
         tok.groupBy(bkt(F.col("t")).alias("b"))
@@ -328,7 +338,10 @@ def importance_resample(
         raise ValueError("importance_resample: target slice has no tokens")
     ratio = [0] * buckets
     for r in counts:
-        ratio[r.b] = (r.cnt_t + 1) * r_tot * 10_000 // ((r.cnt_all + 1) * t_tot)
+        ratio[r.b] = min(
+            (r.cnt_t + 1) * r_tot * 10_000 // ((r.cnt_all + 1) * t_tot),
+            RATIO_CAP_E4,
+        )
     lit_ratio = F.array(*[F.lit(v) for v in ratio])
     score_sum = F.aggregate(
         toks, F.lit(0).cast("long"),

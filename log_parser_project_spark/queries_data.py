@@ -1480,7 +1480,8 @@ def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(cnt_all) AS r_tot, SUM(cnt_t) AS t_tot FROM bc),
     rt AS (
-      SELECT b, (cnt_t + 1) * r_tot * 10000 // ((cnt_all + 1) * t_tot) AS ratio_e4
+      SELECT b, least((cnt_t + 1) * r_tot * 10000 // ((cnt_all + 1) * t_tot),
+                      1000000000) AS ratio_e4
       FROM bc, tot
     ),
     scored AS (

@@ -583,3 +583,15 @@ def test_importance_resample_prefers_target_like_docs(spark):
     assert again == {k: v.score_e4 for k, v in got.items()}
     with _pytest.raises(ValueError, match="no tokens"):
         importance_resample(df.filter("grp = 's'"), is_target=F.col("grp") == "t")
+
+
+def test_importance_resample_null_target_rows_count_as_source(spark):
+    from log_parser_project_spark.operators.sampling import importance_resample
+
+    rows = [(1, "t", "alpha beta"), (2, None, "w1 w2"), (3, "s", "w1 w2")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    # grp == 't' is NULL for row 2 — must behave as source (ELSE 0), not crash
+    got = {r.doc_id: r for r in
+           importance_resample(df, is_target=F.col("grp") == "t", buckets=64).collect()}
+    assert got[2].score_e4 == got[3].score_e4  # identical source-side docs
+    assert got[1].keep and got[1].score_e4 > got[2].score_e4
