@@ -268,3 +268,20 @@ def test_model_quality_is_pure_jvm_expressions(spark, sf_dir):
     assert "Join" not in plan and "HashAggregate" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 1  # only the _spread repartition
+
+
+def test_no_contract_query_uses_cartesian_or_row_python(spark, sf_dir):
+    """Fleet-wide plan guard over EVERY registered query (not just the
+    window): no Cartesian product, no row-at-a-time Python eval — the
+    two regressions that silently survive value-level testing. Builders
+    that execute eagerly (streaming drain, k-means training, importance
+    table collect) still return a final DataFrame whose plan is what
+    ships; that plan is what's asserted."""
+    from log_parser_project_spark.contract import ordered_queries
+
+    bad = {}
+    for name, (fn, _sql) in ordered_queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan or "BatchEvalPython" in plan:
+            bad[name] = plan[:300]
+    assert not bad, f"queries with banned plan nodes: {sorted(bad)}"
