@@ -514,3 +514,80 @@ def dup_span_coverage(
             F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL (the transformation behind the
+    :func:`dup_span_coverage` measurement — Lee et al. keep one copy of
+    each duplicated substring and strip the rest): a token is removed
+    iff every reading of it matters less than once — concretely, iff it
+    is covered by some n-token span that occurs in ≥ 2 documents AND
+    this document is not that span's canonical owner (min doc id).
+    Owners keep their text verbatim, so exactly one copy of every
+    duplicated context survives corpus-wide, deterministically.
+
+    Emits one row per input document: ``(id, n_tokens, n_removed,
+    text_clean)`` — fully-deduplicated docs survive with empty
+    ``text_clean`` (the caller decides whether to drop them), docs
+    shorter than ``n`` tokens pass through untouched.
+
+    Scale shape: positioned spans (NOT distinct — positions matter)
+    → one groupBy on the span key for (n_docs, owner) → join back →
+    explode covered positions → anti-join against the positioned
+    tokens → one ordered reassembly per doc. Shuffles ∝ corpus
+    tokens, the intrinsic cost of exact substring dedup; every key is
+    content-derived and uniform.
+    """
+    from .text import tokens
+
+    toks = F.col("__toks")
+    d = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    span = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    sp = d.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(toks) >= n, idx).otherwise(F.array().cast("array<int>"))).alias("i"),
+        toks,
+    ).select(F.col(id_col), "i", span(F.col("i")).alias("key"))
+    dk = (
+        sp.select(id_col, "key").distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("owner"))
+    )
+    dup_pos = (
+        sp.join(dk, "key")
+        .filter((F.col("n_docs") >= 2) & (F.col("owner") != F.col(id_col)))
+        .select(F.col(id_col), F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    tokpos = d.select(F.col(id_col), F.posexplode(toks).alias("p0", "tok")).select(
+        F.col(id_col), (F.col("p0") + 1).alias("p"), "tok"
+    )
+    kept = (
+        tokpos.join(dup_pos, [id_col, "p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        d.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1504,3 +1504,56 @@ def q_td_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return importance_resample(d, is_target=F.col("source").isin("src0", "src1"))
+
+
+@_register(
+    "q_dd_remove_spans",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4] AS key
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+            FROM d)
+    ),
+    dk AS (
+      SELECT key, COUNT(*) AS n_docs, MIN(doc_id) AS owner
+      FROM (SELECT DISTINCT doc_id, key FROM sp) GROUP BY key
+    ),
+    dup_pos AS (
+      SELECT DISTINCT sp.doc_id, sp.i + t.u AS p
+      FROM sp JOIN dk USING (key), unnest(range(0, 5)) AS t(u)
+      WHERE dk.n_docs >= 2 AND dk.owner <> sp.doc_id
+    ),
+    tokpos AS (
+      SELECT doc_id, p, toks[p] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM d)
+    ),
+    kept AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(t.tok, ' ' ORDER BY t.p) AS text_clean
+      FROM tokpos t
+      ANTI JOIN dup_pos dp ON t.doc_id = dp.doc_id AND t.p = dp.p
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span REMOVAL (Lee et al.): strip every token
+    covered only by cross-doc duplicated 5-grams this doc doesn't own
+    (owner = min doc_id keeps its copy verbatim) — exactly one copy of
+    every duplicated context survives corpus-wide. Emits per-doc
+    removal accounting plus the cleaned text, reassembled in order."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dedup.remove_dup_spans(d, n=5)

@@ -698,3 +698,29 @@ def test_audio_frame_energy_empty_and_partial(spark):
     # 20 samples at 16/frame -> full frame + 4-sample partial tail kept
     a, b = sorted(got[3], key=lambda r: r.frame_idx)
     assert (a.n_samples, b.n_samples) == (16, 4)
+
+
+def test_remove_dup_spans_keeps_one_canonical_copy(spark):
+    from log_parser_project_spark.operators.dedup import remove_dup_spans
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"{shared} over"),                # owner of every shared span
+        (2, f"prefix {shared} suffix"),       # loses the shared middle
+        (3, "totally unique content here with more words"),
+        (4, f"{shared} over"),                # exact copy -> fully removed
+        (5, "too short"),                     # < 5 tokens, untouched
+        (6, ""),                              # empty doc survives as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_dup_spans(df, n=5).collect()}
+    assert len(got) == 6
+    assert got[1].text_clean == f"{shared} over" and got[1].n_removed == 0
+    assert got[2].text_clean == "prefix suffix" and got[2].n_removed == 5
+    assert got[3].n_removed == 0
+    assert got[4].text_clean == "" and got[4].n_removed == 6
+    assert got[5].text_clean == "too short" and got[5].n_removed == 0
+    assert got[6].n_tokens == 0 and got[6].text_clean == ""
+    # exactly one copy of the shared context survives corpus-wide
+    survivors = [d for d in (1, 2, 4) if shared in got[d].text_clean]
+    assert survivors == [1]
