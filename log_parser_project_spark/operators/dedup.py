@@ -520,13 +520,21 @@ def remove_dup_spans(
     df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact duplicate-span REMOVAL (the transformation behind the
-    :func:`dup_span_coverage` measurement — Lee et al. keep one copy of
-    each duplicated substring and strip the rest): a token is removed
-    iff every reading of it matters less than once — concretely, iff it
+    :func:`dup_span_coverage` measurement — Lee et al. strip duplicated
+    substrings from all but one occurrence): a token is removed iff it
     is covered by some n-token span that occurs in ≥ 2 documents AND
     this document is not that span's canonical owner (min doc id).
-    Owners keep their text verbatim, so exactly one copy of every
-    duplicated context survives corpus-wide, deterministically.
+
+    The guarantee, precisely: a NON-owner's copy of a duplicated
+    context is always stripped; an owner's copy survives verbatim
+    UNLESS clipped by an OVERLAPPING duplicated span owned by a
+    different document — overlap resolves conservatively toward
+    removal, so chained cross-owner overlaps can remove every intact
+    copy of a context (the same bias Lee et al.'s span-cutting has),
+    and an owner that internally repeats its own span keeps every
+    repetition. Conservative-toward-removal is the right polarity for
+    training data; pin the exact edge in the tests before relying on
+    more.
 
     Emits one row per input document: ``(id, n_tokens, n_removed,
     text_clean)`` — fully-deduplicated docs survive with empty
@@ -540,19 +548,16 @@ def remove_dup_spans(
     tokens, the intrinsic cost of exact substring dedup; every key is
     content-derived and uniform.
     """
-    from .text import tokens
+    from .text import ngrams_of_tokens, tokens
 
     toks = F.col("__toks")
     d = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    span = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
+    # positioned spans via the shared n-gram builder (grams built in
+    # ONE per-row transform; the explode carries only the gram strings,
+    # not the token array)
     sp = d.select(
-        F.col(id_col),
-        F.explode(F.when(F.size(toks) >= n, idx).otherwise(F.array().cast("array<int>"))).alias("i"),
-        toks,
-    ).select(F.col(id_col), "i", span(F.col("i")).alias("key"))
+        F.col(id_col), F.posexplode(ngrams_of_tokens(toks, n)).alias("i0", "key")
+    ).select(F.col(id_col), (F.col("i0") + 1).alias("i"), "key")
     dk = (
         sp.select(id_col, "key").distinct()
         .groupBy("key")

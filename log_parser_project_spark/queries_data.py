@@ -1551,9 +1551,10 @@ def q_td_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-span REMOVAL (Lee et al.): strip every token
-    covered only by cross-doc duplicated 5-grams this doc doesn't own
-    (owner = min doc_id keeps its copy verbatim) — exactly one copy of
-    every duplicated context survives corpus-wide. Emits per-doc
-    removal accounting plus the cleaned text, reassembled in order."""
+    covered by a cross-doc duplicated 5-gram this doc doesn't own
+    (owner = min doc_id). Non-owner copies are always stripped; an
+    owner's copy survives unless clipped by an overlapping span owned
+    elsewhere (conservative toward removal — edge pinned in pytest).
+    Emits per-doc removal accounting plus the cleaned text."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.remove_dup_spans(d, n=5)

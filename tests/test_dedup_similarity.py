@@ -724,3 +724,22 @@ def test_remove_dup_spans_keeps_one_canonical_copy(spark):
     # exactly one copy of the shared context survives corpus-wide
     survivors = [d for d in (1, 2, 4) if shared in got[d].text_clean]
     assert survivors == [1]
+
+
+def test_remove_dup_spans_overlap_resolves_toward_removal(spark):
+    """Pin the documented edge: duplicated spans with DIFFERENT owners
+    overlapping inside one doc clip even the owner's copy — chained
+    cross-owner overlaps can strip every intact copy of a context
+    (conservative toward removal, the Lee-et-al polarity)."""
+    from log_parser_project_spark.operators.dedup import remove_dup_spans
+
+    rows = [
+        (1, "a b c d e"),          # owner of span "a b c d e"
+        (2, "a b c d e f g h"),    # owner of "d e f g h" — but loses d,e to doc 1's span
+        (3, "z d e f g h"),        # non-owner copy: stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_clean for r in remove_dup_spans(df, n=5).collect()}
+    assert got[1] == "a b c d e"      # owner, unclipped
+    assert got[2] == "f g h"          # its owned span's d,e clipped by doc 1's overlap
+    assert got[3] == "z"              # non-owner stripped
