@@ -1558,3 +1558,43 @@ def q_dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-doc removal accounting plus the cleaned text."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.remove_dup_spans(d, n=5)
+
+
+@_register(
+    "q_a_cube_matrix",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS dow,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_value_cents
+    FROM e
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def q_a_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, epoch-day-of-week) — all four grouping
+    sets in ONE Expand pass (the cross-tab companion to the ROLLUP
+    hierarchy query): per-cell, per-row marginals, per-column
+    marginals, grand total, distinguished by the grouping bitmask.
+    Day-of-week is epoch-day % 7 — pure integer arithmetic, identical
+    in both engines (named dayofweek() functions disagree on the week
+    origin). Values as BIGINT cents (driver hash contract)."""
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    dow = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000) % 7).cast(
+        "long"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.cube(F.col("event_type"), dow.alias("dow"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("sum_value_cents"),
+        )
+    )
