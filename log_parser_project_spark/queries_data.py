@@ -1598,3 +1598,40 @@ def q_a_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("sum_value_cents"),
         )
     )
+
+
+@_register(
+    "q_w_top_talkers",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rnk
+      FROM c
+    )
+    SELECT event_type, user_id, n, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_w_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 noisiest users per event type — the top-talkers triage
+    query every log system runs first: one pre-aggregate (map-side
+    combined, so the window never sees raw events) then a rank-limited
+    window with a DETERMINISTIC tie-break (count desc, user_id asc —
+    rank on count alone flickers between engines on ties). `rnk <= k`
+    plans as partial-then-final WindowGroupLimit: each task keeps only
+    its local top-k before the per-type exchange."""
+    from pyspark.sql import Window
+
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
