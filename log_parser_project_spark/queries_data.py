@@ -1582,20 +1582,23 @@ def q_a_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets in ONE Expand pass (the cross-tab companion to the ROLLUP
     hierarchy query): per-cell, per-row marginals, per-column
     marginals, grand total, distinguished by the grouping bitmask.
-    Day-of-week is epoch-day % 7 — pure integer arithmetic, identical
-    in both engines (named dayofweek() functions disagree on the week
-    origin). Values as BIGINT cents (driver hash contract)."""
+    Day-of-week is epoch-day % 7 via TRUNCATING integer division
+    (Spark ``div`` ≡ DuckDB ``//`` toward zero, and both engines'
+    ``%`` takes the dividend's sign) — identical for ALL epochs
+    including pre-1970, where a floor-based Spark expression would
+    land one day off the oracle (named dayofweek() functions disagree
+    on the week origin outright). Values as BIGINT cents via the
+    shared :func:`cents` (one definition site for the rounding)."""
+    from .queries import cents
+
     ev = _spread(spark, _t(spark, sf_dir, "events"))
-    dow = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000) % 7).cast(
-        "long"
-    )
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dow = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") % 7
     return (
-        ev.cube(F.col("event_type"), dow.alias("dow"))
+        ev.cube(F.col("event_type"), dow.cast("long").alias("dow"))
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("sum_value_cents"),
+            F.coalesce(F.sum(cents("value")), F.lit(0)).cast("long").alias("sum_value_cents"),
         )
     )
 
