@@ -113,6 +113,51 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ACROSS two document frames — no
+    within-frame pairs: (a = left id, b = right id, jaccard ≥
+    ``threshold``). The two-sided variant of :func:`jaccard_pairs`,
+    used to verify an increment against committed history.
+
+    The stop-shingle guard counts a shingle's document frequency over
+    BOTH frames combined (a shingle hot on either side explodes the
+    same join), and — like :func:`jaccard_pairs` — doc sizes are
+    counted AFTER the guard, so similarity is Jaccard over the rare-
+    shingle sets on both sides.
+    """
+    shl = word_shingles(left, n, id_col, text_col).select(
+        F.col(id_col).alias("a"), F.xxhash64("shingle").alias("sh")
+    )
+    shr = word_shingles(right, n, id_col, text_col).select(
+        F.col(id_col).alias("b"), F.xxhash64("shingle").alias("sh")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            shl.select("sh").unionAll(shr.select("sh"))
+            .groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+        )
+        shl = shl.join(rare.select("sh"), "sh", "left_semi")
+        shr = shr.join(rare.select("sh"), "sh", "left_semi")
+    sa = shl.groupBy("a").agg(F.count(F.lit(1)).alias("sa"))
+    sb = shr.groupBy("b").agg(F.count(F.lit(1)).alias("sb"))
+    inter = shl.join(shr, "sh").groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.lit(1.0) * F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -147,13 +192,13 @@ def minhash_signatures(
     return agg.select(*cols)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
-) -> DataFrame:
-    """Band the signature into ``bands`` groups; docs sharing any
-    band-signature become candidates (a < b, distinct)."""
-    k = None  # rows per band derived from signature length at plan time
-    banded = sigs.select(
+def band_rows(sigs: DataFrame, bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """One LSH bucket key per (doc, band): (id, band, bucket) — rows
+    per band derived from signature length at plan time. These are the
+    rows a persisted band index stores (:func:`build_dedup_index`) and
+    the probe keys an increment joins with (equal bucket in any band ⇒
+    candidate pair)."""
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -172,6 +217,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature into ``bands`` groups; docs sharing any
+    band-signature become candidates (a < b, distinct)."""
+    banded = band_rows(sigs, bands, id_col)
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -230,6 +283,216 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", F.lit(1.0) * F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a committed corpus index
+# ---------------------------------------------------------------------------
+
+def build_dedup_index(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The index rows a committed corpus slice contributes:
+    ``docs`` = (doc_id, fp, sz) and ``band_index`` = (doc_id, band,
+    bucket).
+
+    The point of a persisted index is that tomorrow's increment dedups
+    against 100 TB of history WITHOUT re-reading the history text:
+    exact dups hit ``fp``, near-dup candidates hit the band index, and
+    only the few candidate old docs are re-read for the exact verify.
+    Docs shorter than ``n`` words have no shingles → no band rows
+    (``sz`` 0): they participate in exact dedup only.
+    """
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    sh = word_shingles(df, n, id_col, text_col)
+    sig_sz = minhash_signatures(sh, num_hashes, id_col, include_size=True)
+    docs = (
+        fp.join(sig_sz.select(id_col, "sz"), id_col, "left")
+        .select(
+            F.col(id_col), "fp",
+            F.coalesce("sz", F.lit(0)).cast("long").alias("sz"),
+        )
+    )
+    return docs, band_rows(sig_sz.select(id_col, "sig"), bands, id_col)
+
+
+def increment_dedup_report(
+    increment: DataFrame,
+    history: DataFrame | None = None,
+    index_docs: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: str = "lsh",
+    max_doc_freq: int | None = 16,
+    self_near: bool = True,
+) -> DataFrame:
+    """Dedup verdict for every increment doc against committed history:
+    one row (doc_id, status, dup_of, sim) per increment doc, where
+    ``status`` ∈ {kept, exact_self, exact_history, near_history,
+    near_self} — the production dedup shape at corpus scale, where
+    daily increments check against history via a persisted index
+    instead of re-clustering the world.
+
+    Drop priority (each doc gets exactly one verdict): (1) exact dup
+    within the increment (min-id survivor), (2) exact dup of history,
+    (3) near-dup of history, (4) near-dup within what remains
+    (connected-component min-id survivor, like :func:`cluster_dedup`).
+
+    ``candidates="lsh"`` is the scale path: band-index join for
+    history candidates (increment side broadcast — the 100 TB index
+    scan never shuffles) + :func:`minhash_dedup_pairs` within the
+    increment, both exact-Jaccard-verified, UNGUARDED (the semantics of
+    :func:`minhash_dedup_pairs`). ``candidates="exact"`` is the
+    verifier/oracle path: guarded full shingle joins
+    (:func:`jaccard_pairs_between` / :func:`jaccard_pairs` semantics) —
+    deterministic, SQL-expressible, recall 1.
+
+    Requirements: ``candidates="exact"`` needs ``history`` only;
+    ``candidates="lsh"`` needs ``index_docs`` (for fp + sz),
+    ``index_bands``, and ``history`` (candidate old docs' text is
+    re-read for the verify). With no history (first commit) both modes
+    run stages (1) and (4) only.
+    """
+    if candidates not in ("lsh", "exact"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
+    if candidates == "exact" and history is not None and index_docs is None:
+        index_docs = history.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+
+    # (1) exact within the increment
+    inc_fp = increment.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    keeper = inc_fp.groupBy("fp").agg(F.min(id_col).alias("__keep"))
+    a_dups = (
+        inc_fp.join(keeper, "fp")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(
+            F.col(id_col), F.lit("exact_self").alias("status"),
+            F.col("__keep").alias("dup_of"), F.lit(1.0).alias("sim"),
+        )
+    )
+    drops = [a_dups]
+
+    # (2) exact against history: broadcast the increment-side probe —
+    # the history index streams through the join unshuffled
+    if index_docs is not None:
+        probe = inc_fp.join(a_dups.select(id_col), id_col, "left_anti")
+        b_dups = (
+            index_docs.select(F.col(id_col).alias("__old"), "fp")
+            .join(F.broadcast(probe), "fp")
+            .groupBy(id_col)
+            .agg(F.min("__old").alias("dup_of"))
+            .select(
+                F.col(id_col), F.lit("exact_history").alias("status"),
+                "dup_of", F.lit(1.0).alias("sim"),
+            )
+        )
+        drops.append(b_dups)
+
+    exact_dropped = drops[0].select(id_col)
+    for d in drops[1:]:
+        exact_dropped = exact_dropped.unionAll(d.select(id_col))
+    survivors = increment.join(exact_dropped, id_col, "left_anti")
+
+    # (3) near-dup against history
+    if history is not None:
+        if candidates == "exact":
+            pairs_h = jaccard_pairs_between(
+                survivors, history, n, threshold, id_col, text_col, max_doc_freq
+            )
+        else:
+            sh_i = word_shingles(survivors, n, id_col, text_col)
+            sig_sz = minhash_signatures(sh_i, num_hashes, id_col, include_size=True)
+            inc_bands = band_rows(sig_sz.select(id_col, "sig"), bands, id_col)
+            cand = (
+                index_bands.select(F.col(id_col).alias("b"), "band", "bucket")
+                .join(
+                    F.broadcast(inc_bands.select(F.col(id_col).alias("a"), "band", "bucket")),
+                    ["band", "bucket"],
+                )
+                .select("a", "b")
+                .distinct()
+                # three consumers (two semi builds + the verify join)
+                .localCheckpoint(eager=False)
+            )
+            old_docs = history.join(
+                cand.select(F.col("b").alias(id_col)), id_col, "left_semi"
+            )
+            a_sh = sh_i.join(
+                cand.select(F.col("a").alias(id_col)), id_col, "left_semi"
+            ).select(F.col(id_col).alias("a"), "shingle")
+            b_sh = word_shingles(old_docs, n, id_col, text_col).select(
+                F.col(id_col).alias("b"), "shingle"
+            )
+            inter = (
+                cand.join(a_sh, "a")
+                .join(b_sh, ["b", "shingle"])
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("i"))
+            )
+            sa = sig_sz.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
+            sb = index_docs.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
+            pairs_h = (
+                inter.join(sa, "a").join(sb, "b")
+                .withColumn(
+                    "jaccard",
+                    F.lit(1.0) * F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
+        h_dups = (
+            pairs_h.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(
+                F.col("a").alias(id_col), F.lit("near_history").alias("status"),
+                F.col("b").alias("dup_of"), F.col("jaccard").alias("sim"),
+            )
+        )
+        drops.append(h_dups)
+        survivors = survivors.join(h_dups.select(id_col), id_col, "left_anti")
+
+    # (4) near-dup within what remains
+    if self_near:
+        if candidates == "lsh":
+            pairs_s = minhash_dedup_pairs(
+                survivors, n, num_hashes, bands, threshold, id_col, text_col
+            )
+        else:
+            pairs_s = jaccard_pairs(
+                survivors, n, threshold, id_col, text_col, max_doc_freq
+            )
+        cd = cluster_dedup(survivors, pairs_s, id_col)
+        s_dups = cd.filter(~F.col("is_survivor")).select(
+            F.col(id_col), F.lit("near_self").alias("status"),
+            F.col("comp_id").alias("dup_of"), F.col("max_sim").alias("sim"),
+        )
+        drops.append(s_dups)
+
+    all_drops = drops[0]
+    for d in drops[1:]:
+        all_drops = all_drops.unionByName(d)
+    return (
+        increment.select(id_col)
+        .join(all_drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("status", F.lit("kept")).alias("status"),
+            "dup_of",
+            F.col("sim").cast("double").alias("sim"),
+        )
     )
 
 

@@ -91,3 +91,58 @@ def run_corpus(
     for r in stat_rows:
         counts[r.split] = counts.get(r.split, 0) + r.n_docs
     return counts
+
+
+def commit_increment(
+    catalog: Catalog,
+    increment: DataFrame,
+    table: str = "corpus",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus commit: dedup ``increment`` against the
+    committed corpus via its PERSISTED dedup index and append only
+    novel docs — the daily-increment shape at 100 TB, where history is
+    never re-shingled (exact dups hit the fp index, near-dup
+    candidates hit the band index, and only candidate old docs' text
+    is re-read for the exact verify; see
+    ``dedup.increment_dedup_report``).
+
+    Three tables advance together: ``<table>`` (the docs),
+    ``<table>_index_docs`` (doc_id, fp, sz), ``<table>_index_bands``
+    (doc_id, band, bucket). Returns the per-doc verdict report
+    (doc_id, status, dup_of, sim), already materialized — re-committing
+    the same increment is a no-op (every doc reports
+    ``exact_history``; nothing is appended).
+    """
+    from ..operators.dedup import build_dedup_index, increment_dedup_report
+
+    docs_t, bands_t = f"{table}_index_docs", f"{table}_index_bands"
+    history = idx_docs = idx_bands = None
+    if catalog.exists(table):
+        history = catalog.read_table(table)
+        idx_docs = catalog.read_table(docs_t)
+        idx_bands = catalog.read_table(bands_t)
+    report = increment_dedup_report(
+        increment, history, idx_docs, idx_bands,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        id_col=id_col, text_col=text_col, candidates="lsh",
+    ).localCheckpoint()  # verdict-sized; consumed 2× below and returned
+    kept = report.filter(F.col("status") == "kept").select(id_col)
+    survivors = increment.join(kept, id_col, "left_semi")
+    n_kept = kept.count()
+    if n_kept:
+        new_docs, new_bands = build_dedup_index(
+            survivors, n=n, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )
+        mode = "append" if history is not None else "overwrite"
+        lineage = {"stage": "incremental_dedup", "added": n_kept}
+        catalog.write_table(survivors, table, mode=mode, lineage=lineage, row_count=n_kept)
+        catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
+        catalog.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
+    return report

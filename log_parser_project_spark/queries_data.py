@@ -1638,3 +1638,123 @@ def q_w_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("event_type", "user_id", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ===========================================================================
+# Incremental dedup (increment vs committed history)
+# ===========================================================================
+
+@_register(
+    "q_dd_incremental",
+    """
+    WITH buck AS (
+      SELECT doc_id, text,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2 AS b
+      FROM documents
+    ),
+    inc AS (SELECT doc_id, text FROM buck WHERE b = 1),
+    hist AS (SELECT doc_id, text FROM buck WHERE b = 0),
+    fpi AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM inc),
+    fph AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM hist),
+    keeper AS (SELECT fp, MIN(doc_id) AS keep FROM fpi GROUP BY fp),
+    a_dups AS (
+      SELECT f.doc_id, 'exact_self' AS status, k.keep AS dup_of,
+             CAST(1.0 AS DOUBLE) AS sim
+      FROM fpi f JOIN keeper k USING (fp)
+      WHERE f.doc_id <> k.keep
+    ),
+    b_dups AS (
+      SELECT f.doc_id, 'exact_history' AS status, MIN(h.doc_id) AS dup_of,
+             CAST(1.0 AS DOUBLE) AS sim
+      FROM fpi f JOIN fph h USING (fp)
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM a_dups)
+      GROUP BY f.doc_id
+    ),
+    surv AS (
+      SELECT i.doc_id, i.text FROM inc i
+      WHERE i.doc_id NOT IN (SELECT doc_id FROM a_dups)
+        AND i.doc_id NOT IN (SELECT doc_id FROM b_dups)
+    ),
+    tl AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+           FROM surv),
+    shl0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tl
+    ),
+    tr AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+           FROM hist),
+    shr0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tr
+    ),
+    rare AS (
+      SELECT shingle FROM (
+        SELECT shingle FROM shl0 UNION ALL SELECT shingle FROM shr0
+      ) GROUP BY shingle HAVING COUNT(*) <= 16
+    ),
+    shl AS (SELECT shl0.* FROM shl0 JOIN rare USING (shingle)),
+    shr AS (SELECT shr0.* FROM shr0 JOIN rare USING (shingle)),
+    sa AS (SELECT doc_id, COUNT(*) AS sz FROM shl GROUP BY doc_id),
+    sb AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS bb, COUNT(*) AS i
+      FROM shl l JOIN shr r USING (shingle)
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, bb, ROUND(1.0 * i / (sa.sz + sb.sz - i), 4) AS j
+      FROM inter
+      JOIN sa ON inter.a = sa.doc_id
+      JOIN sb ON inter.bb = sb.doc_id
+      WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    h_dups AS (
+      SELECT a AS doc_id, 'near_history' AS status, bb AS dup_of,
+             CAST(j AS DOUBLE) AS sim
+      FROM (SELECT a, bb, j,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY j DESC, bb ASC) AS r
+            FROM pairs)
+      WHERE r = 1
+    ),
+    dups AS (
+      SELECT * FROM a_dups
+      UNION ALL SELECT * FROM b_dups
+      UNION ALL SELECT * FROM h_dups
+    )
+    SELECT i.doc_id,
+           COALESCE(d.status, 'kept') AS status,
+           d.dup_of,
+           d.sim
+    FROM inc i LEFT JOIN dups d ON d.doc_id = i.doc_id
+    """,
+)
+def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup verdict: the documents table split by content
+    hash into committed history (even bucket) and today's increment
+    (odd bucket); every increment doc reports kept / exact_self /
+    exact_history / near_history with its duplicate target and
+    similarity. This oracle query runs the deterministic EXACT
+    candidate path (guarded cross-frame 3-gram Jaccard,
+    ``jaccard_pairs_between``); the production LSH-index path
+    (``build_dedup_index`` + ``commit_increment``) computes the same
+    verdicts via the persisted band index and is pytest-verified
+    against this exact path (tests/test_dedup_similarity.py)."""
+    from .operators.sampling import hash_bucket
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    b = hash_bucket(F.col("doc_id"), 2)
+    inc, hist = d.filter(b == 1), d.filter(b == 0)
+    return dedup.increment_dedup_report(
+        inc, hist, candidates="exact", max_doc_freq=16, self_near=False
+    )

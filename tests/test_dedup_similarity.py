@@ -743,3 +743,109 @@ def test_remove_dup_spans_overlap_resolves_toward_removal(spark):
     assert got[1] == "a b c d e"      # owner, unclipped
     assert got[2] == "f g h"          # its owned span's d,e clipped by doc 1's overlap
     assert got[3] == "z"              # non-owner stripped
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (increment vs committed history)
+# ---------------------------------------------------------------------------
+
+def test_increment_report_statuses_exact(spark):
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words entirely here now")],
+        "doc_id int, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),    # exact dup of 1
+         (11, "ALPHA   beta gamma delta epsilon zeta"),  # same after normalization → self dup of 10
+         (12, "alpha beta gamma delta epsilon eta"),     # 3/5 shingles shared with 1 → j 0.6
+         (13, "unique brand new content with many words"),
+         (14, "unique brand new content with many words"),  # self dup of 13
+         (15, "one two three four five six seven"),
+         (16, "one two three four five six eight"),      # j 4/6 with 15 → near_self
+         ],
+        "doc_id int, text string",
+    )
+    rep = {
+        r.doc_id: (r.status, r.dup_of, r.sim)
+        for r in dedup.increment_dedup_report(
+            inc, hist, candidates="exact", max_doc_freq=None, self_near=True
+        ).collect()
+    }
+    assert rep[10] == ("exact_history", 1, 1.0)
+    assert rep[11] == ("exact_self", 10, 1.0)  # priority: self-exact wins over history
+    assert rep[12] == ("near_history", 1, 0.6)
+    assert rep[13] == ("kept", None, None)
+    assert rep[14] == ("exact_self", 13, 1.0)
+    assert rep[15] == ("kept", None, None)
+    assert rep[16] == ("near_self", 15, 0.6667)
+    assert len(rep) == 7  # one verdict per increment doc
+
+
+def test_increment_lsh_path_vs_exact_on_fixture(docs):
+    from log_parser_project_spark.operators.sampling import hash_bucket
+
+    b = hash_bucket(F.col("doc_id"), 2)
+    inc, hist = docs.filter(b == 1), docs.filter(b == 0)
+    idx_docs, idx_bands = dedup.build_dedup_index(hist)
+    lsh = {
+        r.doc_id: r.status
+        for r in dedup.increment_dedup_report(
+            inc, hist, idx_docs, idx_bands, candidates="lsh", self_near=False
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.status
+        for r in dedup.increment_dedup_report(
+            inc, hist, candidates="exact", max_doc_freq=None, self_near=False
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    # exact verdicts are banding-independent and must agree exactly
+    for st in ("exact_self", "exact_history"):
+        assert {d for d, s in lsh.items() if s == st} == {
+            d for d, s in exact.items() if s == st
+        }
+    # near verdicts: LSH verify is exact → no false positives; recall high
+    l_near = {d for d, s in lsh.items() if s == "near_history"}
+    e_near = {d for d, s in exact.items() if s == "near_history"}
+    assert l_near <= e_near
+    if e_near:
+        assert len(l_near) / len(e_near) >= 0.8
+
+
+def test_commit_increment_accumulates_and_recommit_adds_nothing_kept(
+    spark, docs, tmp_path
+):
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.operators.sampling import hash_bucket
+    from log_parser_project_spark.plans.corpus import commit_increment
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b = hash_bucket(F.col("doc_id"), 2)
+    inc0, inc1 = docs.filter(b == 0), docs.filter(b == 1)
+
+    r0 = commit_increment(cat, inc0)
+    assert r0.count() == inc0.count()  # one verdict per doc
+    # first commit: no history yet → only self verdicts
+    assert {r.status for r in r0.select("status").distinct().collect()} <= {
+        "kept", "exact_self", "near_self"
+    }
+    kept0 = r0.filter(F.col("status") == "kept").count()
+    assert cat.read_table("corpus").count() == kept0
+    assert cat.read_table("corpus_index_docs").count() == kept0
+
+    r1 = commit_increment(cat, inc1)
+    kept1 = r1.filter(F.col("status") == "kept").count()
+    assert cat.read_table("corpus").count() == kept0 + kept1
+    assert cat.read_table("corpus_index_docs").count() == kept0 + kept1
+
+    # re-commit of the same increment: every doc kept last time is now
+    # an exact dup of history; nothing previously kept is re-added
+    kept_r1 = {r.doc_id for r in r1.filter(F.col("status") == "kept").collect()}
+    r2 = commit_increment(cat, inc1)
+    statuses = {r.doc_id: r.status for r in r2.collect()}
+    assert all(statuses[d] == "exact_history" for d in kept_r1)
+    assert cat.read_table("corpus").count() == kept0 + kept1 + r2.filter(
+        F.col("status") == "kept"
+    ).count()
