@@ -811,14 +811,7 @@ class SnapshotCatalog(Catalog):
                 for fn in fns
             )
             return reader.parquet(absdir) if has_parquet else None
-        excl = tuple(e + os.sep for e in entry["exclude"])
-        files = [
-            os.path.join(root, fn)
-            for root, _d, fns in os.walk(absdir)
-            for fn in fns
-            if fn.endswith(".parquet")
-            and not (excl and (os.path.relpath(root, absdir) + os.sep).startswith(excl))
-        ]
+        files = self._entry_files(absdir, entry["exclude"])
         if fstats is not None:
             files = [
                 f for f in files
@@ -1002,3 +995,155 @@ class SnapshotCatalog(Catalog):
                     shutil.rmtree(os.path.join(self.warehouse, e["dir"]))
                     removed.append(e["dir"])
         return sorted(set(removed))
+
+    # ------------------------------------------------- rollback / orphans
+    def rollback(self, table: str, snapshot_id: str) -> Snapshot:
+        """Iceberg's ``rollback_to_snapshot``: atomically flip the table
+        pointer back to an ANCESTOR snapshot. No data moves — the
+        rolled-back-over snapshots become a dead branch that
+        :meth:`history` (a parent-chain walk from the pointer) stops
+        reporting, and the next commit parents onto the restored
+        snapshot. Dead-branch data directories stay on disk (time
+        travel to them is gone, but readers mid-scan are unaffected)
+        until :meth:`remove_orphan_files` collects them.
+
+        Only ancestors of the CURRENT pointer are valid targets —
+        rolling "forward" to an abandoned branch would silently revive
+        rows a previous rollback discarded; Iceberg rejects it too.
+        """
+        target = self._resolve(table, snapshot_id)  # LookupError if not an ancestor
+        ppath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")
+        tmp = f"{ppath}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(target), f, indent=2)
+        os.replace(tmp, ppath)
+        return target
+
+    def remove_orphan_files(self, table: str, older_than_s: float = 3600.0) -> list[str]:
+        """Iceberg's ``remove_orphan_files``: delete ``snap-*``
+        directories under the table root that no snapshot reachable
+        from the committed pointer references. Three ways a table
+        accretes them: a crash AFTER the data write but BEFORE the
+        pointer flip (the designed crash window of
+        :meth:`write_table`), a crash between :meth:`expire_snapshots`'
+        log truncation and its directory deletes, and a
+        :meth:`rollback` dead branch. Age-guarded exactly like Iceberg
+        (default 1 h): a concurrent in-flight write's directory is
+        younger than the guard, so it is never swept out from under
+        the committer. Returns warehouse-relative removed dirs."""
+        import shutil
+
+        live = {e["dir"] for s in self.history(table) for e in s.state}
+        pointer = self.snapshot(table)  # belt-and-braces vs log divergence
+        if pointer is not None:
+            live |= {e["dir"] for e in pointer.state}
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return []
+        now = time.time()
+        removed = []
+        for name in sorted(os.listdir(root)):
+            absdir = os.path.join(root, name)
+            rel = f"{table}/{name}"
+            if not name.startswith("snap-") or not os.path.isdir(absdir):
+                continue  # flat-layout parquet or foreign files: not ours
+            if rel in live:
+                continue
+            age = now - max(
+                (os.path.getmtime(os.path.join(r, fn)) for r, _d, fns in os.walk(absdir) for fn in fns),
+                default=os.path.getmtime(absdir),
+            )
+            if age < older_than_s:
+                continue  # possibly an in-flight write
+            shutil.rmtree(absdir)
+            removed.append(rel)
+        return removed
+
+    # --------------------------------------------------- metadata tables
+    @staticmethod
+    def _entry_files(absdir: str, exclude: list[str]) -> list[str]:
+        """Live parquet files of one manifest entry: every file under
+        the entry's directory whose partition subpath is not masked by
+        an ``exclude`` prefix (the manifest-level partition
+        replacement of :meth:`write_table`)."""
+        excl = tuple(e + os.sep for e in exclude)
+        return [
+            os.path.join(root, fn)
+            for root, _d, fns in os.walk(absdir)
+            for fn in fns
+            if fn.endswith(".parquet")
+            and not (excl and (os.path.relpath(root, absdir) + os.sep).startswith(excl))
+        ]
+
+    def files_metadata(self, table: str, as_of: str | None = None) -> DataFrame:
+        """Iceberg's ``<table>.files`` metadata table: one row per LIVE
+        data file at the snapshot — (file_path, snapshot_dir,
+        partition, size_bytes), paths warehouse-relative. Driver-built
+        from the manifests (metadata-sized, like an Iceberg manifest
+        scan — never opens data files); masked partition subtrees of
+        replaced directories are excluded exactly as scan planning
+        excludes them."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        snap = self._resolve(table, as_of)
+        if snap is None:
+            raise LookupError(f"no committed table {table!r}")
+        rows = []
+        for e in snap.state:
+            absdir = os.path.join(self.warehouse, e["dir"])
+            for p in self._entry_files(absdir, e["exclude"]):
+                relroot = os.path.relpath(os.path.dirname(p), absdir)
+                rows.append((
+                    os.path.relpath(p, self.warehouse),
+                    e["dir"],
+                    "" if relroot == "." else relroot,
+                    os.path.getsize(p),
+                ))
+        schema = StructType([
+            StructField("file_path", StringType(), False),
+            StructField("snapshot_dir", StringType(), False),
+            StructField("partition", StringType(), False),
+            StructField("size_bytes", LongType(), False),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions_metadata(self, table: str, as_of: str | None = None) -> DataFrame:
+        """Iceberg's ``<table>.partitions``: per-partition file count
+        and byte size at the snapshot (empty-string partition = the
+        unpartitioned root). The small-file diagnosis input: a
+        partition whose file_count is large and avg file size small is
+        a :meth:`compact` candidate."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.files_metadata(table, as_of)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("size_bytes").alias("size_bytes"),
+            )
+        )
+
+    def snapshots_metadata(self, table: str) -> DataFrame:
+        """Iceberg's ``<table>.snapshots``: the committed history as a
+        DataFrame — (snapshot_id, parent_id, sequence, op, row_count,
+        committed_at_unix, lineage_json), oldest first by sequence."""
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        rows = [
+            (s.snapshot_id, s.parent_id, s.sequence, s.op, s.row_count,
+             float(s.committed_at_unix), json.dumps(s.lineage, sort_keys=True))
+            for s in self.history(table)
+        ]
+        schema = StructType([
+            StructField("snapshot_id", StringType(), False),
+            StructField("parent_id", StringType(), True),
+            StructField("sequence", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("row_count", LongType(), False),
+            StructField("committed_at_unix", DoubleType(), False),
+            StructField("lineage_json", StringType(), False),
+        ])
+        return self.spark.createDataFrame(rows, schema)
