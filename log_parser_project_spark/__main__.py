@@ -57,6 +57,28 @@ def main(argv: list[str] | None = None) -> int:
     p_m.add_argument("--approx", action="store_true",
                      help="HLL distinct-file counts (the 100 TB path)")
 
+    p_mt = sub.add_parser(
+        "maintain",
+        help="table maintenance — the Iceberg procedures (rollback_to_snapshot, "
+             "rewrite_data_files, expire_snapshots, remove_orphan_files) plus "
+             "the files/partitions/snapshots metadata tables",
+    )
+    p_mt.add_argument("--warehouse", required=True)
+    p_mt.add_argument("--table", required=True)
+    p_mt.add_argument("--rollback", metavar="SNAPSHOT_ID",
+                      help="flip the pointer back to an ancestor snapshot")
+    p_mt.add_argument("--compact", action="store_true",
+                      help="rewrite live data into ~target-file-mb files")
+    p_mt.add_argument("--target-file-mb", type=int, default=128)
+    p_mt.add_argument("--zorder", metavar="COL[,COL...]",
+                      help="sort-clustered compaction on the Morton key of these columns")
+    p_mt.add_argument("--expire-keep", type=int, metavar="N",
+                      help="expire all but the last N snapshots")
+    p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
+                      help="sweep unreferenced snap-* dirs older than this")
+    p_mt.add_argument("--show", choices=["files", "partitions", "snapshots"],
+                      help="print a metadata table after the actions")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -84,6 +106,38 @@ def main(argv: list[str] | None = None) -> int:
                 fo.write(out)
         else:
             print(out)
+        return 0
+
+    if args.cmd == "maintain":
+        from .catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        out: dict = {}
+        # action order mirrors a maintenance run: restore state first,
+        # then rewrite, then garbage-collect what the rewrite obsoleted
+        if args.rollback:
+            out["rolled_back_to"] = cat.rollback(args.table, args.rollback).snapshot_id
+        if args.compact:
+            snap = cat.compact(
+                args.table,
+                target_file_bytes=args.target_file_mb * 2**20,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
+            )
+            out["compacted_snapshot"] = snap.snapshot_id
+        if args.expire_keep is not None:
+            out["expired_dirs"] = cat.expire_snapshots(args.table, keep_last=args.expire_keep)
+        if args.orphans_older_than is not None:
+            out["removed_orphans"] = cat.remove_orphan_files(
+                args.table, older_than_s=args.orphans_older_than
+            )
+        if args.show:
+            mt = {
+                "files": cat.files_metadata,
+                "partitions": cat.partitions_metadata,
+                "snapshots": cat.snapshots_metadata,
+            }[args.show](args.table)
+            out["show"] = [r.asDict(recursive=True) for r in mt.collect()]
+        print(json.dumps(out, indent=2, default=str))
         return 0
 
     if args.cmd == "mine":

@@ -71,3 +71,23 @@ def test_cli_mine_templates(tmp_path):
     assert by_t["boot at <HEX>"]["n_lines"] == 1
     # ordered by n_lines desc
     assert rows[0]["template"] == "login uid=<N>"
+
+
+def test_cli_maintain_rollback_orphans_show(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    s1 = cat.write_table(spark.createDataFrame([(1, "a")], "k int, r string"), "t")
+    cat.write_table(spark.createDataFrame([(2, "b")], "k int, r string"), "t", mode="append")
+    out = json.loads(_run(
+        "maintain", "--warehouse", wh, "--table", "t",
+        "--rollback", s1.snapshot_id,
+        "--orphans-older-than", "0",
+        "--show", "snapshots",
+    ))
+    assert out["rolled_back_to"] == s1.snapshot_id
+    assert len(out["removed_orphans"]) == 1
+    assert [r["snapshot_id"] for r in out["show"]] == [s1.snapshot_id]
+    # the rollback is visible to a fresh reader
+    assert cat.read_table("t").count() == 1
