@@ -64,6 +64,13 @@ class Snapshot:
     #: ADD columns — older data dirs then read back with nulls for the
     #: later-added columns, Iceberg's add-column schema evolution.
     schema_json: str | None = None
+    #: write-audit-publish: True while the snapshot sits in the log
+    #: awaiting :meth:`SnapshotCatalog.publish` (pointer never flipped).
+    #: Readers of the table don't see it; ``read_table(as_of=...)``
+    #: does, so audits can validate it. Distinguishes a pending stage
+    #: from a crash phantom (staged=False, also unpointered) — only the
+    #: former survives :meth:`remove_orphan_files`.
+    staged: bool = False
 
 
 class Catalog:
@@ -259,16 +266,9 @@ class SnapshotCatalog(Catalog):
         commit parents onto the real pointer, so the phantom is never
         any committed snapshot's ancestor, even once it sits in the
         middle of the log."""
-        out: list[Snapshot] = []
-        p = self._log_path(table)
-        if not os.path.exists(p):
+        out = self._log_entries(table)
+        if not out:
             return out
-        with open(p) as f:
-            for line in f:
-                try:
-                    out.append(Snapshot(**json.loads(line)))
-                except (json.JSONDecodeError, TypeError):
-                    continue  # torn append from a crash — uncommitted
         pointer = self.snapshot(table)
         if pointer is None:
             return []  # log lines exist but nothing was ever committed
@@ -290,6 +290,12 @@ class SnapshotCatalog(Catalog):
             return self.snapshot(table)
         for s in self.history(table):
             if s.snapshot_id == as_of:
+                return s
+        # WAP: a staged (unpointered) snapshot is addressable by id so
+        # the audit step can read it. Crash phantoms (staged=False,
+        # also unpointered) stay unreachable.
+        for s in self._log_entries(table):
+            if s.snapshot_id == as_of and s.staged:
                 return s
         raise LookupError(f"no snapshot {as_of!r} for table {table!r} (expired?)")
 
@@ -358,8 +364,17 @@ class SnapshotCatalog(Catalog):
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 8192,
         bloom_hashes: int = 4,
+        staged: bool = False,
     ) -> Snapshot:
-        """Commit one snapshot. ``stats_cols`` opts the commit into
+        """Commit one snapshot. ``staged=True`` is Iceberg's
+        write-audit-publish: the data and the manifest log line are
+        written but the pointer is NOT flipped — readers keep seeing
+        the parent state while an audit validates the staged snapshot
+        via ``read_table(as_of=staged.snapshot_id)``; :meth:`publish`
+        makes it live, an abandoned stage is swept by
+        :meth:`remove_orphan_files(sweep_staged=True)`.
+
+        ``stats_cols`` opts the commit into
         manifest-level file statistics: per-file min/max for those
         columns, harvested from the parquet FOOTERS the write already
         produced (metadata-only — no data re-read), stored in the
@@ -454,16 +469,67 @@ class SnapshotCatalog(Catalog):
             state=state,
             sequence=seq,
             schema_json=json.dumps(table_schema.jsonValue()),
+            staged=staged,
         )
         # append to the log first, then atomically flip the pointer —
         # the pointer replace is the commit point
         with open(self._log_path(table), "a") as f:
             f.write(json.dumps(asdict(snap)) + "\n")
+        if staged:
+            return snap  # WAP: pointer untouched until publish()
+        self._flip_pointer(table, snap)
+        return snap
+
+    def _flip_pointer(self, table: str, snap: Snapshot) -> None:
         ppath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")
         tmp = f"{ppath}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(asdict(snap), f, indent=2)
         os.replace(tmp, ppath)
+
+    def _log_entries(self, table: str) -> list[Snapshot]:
+        """Every parseable log line, committed or not — staged WAP
+        snapshots and crash phantoms included. :meth:`history` filters
+        this down to the pointer's parent chain."""
+        out: list[Snapshot] = []
+        p = self._log_path(table)
+        if not os.path.exists(p):
+            return out
+        with open(p) as f:
+            for line in f:
+                try:
+                    out.append(Snapshot(**json.loads(line)))
+                except (json.JSONDecodeError, TypeError):
+                    continue  # torn append from a crash
+        return out
+
+    def publish(self, table: str, snapshot_id: str) -> Snapshot:
+        """Write-audit-publish, step 3: make a staged snapshot the
+        committed table state (atomic pointer flip). Refuses when the
+        table advanced since the stage (the staged snapshot's parent is
+        no longer the pointer) — the WAP analog of Iceberg's commit
+        validation; re-stage on top of the new state instead, since the
+        staged manifest was computed against the old parent's state."""
+        staged = [
+            s for s in self._log_entries(table)
+            if s.snapshot_id == snapshot_id and s.staged
+        ]
+        if not staged:
+            raise LookupError(f"no staged snapshot {snapshot_id!r} for table {table!r}")
+        snap = staged[-1]
+        cur = self.snapshot(table)
+        cur_id = cur.snapshot_id if cur else None
+        if snap.parent_id != cur_id:
+            raise ValueError(
+                f"stale stage: staged snapshot parents {snap.parent_id!r} but the "
+                f"table pointer is {cur_id!r}; re-stage against the current state"
+            )
+        snap.staged = False
+        # a published line so history()'s by-id map resolves the final
+        # (unstaged) version; the old staged line becomes inert
+        with open(self._log_path(table), "a") as f:
+            f.write(json.dumps(asdict(snap)) + "\n")
+        self._flip_pointer(table, snap)
         return snap
 
     # ----------------------------------------------------- file statistics
@@ -974,7 +1040,18 @@ class SnapshotCatalog(Catalog):
         if pointer is not None and pointer.snapshot_id not in {s.snapshot_id for s in keep}:
             keep = keep + [pointer]
             drop = [s for s in drop if s.snapshot_id != pointer.snapshot_id]
-        live = {e["dir"] for s in keep for e in s.state}
+        # a pending write-audit-publish stage survives expiry: its log
+        # line stays (or publish() would dangle) and every dir it
+        # references — including dirs inherited from now-expired parents
+        # — stays on disk
+        entries = self._log_entries(table)
+        published = {s.snapshot_id for s in entries if not s.staged}
+        kept_ids = {s.snapshot_id for s in keep}
+        pending = [
+            s for s in entries
+            if s.staged and s.snapshot_id not in published and s.snapshot_id not in kept_ids
+        ]
+        live = {e["dir"] for s in keep + pending for e in s.state}
         # commit the truncated log FIRST (tmp + atomic rename, same as
         # the write path), THEN delete data. A crash in between leaks
         # directories (harmless, re-collectable) — the reverse order
@@ -983,7 +1060,7 @@ class SnapshotCatalog(Catalog):
         lpath = self._log_path(table)
         tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
-            for s in keep:
+            for s in keep + pending:
                 f.write(json.dumps(asdict(s)) + "\n")
         os.replace(tmp, lpath)
         removed = []
@@ -1019,7 +1096,9 @@ class SnapshotCatalog(Catalog):
         os.replace(tmp, ppath)
         return target
 
-    def remove_orphan_files(self, table: str, older_than_s: float = 3600.0) -> list[str]:
+    def remove_orphan_files(
+        self, table: str, older_than_s: float = 3600.0, sweep_staged: bool = False
+    ) -> list[str]:
         """Iceberg's ``remove_orphan_files``: delete ``snap-*``
         directories under the table root that no snapshot reachable
         from the committed pointer references. Three ways a table
@@ -1030,13 +1109,28 @@ class SnapshotCatalog(Catalog):
         :meth:`rollback` dead branch. Age-guarded exactly like Iceberg
         (default 1 h): a concurrent in-flight write's directory is
         younger than the guard, so it is never swept out from under
-        the committer. Returns warehouse-relative removed dirs."""
+        the committer. A staged (write-audit-publish) snapshot awaiting
+        :meth:`publish` is protected regardless of age unless
+        ``sweep_staged=True`` explicitly abandons pending stages.
+        Returns warehouse-relative removed dirs."""
         import shutil
 
         live = {e["dir"] for s in self.history(table) for e in s.state}
         pointer = self.snapshot(table)  # belt-and-braces vs log divergence
         if pointer is not None:
             live |= {e["dir"] for e in pointer.state}
+        if not sweep_staged:
+            # a snapshot_id published later appears twice in the log
+            # (staged=True then staged=False) — only still-pending ones
+            # (no unstaged line) keep their dirs alive
+            entries = self._log_entries(table)
+            published = {s.snapshot_id for s in entries if not s.staged}
+            live |= {
+                e["dir"]
+                for s in entries
+                if s.staged and s.snapshot_id not in published
+                for e in s.state
+            }
         root = self.path(table)
         if not os.path.isdir(root):
             return []

@@ -783,3 +783,68 @@ def test_snapshots_metadata_mirrors_history(spark, cat):
         (s2.snapshot_id, s1.snapshot_id, "append"),
     ]
     assert json.loads(rows[0].lineage_json) == {"stage": "first"}
+
+
+# --------------------------------------------------- write-audit-publish
+
+def test_wap_stage_audit_publish(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", staged=True)
+    assert staged.staged and staged.parent_id == s1.snapshot_id
+    # readers keep seeing the parent state; the audit sees the stage
+    assert _vals(cat.read_table("t")) == [(1, "a", "x")]
+    assert _vals(cat.read_table("t", as_of=staged.snapshot_id)) == [
+        (1, "a", "x"), (2, "b", "y")
+    ]
+    assert [s.snapshot_id for s in cat.history("t")] == [s1.snapshot_id]
+    pub = cat.publish("t", staged.snapshot_id)
+    assert not pub.staged
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "y")]
+    assert [s.snapshot_id for s in cat.history("t")] == [
+        s1.snapshot_id, staged.snapshot_id
+    ]
+    # published dir is live: the orphan sweep leaves it alone
+    assert cat.remove_orphan_files("t", older_than_s=0) == []
+
+
+def test_wap_stale_stage_is_rejected(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", staged=True)
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")  # table advanced
+    with pytest.raises(ValueError, match="stale stage"):
+        cat.publish("t", staged.snapshot_id)
+    with pytest.raises(LookupError):
+        cat.publish("t", "doesnotexist0000")
+
+
+def test_wap_pending_stage_survives_sweep_and_expiry(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", staged=True)
+    stage_dir = staged.state[-1]["dir"]
+    # pending stage is protected from the orphan sweep by default...
+    assert cat.remove_orphan_files("t", older_than_s=0) == []
+    # ...and from expiry, including the parent dirs it inherits
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t")  # overwrite moves the pointer
+    cat.expire_snapshots("t", keep_last=1)
+    assert _vals(cat.read_table("t", as_of=staged.snapshot_id)) == [
+        (1, "a", "x"), (2, "b", "y")
+    ]
+    # the advanced pointer makes the stage stale — abandon it explicitly
+    removed = cat.remove_orphan_files("t", older_than_s=0, sweep_staged=True)
+    assert stage_dir in removed
+    assert _vals(cat.read_table("t")) == [(3, "c", "z")]
+
+
+def test_wap_crash_phantom_stays_unreachable(spark, cat):
+    import json as _json
+    from dataclasses import asdict as _asdict
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    # a crash between log append and pointer flip: staged=False line,
+    # pointer still at s1 — not addressable, unlike a staged snapshot
+    phantom = dict(_asdict(s1), snapshot_id="phantom000000000", parent_id=s1.snapshot_id)
+    with open(cat._log_path("t"), "a") as f:
+        f.write(_json.dumps(phantom) + "\n")
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of="phantom0000000000"[:16])
+    assert [s.snapshot_id for s in cat.history("t")] == [s1.snapshot_id]
