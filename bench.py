@@ -137,11 +137,16 @@ def main() -> None:
     for ex in ("arrow", "pandas"):
         # one untimed run per engine: plan-JIT cold start otherwise lands
         # on whichever engine runs first and inverts the reported ranking
-        # (r02 showed arrow slower than pandas for exactly this reason)
+        # (r02 showed arrow slower than pandas for exactly this reason);
+        # then best-of-2 timed — single trials sit inside ±10% box noise,
+        # which is the size of the engine delta being reported
         _extract_agg(ex).collect()
-        t0 = time.perf_counter()
-        _extract_agg(ex).collect()
-        timings[f"pipeline_{ex}_extract_pass"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _extract_agg(ex).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"pipeline_{ex}_extract_pass"] = round(best, 3)
     tdf2.unpersist()
 
     total = round(sum(timings.values()), 3)

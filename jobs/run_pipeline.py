@@ -64,6 +64,12 @@ def main() -> None:
              "~128MB files (rewrite_data_files maintenance)",
     )
     ap.add_argument(
+        "--audit", action="store_true",
+        help="write-audit-publish: land the fan-out staged, publish only "
+             "after the built-in quality gate passes (readers keep the "
+             "last good snapshot if the batch is bad)",
+    )
+    ap.add_argument(
         "--keep-snapshots", type=int, default=3,
         help="retain this many snapshots per rewritten table after a "
              "successful run (0 = never expire; repeated runs then grow "
@@ -156,6 +162,7 @@ def main() -> None:
             metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
             extractor=args.extractor,
             patterns=patterns,
+            audit=True if args.audit else None,
         )
         print(json.dumps({
             "mode": "batch",

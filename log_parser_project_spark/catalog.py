@@ -532,6 +532,44 @@ class SnapshotCatalog(Catalog):
         self._flip_pointer(table, snap)
         return snap
 
+    def abandon_stage(self, table: str, snapshot_id: str) -> list[str]:
+        """Write-audit-publish, the audit-FAILED arm: drop one pending
+        staged snapshot — its log line is removed (atomic rewrite) and
+        the data directories only it references are deleted. Targeted,
+        unlike ``remove_orphan_files(sweep_staged=True)``: other
+        pending stages and unrelated orphans are untouched. Returns the
+        removed dirs."""
+        import shutil
+
+        entries = self._log_entries(table)
+        published = {s.snapshot_id for s in entries if not s.staged}
+        targets = [s for s in entries if s.snapshot_id == snapshot_id and s.staged]
+        if not targets or snapshot_id in published:
+            raise LookupError(
+                f"no pending staged snapshot {snapshot_id!r} for table {table!r}"
+            )
+        remaining = [s for s in entries if s.snapshot_id != snapshot_id]
+        lpath = self._log_path(table)
+        tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            for s in remaining:
+                f.write(json.dumps(asdict(s)) + "\n")
+        os.replace(tmp, lpath)
+        # dirs still referenced: the pointer chain + every other line
+        # (pending stages inherit parent dirs; phantoms are inert but
+        # their dirs belong to the sweep, not to this targeted drop)
+        live = {e["dir"] for s in remaining for e in s.state}
+        pointer = self.snapshot(table)
+        if pointer is not None:
+            live |= {e["dir"] for e in pointer.state}
+        removed = []
+        for e in targets[-1].state:
+            absdir = os.path.join(self.warehouse, e["dir"])
+            if e["dir"] not in live and os.path.isdir(absdir):
+                shutil.rmtree(absdir)
+                removed.append(e["dir"])
+        return sorted(removed)
+
     # ----------------------------------------------------- file statistics
     @staticmethod
     def _stat_value(v):

@@ -66,6 +66,38 @@ class PipelineResult:
     staging_snapshot: str | None = None
 
 
+class AuditError(RuntimeError):
+    """The write-audit-publish gate rejected a staged fan-out commit;
+    the stage was abandoned and readers still see the previous state."""
+
+    def __init__(self, violations: list[str]):
+        super().__init__("; ".join(violations))
+        self.violations = violations
+
+
+def default_audit(df: DataFrame) -> list[str]:
+    """The built-in quality gate for the routed fact: one aggregate job
+    over the staged snapshot. Violations (any ⇒ the stage is abandoned):
+    null route (a row no sink owns), null conv_id/ts (breaks partition
+    pruning and per-conv ordering), matched rows with no pattern_class
+    (enrich/route contract breach)."""
+    r = df.agg(
+        F.sum(F.col("route").isNull().cast("long")).alias("null_route"),
+        F.sum(F.col("conv_id").isNull().cast("long")).alias("null_conv"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("null_ts"),
+        F.sum(
+            (F.col("matched") & F.col("pattern_class").isNull()).cast("long")
+        ).alias("matched_no_class"),
+    ).collect()[0]
+    checks = [
+        (r.null_route, "rows with null route"),
+        (r.null_conv, "rows with null conv_id"),
+        (r.null_ts, "rows with null ts"),
+        (r.matched_no_class, "matched rows without pattern_class"),
+    ]
+    return [f"{n} {what}" for n, what in checks if n]
+
+
 def build_routed(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -139,7 +171,21 @@ def run_pipeline(
     write_repeats: bool = True,
     extractor: str = "auto",
     patterns: tuple[Pattern, ...] = PATTERNS,
+    audit=None,
 ) -> PipelineResult:
+    """``audit`` opts the fan-out commit into write-audit-publish
+    (SnapshotCatalog only): the staging write lands STAGED (readers
+    keep the previous state), the audit callable — ``True`` for
+    :func:`default_audit` — runs against the staged snapshot, and the
+    commit publishes only when it returns no violations; otherwise the
+    stage is abandoned (targeted dir cleanup) and :class:`AuditError`
+    raises. A bad batch can then never poison 100 TB of downstream
+    readers — they see the last good snapshot throughout."""
+    from ..catalog import SnapshotCatalog
+
+    if audit is not None and not isinstance(catalog, SnapshotCatalog):
+        raise ValueError("audit (write-audit-publish) requires a SnapshotCatalog")
+
     routed, obs = observed(
         build_routed(spark, transcripts, extractor=extractor, patterns=patterns)
     )
@@ -149,7 +195,6 @@ def run_pipeline(
     # written by one task — without this, every task opens a writer per
     # partition value (tasks × routes × days small files).
     staged = routed.withColumn("day", F.to_date("ts")).repartition("route", "day")
-    from ..catalog import SnapshotCatalog
 
     snap = catalog.write_table(
         staged,
@@ -161,8 +206,21 @@ def run_pipeline(
         row_count=lambda: int(get_safe(obs).get("rows_total") or 0),
         # manifest ts stats (footer metadata only) so time-windowed
         # sink reads can skip whole files at planning time
-        **({"stats_cols": ["ts"]} if isinstance(catalog, SnapshotCatalog) else {}),
+        **(
+            {"stats_cols": ["ts"], "staged": audit is not None}
+            if isinstance(catalog, SnapshotCatalog)
+            else {}
+        ),
     )
+    if audit is not None:
+        check = default_audit if audit is True else audit
+        violations = check(
+            catalog.read_table(STAGING_TABLE, as_of=snap.snapshot_id, schema=staged.schema)
+        )
+        if violations:
+            catalog.abandon_stage(STAGING_TABLE, snap.snapshot_id)
+            raise AuditError(violations)
+        snap = catalog.publish(STAGING_TABLE, snap.snapshot_id)
     metrics = get_safe(obs)
 
     staging = catalog.read_table(STAGING_TABLE, schema=staged.schema)

@@ -848,3 +848,48 @@ def test_wap_crash_phantom_stays_unreachable(spark, cat):
     with pytest.raises(LookupError):
         cat.read_table("t", as_of="phantom0000000000"[:16])
     assert [s.snapshot_id for s in cat.history("t")] == [s1.snapshot_id]
+
+
+def test_pipeline_audit_gate_publishes_good_batch(spark, transcripts_small, tmp_path):
+    from log_parser_project_spark.plans.pipeline import (
+        STAGING_TABLE, read_sink, run_pipeline,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, transcripts_small, cat, write_repeats=False, audit=True)
+    assert res.sink_counts["sink_errors"] > 0
+    assert read_sink(cat, "sink_errors").count() == res.sink_counts["sink_errors"]
+    snap = cat.snapshot(STAGING_TABLE)
+    assert snap.snapshot_id == res.staging_snapshot and not snap.staged
+    # nothing staged left behind
+    assert cat.remove_orphan_files(STAGING_TABLE, older_than_s=0) == []
+
+
+def test_pipeline_audit_gate_abandons_bad_batch(spark, transcripts_small, tmp_path):
+    from log_parser_project_spark.plans.pipeline import (
+        STAGING_TABLE, AuditError, run_pipeline,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    good = run_pipeline(spark, transcripts_small, cat, write_repeats=False, audit=True)
+
+    def reject_everything(df):
+        return [f"synthetic violation: {df.count()} rows"]
+
+    with pytest.raises(AuditError, match="synthetic violation"):
+        run_pipeline(
+            spark, transcripts_small, cat, write_repeats=False, audit=reject_everything
+        )
+    # readers still see the last good snapshot; the stage is gone
+    assert cat.snapshot(STAGING_TABLE).snapshot_id == good.staging_snapshot
+    assert cat.remove_orphan_files(STAGING_TABLE, older_than_s=0, sweep_staged=True) == []
+
+
+def test_pipeline_audit_requires_snapshot_catalog(spark, transcripts_small, tmp_path):
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.plans.pipeline import run_pipeline
+
+    with pytest.raises(ValueError, match="SnapshotCatalog"):
+        run_pipeline(
+            spark, transcripts_small, Catalog(spark, str(tmp_path / "wh")), audit=True
+        )
