@@ -76,6 +76,12 @@ def main() -> None:
              "the warehouse without bound)",
     )
     args = ap.parse_args()
+    if args.checkpointed and args.audit:
+        # the checkpointed path commits per-group via replace_partitions
+        # (idempotent resume), which has no staged variant — refuse
+        # rather than silently skip the gate the operator asked for
+        ap.error("--audit is not supported with --checkpointed; "
+                 "run the batch path or audit sinks post-hoc")
 
     # under spark-submit the session already exists; standalone we build one
     spark = SparkSession.builder.appName("transcript-pipeline").getOrCreate()

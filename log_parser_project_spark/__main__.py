@@ -70,8 +70,12 @@ def main(argv: list[str] | None = None) -> int:
     p_mt.add_argument("--compact", action="store_true",
                       help="rewrite live data into ~target-file-mb files")
     p_mt.add_argument("--target-file-mb", type=int, default=128)
+    p_mt.add_argument("--partition-by", metavar="COL[,COL...]",
+                      help="re-partition on these columns through --compact; "
+                           "default preserves the table's live layout")
     p_mt.add_argument("--zorder", metavar="COL[,COL...]",
-                      help="sort-clustered compaction on the Morton key of these columns")
+                      help="sort-clustered compaction on the Morton key of these "
+                           "columns (implies --compact)")
     p_mt.add_argument("--expire-keep", type=int, metavar="N",
                       help="expire all but the last N snapshots")
     p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
@@ -117,10 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         # then rewrite, then garbage-collect what the rewrite obsoleted
         if args.rollback:
             out["rolled_back_to"] = cat.rollback(args.table, args.rollback).snapshot_id
-        if args.compact:
+        if args.compact or args.zorder:
             snap = cat.compact(
                 args.table,
                 target_file_bytes=args.target_file_mb * 2**20,
+                partition_by=args.partition_by.split(",") if args.partition_by else "auto",
                 zorder_by=args.zorder.split(",") if args.zorder else None,
             )
             out["compacted_snapshot"] = snap.snapshot_id

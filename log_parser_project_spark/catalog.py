@@ -1000,7 +1000,7 @@ class SnapshotCatalog(Catalog):
         self,
         table: str,
         target_file_bytes: int = 128 * 2**20,
-        partition_by: list[str] | None = None,
+        partition_by: list[str] | None | str = "auto",
         zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite the current table state into ~``target_file_bytes``
@@ -1010,10 +1010,18 @@ class SnapshotCatalog(Catalog):
         pays per-file open cost. Compaction commits ONE fresh snapshot
         with the same rows (old snapshots stay readable until expiry).
         Sized from the actual on-disk bytes of the live snapshot, not a
-        row-count guess."""
+        row-count guess.
+
+        ``partition_by="auto"`` (default) PRESERVES the live layout,
+        sniffed from the hive-style ``col=value`` path of a live data
+        file — compacting a (route, day)-partitioned sink keeps the
+        directory structure partition pruning depends on. Pass an
+        explicit list to re-partition, or ``None`` to flatten."""
         snap = self.snapshot(table)
         if snap is None:
             raise LookupError(f"no committed table {table!r}")
+        if partition_by == "auto":
+            partition_by = self._current_partitioning(snap) or None
         # live bytes from the snapshot state; a legacy flat-layout table
         # (empty state) is measured at the table root instead — without
         # this, live_bytes=0 would repartition(1) a multi-GB table
@@ -1062,6 +1070,21 @@ class SnapshotCatalog(Catalog):
             row_count=None,
         )
 
+    def _current_partitioning(self, snap: Snapshot) -> list[str]:
+        """The table's live partition columns, sniffed from the newest
+        manifest entry's first live data file (hive-style ``col=value``
+        path segments). Empty for flat layouts."""
+        for e in reversed(snap.state):
+            absdir = os.path.join(self.warehouse, e["dir"])
+            files = self._entry_files(absdir, e["exclude"])
+            if not files:
+                continue
+            rel = os.path.relpath(os.path.dirname(files[0]), absdir)
+            if rel == ".":
+                return []
+            return [seg.split("=", 1)[0] for seg in rel.split(os.sep) if "=" in seg]
+        return []
+
     # --------------------------------------------------------------- expire
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots; delete data
@@ -1082,12 +1105,9 @@ class SnapshotCatalog(Catalog):
         # line stays (or publish() would dangle) and every dir it
         # references — including dirs inherited from now-expired parents
         # — stays on disk
-        entries = self._log_entries(table)
-        published = {s.snapshot_id for s in entries if not s.staged}
         kept_ids = {s.snapshot_id for s in keep}
         pending = [
-            s for s in entries
-            if s.staged and s.snapshot_id not in published and s.snapshot_id not in kept_ids
+            s for s in self._pending_stages(table) if s.snapshot_id not in kept_ids
         ]
         live = {e["dir"] for s in keep + pending for e in s.state}
         # commit the truncated log FIRST (tmp + atomic rename, same as
@@ -1124,15 +1144,31 @@ class SnapshotCatalog(Catalog):
 
         Only ancestors of the CURRENT pointer are valid targets —
         rolling "forward" to an abandoned branch would silently revive
-        rows a previous rollback discarded; Iceberg rejects it too.
+        rows a previous rollback discarded, and rolling onto a pending
+        STAGED snapshot would bypass :meth:`publish`'s validation;
+        Iceberg rejects both, so the lookup is explicitly over
+        :meth:`history`, never the staged-id fallback of ``_resolve``.
         """
-        target = self._resolve(table, snapshot_id)  # LookupError if not an ancestor
-        ppath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")
-        tmp = f"{ppath}.tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            json.dump(asdict(target), f, indent=2)
-        os.replace(tmp, ppath)
+        target = next(
+            (s for s in self.history(table) if s.snapshot_id == snapshot_id), None
+        )
+        if target is None:
+            raise LookupError(
+                f"snapshot {snapshot_id!r} is not an ancestor of table {table!r}'s "
+                "pointer (staged, abandoned-branch, or expired ids are not valid "
+                "rollback targets)"
+            )
+        self._flip_pointer(table, target)
         return target
+
+    def _pending_stages(self, table: str) -> list[Snapshot]:
+        """Write-audit-publish snapshots still awaiting :meth:`publish`:
+        staged log lines whose snapshot_id never got an unstaged
+        (published) line. Their data dirs — including dirs inherited
+        from parent snapshots — must survive expiry and orphan sweeps."""
+        entries = self._log_entries(table)
+        published = {s.snapshot_id for s in entries if not s.staged}
+        return [s for s in entries if s.staged and s.snapshot_id not in published]
 
     def remove_orphan_files(
         self, table: str, older_than_s: float = 3600.0, sweep_staged: bool = False
@@ -1149,31 +1185,28 @@ class SnapshotCatalog(Catalog):
         younger than the guard, so it is never swept out from under
         the committer. A staged (write-audit-publish) snapshot awaiting
         :meth:`publish` is protected regardless of age unless
-        ``sweep_staged=True`` explicitly abandons pending stages.
+        ``sweep_staged=True``, which first ABANDONS every pending stage
+        (log line dropped via :meth:`abandon_stage`, so no dangling
+        publishable id can point at deleted data) and then sweeps.
         Returns warehouse-relative removed dirs."""
         import shutil
 
+        removed = []
+        if sweep_staged:
+            # drop the log lines BEFORE deleting anything: a staged line
+            # surviving its data dir would still resolve and publish,
+            # flipping the pointer onto missing files
+            for s in self._pending_stages(table):
+                removed += self.abandon_stage(table, s.snapshot_id)
         live = {e["dir"] for s in self.history(table) for e in s.state}
         pointer = self.snapshot(table)  # belt-and-braces vs log divergence
         if pointer is not None:
             live |= {e["dir"] for e in pointer.state}
-        if not sweep_staged:
-            # a snapshot_id published later appears twice in the log
-            # (staged=True then staged=False) — only still-pending ones
-            # (no unstaged line) keep their dirs alive
-            entries = self._log_entries(table)
-            published = {s.snapshot_id for s in entries if not s.staged}
-            live |= {
-                e["dir"]
-                for s in entries
-                if s.staged and s.snapshot_id not in published
-                for e in s.state
-            }
+        live |= {e["dir"] for s in self._pending_stages(table) for e in s.state}
         root = self.path(table)
         if not os.path.isdir(root):
-            return []
+            return removed
         now = time.time()
-        removed = []
         for name in sorted(os.listdir(root)):
             absdir = os.path.join(root, name)
             rel = f"{table}/{name}"

@@ -214,9 +214,19 @@ def run_pipeline(
     )
     if audit is not None:
         check = default_audit if audit is True else audit
-        violations = check(
-            catalog.read_table(STAGING_TABLE, as_of=snap.snapshot_id, schema=staged.schema)
-        )
+        try:
+            violations = check(
+                catalog.read_table(
+                    STAGING_TABLE, as_of=snap.snapshot_id, schema=staged.schema
+                )
+            )
+        except Exception:
+            # a crashing audit must not leak its pending stage — pending
+            # stages are deliberately immune to expiry and the default
+            # orphan sweep, so an unabandoned one pins the batch (and
+            # its inherited parent dirs) on disk forever
+            catalog.abandon_stage(STAGING_TABLE, snap.snapshot_id)
+            raise
         if violations:
             catalog.abandon_stage(STAGING_TABLE, snap.snapshot_id)
             raise AuditError(violations)

@@ -893,3 +893,57 @@ def test_pipeline_audit_requires_snapshot_catalog(spark, transcripts_small, tmp_
         run_pipeline(
             spark, transcripts_small, Catalog(spark, str(tmp_path / "wh")), audit=True
         )
+
+
+def test_rollback_rejects_staged_snapshot(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", staged=True)
+    with pytest.raises(LookupError, match="not an ancestor"):
+        cat.rollback("t", staged.snapshot_id)
+    assert cat.snapshot("t").snapshot_id == s1.snapshot_id
+
+
+def test_sweep_staged_drops_the_log_line_too(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", staged=True)
+    removed = cat.remove_orphan_files("t", older_than_s=0, sweep_staged=True)
+    assert staged.state[-1]["dir"] in removed
+    # no dangling publishable id pointing at deleted data
+    with pytest.raises(LookupError):
+        cat.publish("t", staged.snapshot_id)
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of=staged.snapshot_id)
+
+
+def test_crashing_audit_abandons_its_stage(spark, transcripts_small, tmp_path):
+    from log_parser_project_spark.plans.pipeline import STAGING_TABLE, run_pipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    good = run_pipeline(spark, transcripts_small, cat, write_repeats=False, audit=True)
+
+    def broken_audit(df):
+        raise RuntimeError("audit job crashed")
+
+    with pytest.raises(RuntimeError, match="audit job crashed"):
+        run_pipeline(
+            spark, transcripts_small, cat, write_repeats=False, audit=broken_audit
+        )
+    # the crashed run's stage was abandoned, not leaked as pending
+    assert cat._pending_stages(STAGING_TABLE) == []
+    assert cat.snapshot(STAGING_TABLE).snapshot_id == good.staging_snapshot
+
+
+def test_compact_preserves_partition_layout_by_default(spark, cat):
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), "t", partition_by=["route"]
+    )
+    cat.write_table(
+        _df(spark, [(3, "a", "z")]), "t", mode="append", partition_by=["route"]
+    )
+    cat.compact("t", target_file_bytes=1)
+    parts = {r.partition for r in cat.partitions_metadata("t").collect()}
+    assert parts == {"route=a", "route=b"}  # layout survived the rewrite
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")]
+    # explicit None flattens
+    cat.compact("t", target_file_bytes=10**9, partition_by=None)
+    assert {r.partition for r in cat.partitions_metadata("t").collect()} == {""}
