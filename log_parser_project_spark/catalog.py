@@ -285,19 +285,56 @@ class SnapshotCatalog(Catalog):
         chain.reverse()
         return chain
 
-    def _resolve(self, table: str, as_of: str | None = None) -> Snapshot | None:
+    def _resolve(self, table: str, as_of=None) -> Snapshot | None:
+        """``as_of`` accepts a snapshot id (exact, tried first), or a
+        point in time — Iceberg's ``FOR SYSTEM_TIME AS OF`` — as a
+        datetime, an epoch float/int, or an ISO-8601 string: the last
+        committed snapshot at or before that instant. (A purely-numeric
+        string that is not a known id is treated as an epoch time.)"""
         if as_of is None:
             return self.snapshot(table)
-        for s in self.history(table):
-            if s.snapshot_id == as_of:
-                return s
-        # WAP: a staged (unpointered) snapshot is addressable by id so
-        # the audit step can read it. Crash phantoms (staged=False,
-        # also unpointered) stay unreachable.
-        for s in self._log_entries(table):
-            if s.snapshot_id == as_of and s.staged:
-                return s
+        hist = self.history(table)
+        if isinstance(as_of, str):
+            for s in hist:
+                if s.snapshot_id == as_of:
+                    return s
+            # WAP: a staged (unpointered) snapshot is addressable by id
+            # so the audit step can read it. Crash phantoms
+            # (staged=False, also unpointered) stay unreachable.
+            for s in self._log_entries(table):
+                if s.snapshot_id == as_of and s.staged:
+                    return s
+        t = self._as_epoch(as_of)
+        if t is not None:
+            eligible = [s for s in hist if s.committed_at_unix <= t]
+            if eligible:
+                return eligible[-1]  # history() is oldest→newest
+            raise LookupError(
+                f"no snapshot of table {table!r} at or before {as_of!r} "
+                "(before the first commit, or expired)"
+            )
         raise LookupError(f"no snapshot {as_of!r} for table {table!r} (expired?)")
+
+    @staticmethod
+    def _as_epoch(v) -> float | None:
+        """Epoch seconds from a datetime / number / ISO-8601 or numeric
+        string; None when ``v`` doesn't look like a time at all."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return v.timestamp()
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                pass
+            try:
+                return _dt.datetime.fromisoformat(v).timestamp()
+            except ValueError:
+                return None
+        return None
 
     # ------------------------------------------------------ schema evolution
     @staticmethod
@@ -944,7 +981,10 @@ class SnapshotCatalog(Catalog):
         eq: tuple | None = None,
     ) -> DataFrame:
         """Current table state; ``as_of`` = time travel to a snapshot
-        id; ``since`` = incremental scan (directories committed after
+        id OR a point in time (datetime / epoch number / ISO-8601
+        string — the last snapshot committed at or before it, Iceberg's
+        ``FOR SYSTEM_TIME AS OF``); ``since`` = incremental scan
+        (directories committed after
         that snapshot — append/replace deltas only). When no explicit
         ``schema`` is given, the SNAPSHOT's recorded schema drives the
         scan — so after add-column evolution, pre-evolution data dirs
@@ -1149,9 +1189,15 @@ class SnapshotCatalog(Catalog):
         Iceberg rejects both, so the lookup is explicitly over
         :meth:`history`, never the staged-id fallback of ``_resolve``.
         """
-        target = next(
-            (s for s in self.history(table) if s.snapshot_id == snapshot_id), None
-        )
+        hist = self.history(table)
+        target = next((s for s in hist if s.snapshot_id == snapshot_id), None)
+        if target is None:
+            # rollback_to_timestamp: last ancestor at or before the instant
+            t = self._as_epoch(snapshot_id)
+            if t is not None:
+                target = next(
+                    (s for s in reversed(hist) if s.committed_at_unix <= t), None
+                )
         if target is None:
             raise LookupError(
                 f"snapshot {snapshot_id!r} is not an ancestor of table {table!r}'s "

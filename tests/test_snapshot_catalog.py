@@ -947,3 +947,40 @@ def test_compact_preserves_partition_layout_by_default(spark, cat):
     # explicit None flattens
     cat.compact("t", target_file_bytes=10**9, partition_by=None)
     assert {r.partition for r in cat.partitions_metadata("t").collect()} == {""}
+
+
+def test_time_travel_by_timestamp(spark, cat):
+    import datetime
+    import time as _time
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.05)
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    mid = (s1.committed_at_unix + s2.committed_at_unix) / 2
+    # epoch float, ISO string, and datetime all resolve to s1
+    assert _vals(cat.read_table("t", as_of=mid)) == [(1, "a", "x")]
+    iso = datetime.datetime.fromtimestamp(mid).isoformat()
+    assert _vals(cat.read_table("t", as_of=iso)) == [(1, "a", "x")]
+    assert _vals(
+        cat.read_table("t", as_of=datetime.datetime.fromtimestamp(mid))
+    ) == [(1, "a", "x")]
+    # at-or-after the second commit resolves to s2
+    assert _vals(cat.read_table("t", as_of=s2.committed_at_unix)) == [(2, "b", "y")]
+    # before the first commit: nothing existed
+    with pytest.raises(LookupError, match="at or before"):
+        cat.read_table("t", as_of=s1.committed_at_unix - 10)
+    # garbage string is neither id nor time
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of="not-a-snapshot-or-time")
+
+
+def test_rollback_to_timestamp(spark, cat):
+    import time as _time
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.05)
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    mid = (s1.committed_at_unix + s2.committed_at_unix) / 2
+    restored = cat.rollback("t", mid)
+    assert restored.snapshot_id == s1.snapshot_id
+    assert _vals(cat.read_table("t")) == [(1, "a", "x")]
