@@ -21,8 +21,10 @@ cache), ``iceberg_available()`` flips and ``write_table`` uses
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import asdict, dataclass, field
@@ -289,8 +291,11 @@ class SnapshotCatalog(Catalog):
         """``as_of`` accepts a snapshot id (exact, tried first), or a
         point in time — Iceberg's ``FOR SYSTEM_TIME AS OF`` — as a
         datetime, an epoch float/int, or an ISO-8601 string: the last
-        committed snapshot at or before that instant. (A purely-numeric
-        string that is not a known id is treated as an epoch time.)"""
+        committed snapshot at or before that instant. Id-SHAPED strings
+        (16 hex chars) are never re-interpreted as times — an expired or
+        foreign id must raise, not silently resolve to some snapshot.
+        Naive datetimes / ISO strings are read as UTC (host-TZ-
+        independent, like a session set to UTC)."""
         if as_of is None:
             return self.snapshot(table)
         hist = self.history(table)
@@ -306,9 +311,9 @@ class SnapshotCatalog(Catalog):
                     return s
         t = self._as_epoch(as_of)
         if t is not None:
-            eligible = [s for s in hist if s.committed_at_unix <= t]
-            if eligible:
-                return eligible[-1]  # history() is oldest→newest
+            found = self._snapshot_at(hist, t)
+            if found is not None:
+                return found
             raise LookupError(
                 f"no snapshot of table {table!r} at or before {as_of!r} "
                 "(before the first commit, or expired)"
@@ -316,22 +321,38 @@ class SnapshotCatalog(Catalog):
         raise LookupError(f"no snapshot {as_of!r} for table {table!r} (expired?)")
 
     @staticmethod
-    def _as_epoch(v) -> float | None:
-        """Epoch seconds from a datetime / number / ISO-8601 or numeric
-        string; None when ``v`` doesn't look like a time at all."""
-        import datetime as _dt
+    def _snapshot_at(hist: list[Snapshot], t: float) -> Snapshot | None:
+        """Last committed snapshot at or before epoch ``t`` (``hist`` is
+        oldest→newest); None when ``t`` predates the first commit."""
+        return next((s for s in reversed(hist) if s.committed_at_unix <= t), None)
 
-        if isinstance(v, _dt.datetime):
+    #: snapshot ids are uuid4().hex[:16] — a string of this shape is an
+    #: id, NEVER a timestamp (≈1 in 750 ids is float()-parsable, e.g.
+    #: all-digits or 12e345...; treating one as an epoch would silently
+    #: resolve an expired id to the wrong snapshot)
+    _ID_SHAPE = re.compile(r"^[0-9a-f]{16}$")
+
+    @classmethod
+    def _as_epoch(cls, v) -> float | None:
+        """Epoch seconds from a datetime / number / ISO-8601 or numeric
+        string; None when ``v`` doesn't look like a time at all (or is
+        id-shaped). Naive datetimes and ISO strings are taken as UTC so
+        resolution does not depend on the querying host's timezone."""
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
             return v.timestamp()
         if isinstance(v, (int, float)) and not isinstance(v, bool):
             return float(v)
         if isinstance(v, str):
+            if cls._ID_SHAPE.match(v):
+                return None
             try:
                 return float(v)
             except ValueError:
                 pass
             try:
-                return _dt.datetime.fromisoformat(v).timestamp()
+                return cls._as_epoch(datetime.datetime.fromisoformat(v))
             except ValueError:
                 return None
         return None
@@ -975,7 +996,7 @@ class SnapshotCatalog(Catalog):
         self,
         table: str,
         schema=None,
-        as_of: str | None = None,
+        as_of: str | float | int | datetime.datetime | None = None,
         since: str | None = None,
         predicate: tuple | None = None,
         eq: tuple | None = None,
@@ -1172,7 +1193,9 @@ class SnapshotCatalog(Catalog):
         return sorted(set(removed))
 
     # ------------------------------------------------- rollback / orphans
-    def rollback(self, table: str, snapshot_id: str) -> Snapshot:
+    def rollback(
+        self, table: str, snapshot_id: str | float | int | datetime.datetime
+    ) -> Snapshot:
         """Iceberg's ``rollback_to_snapshot``: atomically flip the table
         pointer back to an ANCESTOR snapshot. No data moves — the
         rolled-back-over snapshots become a dead branch that
@@ -1192,12 +1215,12 @@ class SnapshotCatalog(Catalog):
         hist = self.history(table)
         target = next((s for s in hist if s.snapshot_id == snapshot_id), None)
         if target is None:
-            # rollback_to_timestamp: last ancestor at or before the instant
+            # rollback_to_timestamp: last ancestor at or before the
+            # instant (id-shaped strings never parse as times, so an
+            # expired/staged/abandoned id still raises below)
             t = self._as_epoch(snapshot_id)
             if t is not None:
-                target = next(
-                    (s for s in reversed(hist) if s.committed_at_unix <= t), None
-                )
+                target = self._snapshot_at(hist, t)
         if target is None:
             raise LookupError(
                 f"snapshot {snapshot_id!r} is not an ancestor of table {table!r}'s "
@@ -1286,7 +1309,9 @@ class SnapshotCatalog(Catalog):
             and not (excl and (os.path.relpath(root, absdir) + os.sep).startswith(excl))
         ]
 
-    def files_metadata(self, table: str, as_of: str | None = None) -> DataFrame:
+    def files_metadata(
+        self, table: str, as_of: str | float | int | datetime.datetime | None = None
+    ) -> DataFrame:
         """Iceberg's ``<table>.files`` metadata table: one row per LIVE
         data file at the snapshot — (file_path, snapshot_dir,
         partition, size_bytes), paths warehouse-relative. Driver-built
@@ -1318,7 +1343,9 @@ class SnapshotCatalog(Catalog):
         ])
         return self.spark.createDataFrame(rows, schema)
 
-    def partitions_metadata(self, table: str, as_of: str | None = None) -> DataFrame:
+    def partitions_metadata(
+        self, table: str, as_of: str | float | int | datetime.datetime | None = None
+    ) -> DataFrame:
         """Iceberg's ``<table>.partitions``: per-partition file count
         and byte size at the snapshot (empty-string partition = the
         unpartitioned root). The small-file diagnosis input: a

@@ -984,3 +984,35 @@ def test_rollback_to_timestamp(spark, cat):
     restored = cat.rollback("t", mid)
     assert restored.snapshot_id == s1.snapshot_id
     assert _vals(cat.read_table("t")) == [(1, "a", "x")]
+
+
+def test_id_shaped_strings_never_resolve_as_timestamps(spark, cat):
+    import time as _time
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.02)
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    # ~1 in 750 uuid ids is float()-parsable (all digits, or 12e345...);
+    # an expired/foreign id must raise, never resolve as an epoch time
+    for fake_id in ("1234567890123456", "12e3456789012345"):
+        with pytest.raises(LookupError):
+            cat.read_table("t", as_of=fake_id)
+        with pytest.raises(LookupError, match="not an ancestor"):
+            cat.rollback("t", fake_id)
+
+
+def test_timestamp_resolution_is_timezone_aware(spark, cat):
+    import datetime as dt
+    import time as _time
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.05)
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    mid = (s1.committed_at_unix + s2.committed_at_unix) / 2
+    # an aware non-UTC datetime denotes the same absolute instant
+    jst = dt.datetime.fromtimestamp(mid, tz=dt.timezone(dt.timedelta(hours=9)))
+    assert _vals(cat.read_table("t", as_of=jst)) == [(1, "a", "x")]
+    # naive inputs are documented as UTC: a naive UTC rendering of mid
+    naive_utc = dt.datetime.fromtimestamp(mid, tz=dt.timezone.utc).replace(tzinfo=None)
+    assert _vals(cat.read_table("t", as_of=naive_utc)) == [(1, "a", "x")]
+    assert _vals(cat.read_table("t", as_of=naive_utc.isoformat())) == [(1, "a", "x")]
