@@ -65,8 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mt.add_argument("--warehouse", required=True)
     p_mt.add_argument("--table", required=True)
-    p_mt.add_argument("--rollback", metavar="SNAPSHOT_ID",
-                      help="flip the pointer back to an ancestor snapshot")
+    p_mt.add_argument("--rollback", metavar="SNAPSHOT_ID_OR_TIME",
+                      help="flip the pointer back to an ancestor snapshot "
+                           "(id, epoch seconds, or ISO-8601 instant)")
+    p_mt.add_argument("--publish", metavar="SNAPSHOT_ID",
+                      help="publish a pending write-audit-publish stage")
+    p_mt.add_argument("--abandon", metavar="SNAPSHOT_ID",
+                      help="drop a pending write-audit-publish stage")
     p_mt.add_argument("--compact", action="store_true",
                       help="rewrite live data into ~target-file-mb files")
     p_mt.add_argument("--target-file-mb", type=int, default=128)
@@ -121,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
         # then rewrite, then garbage-collect what the rewrite obsoleted
         if args.rollback:
             out["rolled_back_to"] = cat.rollback(args.table, args.rollback).snapshot_id
+        if args.publish:
+            out["published"] = cat.publish(args.table, args.publish).snapshot_id
+        if args.abandon:
+            out["abandoned_dirs"] = cat.abandon_stage(args.table, args.abandon)
         if args.compact or args.zorder:
             snap = cat.compact(
                 args.table,

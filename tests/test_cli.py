@@ -91,3 +91,28 @@ def test_cli_maintain_rollback_orphans_show(spark, tmp_path):
     assert [r["snapshot_id"] for r in out["show"]] == [s1.snapshot_id]
     # the rollback is visible to a fresh reader
     assert cat.read_table("t").count() == 1
+
+
+def test_cli_maintain_publish_and_abandon(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    cat.write_table(spark.createDataFrame([(1, "a")], "k int, r string"), "t")
+    st1 = cat.write_table(
+        spark.createDataFrame([(2, "b")], "k int, r string"), "t",
+        mode="append", staged=True,
+    )
+    out = json.loads(_run("maintain", "--warehouse", wh, "--table", "t",
+                          "--publish", st1.snapshot_id))
+    assert out["published"] == st1.snapshot_id
+    assert cat.read_table("t").count() == 2
+    st2 = cat.write_table(
+        spark.createDataFrame([(3, "c")], "k int, r string"), "t",
+        mode="append", staged=True,
+    )
+    out = json.loads(_run("maintain", "--warehouse", wh, "--table", "t",
+                          "--abandon", st2.snapshot_id))
+    assert len(out["abandoned_dirs"]) == 1
+    assert cat.read_table("t").count() == 2
+    assert cat._pending_stages("t") == []
