@@ -39,76 +39,86 @@ def _import_all() -> None:
 
 
 #: The first 50 registrations = the driver's verification window.
+#:
+#: Round-4 rotation: the 29 round-3 feature queries that had never
+#: received a driver verdict enter the window; 21 slots keep every
+#: SURVEY §2 operator pinned by an in-window green. Ten single-op
+#: queries (A1 A2 A3 A4 A7 A8 J3 J6 K2 P8 — each with 1–3 prior driver
+#: greens) fold into the merged ``q_ops_suite`` so their pins survive
+#: in ONE slot; everything else rotated out holds at least one driver
+#: green on the cumulative ledger (COVERAGE.md) AND stays green in
+#: pytest's full parity suite. Operators whose queries rotated out and
+#: whose pin moved to a sibling in-window query: S5 (field/string →
+#: packet), F4 (bit slice → packet layout path), F6 (expression
+#: reinterpret → q_s5_float_decode layout path), J2 (versioned_payload
+#: → version_lookup), J10 + R3 (flagship), §2.8 (x28 → flagship +
+#: j6-in-suite), A9 (error_ratio → pricing_summary), skew
+#: (salted_counts → q_skew_hot_join), SCD ×2 → latest_per_class,
+#: td ×3 / tx ×2 / dd ×2 / sim ×2 → the round-3 family queries now
+#: entering the window.
 WINDOW: tuple[str, ...] = (
     # flagships: the full parse→enrich→route pipeline under the strong gate
     "q_pl_routed_events",
     "q_pl_repeat_records",
-    # decimal→cents rewrites (hash-failed r01/r02 with identical values)
-    "q_a9_pricing_summary",
-    "q_a7_route_counts",
-    "q_j1_broadcast_enrich",
-    "q_j7_fact_join",
-    "q_w1_event_features",
-    "q_skew_salted_counts",
-    # hex/payload decode family (S5/P3/K3/F6 + §2.8 + J2 payload path)
-    "q_s5_field_decode",
-    "q_s5_float_decode",
-    "q_s5_string_decode",
-    "q_s5_packet_decode",
-    "q_x28_repeat_decode",
-    "q_j2_versioned_payload",
-    "q_j2_version_lookup",
-    # joins & structure
-    "q_j4_struct_flatten",
-    "q_j8_positional_zip",
-    "q_j3_dep_closure",
-    "q_j6_dynamic_repeat",
-    # scalar functions
-    "q_f4_bit_slice",
-    "q_f6_float_reinterpret",
-    "q_fx_bitmath",
-    # parse/cleanup
-    "q_p9_description_cleanup",
-    "q_p8_quarantine",
-    # aggregation family
-    "q_a1_ordered_merge",
-    "q_a2_header_dedup",
-    "q_a3_section_group",
-    "q_a4_record_stride",
-    "q_a8_depset_sorted",
-    "q_a9_error_ratio",
-    # windows & sorts
-    "q_w23_sorts",
-    # set operations
-    "q_so_membership",
-    "q_so_setops",
-    # sinks
-    "q_k2_json_sink",
-    # SCD revision dimension
-    "q_scd_revision_activity",
-    "q_scd_latest_per_class",
-    # streaming
-    "q_r4_stream_hourly",
-    # training-data family: text analysis
-    "q_tx_lang_profile",
-    "q_tx_doc_profile",
-    "q_tx_redact",
-    "q_tx_fingerprint_rolling",
-    # training-data family: dedup — cluster_dedup strictly subsumes
-    # q_dd_jaccard3_pairs (green r01+r02, now ledger): same guarded
-    # pair graph, plus connected components + survivor assignment
-    "q_dd_cluster_dedup",
-    "q_dd_contamination",
-    # training-data family: similarity
-    "q_sim_neardup",
-    "q_sim_gemm_topk",
-    # training-data family: dataset prep + corpus flagship
-    "q_td_hash_split",
-    "q_td_deterministic_sample",
-    "q_td_pack_sequences",
-    "q_corpus_stats",
-    # remaining lookup op
-    "q_j10_enum_map",
+    # retained §2 pins (multi-operator queries)
+    "q_a9_pricing_summary",   # A9 F8 S4
+    "q_j1_broadcast_enrich",  # J1 S7
+    "q_j7_fact_join",         # J7
+    "q_w1_event_features",    # W1 W4 W5
+    "q_s5_packet_decode",     # S5 P3 K3 P6 P8-reasons R6
+    "q_s5_float_decode",      # F6 layout path
+    "q_j2_version_lookup",    # J2
+    "q_j4_struct_flatten",    # J4
+    "q_j8_positional_zip",    # J8
+    "q_fx_bitmath",           # A5 F3 F5 F7
+    "q_p9_description_cleanup",  # P9 F2 S4
+    "q_w23_sorts",            # W2 W3
+    "q_so_membership",        # J5 SO1 SO4 SO5
+    "q_so_setops",            # SO2 SO3
+    "q_r4_stream_hourly",     # F9 R4
+    "q_tx_lang_profile",      # P10 + langid/token stats
+    "q_corpus_stats",         # corpus flagship + exact dedup
+    "q_scd_latest_per_class",  # SCD dim
+    # ten operator pins in one slot (see queries_merged.q_ops_suite)
+    "q_ops_suite",            # A1 A2 A3 A4 A7 A8 J3 J6 K2/F10 P5/P8/R3
+    # round-3 feature surface, never driver-checked before r04:
+    # dedup increments + span removal
+    "q_dd_incremental",
+    "q_dd_dup_spans",
+    "q_dd_remove_spans",
+    # log template mining
+    "q_log_templates",
+    "q_log_multiline",
+    "q_log_template_drift",
+    # text/model-quality family
+    "q_tx_model_quality",
+    "q_tx_df_prune",
+    "q_tx_tfidf_topk",
+    "q_tx_length_percentiles",
+    # dataset prep
+    "q_td_chunk_windows",
+    "q_td_importance",
+    "q_td_domain_mix",
+    "q_td_stratified_sample",
+    # OLAP grouping sets + pivot
+    "q_a_rollup_hierarchy",
+    "q_a_cube_matrix",
+    "q_a_pivot_matrix",
+    # windowed behavioral analytics
+    "q_w_top_talkers",
+    "q_w_sessionize",
+    "q_w_funnel",
+    "q_w_retention",
+    "q_w_anomaly_hours",
+    # profiling + temporal joins + sketches
+    "q_profile_columns",
+    "q_j_asof_rates",
+    "q_j_range_campaigns",
+    "q_sk_quantile_hist",
+    # similarity + skew + P7/A6 merged profile
+    "q_sim_semantic_dedup",
+    "q_skew_hot_join",
+    "q_p7a6_brand_profile",   # P7 A6
 )
 
 

@@ -341,6 +341,139 @@ def q_tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1+A2+A3+A4+A7+A8+J3+J6+K2+P8: ten operator pins as one kind-tagged union
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_ops_suite",
+    f"""
+    WITH RECURSIVE nodes AS (SELECT DISTINCT {_K} % 100 AS node FROM events),
+    closure(root, node) AS (
+      SELECT node AS root, node FROM nodes WHERE node >= 90
+      UNION
+      SELECT c.root, c.node // 2 FROM closure c WHERE c.node > 0
+    )
+    SELECT 'a1' AS kind, CAST(o_custkey AS VARCHAR) AS key,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS metric,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey) AS detail
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+    UNION ALL
+    SELECT 'a2', p_brand,
+           COUNT(*) FILTER (WHERE rn = 1 OR lower(p_type) <> lower(header)),
+           COUNT(*) FILTER (WHERE rn > 1 AND lower(p_type) = lower(header)),
+           ''
+    FROM (SELECT p_brand, p_type,
+                 row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn,
+                 first_value(p_type) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS header
+          FROM part) GROUP BY p_brand
+    UNION ALL
+    SELECT 'a3', CAST(major AS VARCHAR), COUNT(*),
+           CAST(MIN(minor) * 100 + MAX(minor) AS BIGINT), ''
+    FROM (SELECT DISTINCT ({_K} % 5)::BIGINT AS major, ({_K} % 13)::BIGINT AS minor
+          FROM events)
+    GROUP BY major
+    UNION ALL
+    SELECT 'a4', CAST(tbl AS VARCHAR), COUNT(*),
+           CAST((MAX(off_bits + len_bits) + 7) // 8 AS BIGINT), ''
+    FROM (SELECT {_K} % 20 AS tbl, {_K} % 64 AS off_bits, ({_K} % 13) + 1 AS len_bits
+          FROM events)
+    GROUP BY tbl
+    UNION ALL
+    SELECT 'a7', route, COUNT(*),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT), ''
+    FROM (SELECT CASE WHEN event_type = 'error' THEN 'sink_errors'
+                      WHEN event_type IN ('purchase', 'signup') THEN 'sink_conversions'
+                      ELSE 'sink_activity' END AS route, value
+          FROM events)
+    GROUP BY route
+    UNION ALL
+    SELECT 'a8', o_orderpriority, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'j3', CAST(root AS VARCHAR), COUNT(*), CAST(MIN(node) AS BIGINT), ''
+    FROM closure GROUP BY root
+    UNION ALL
+    SELECT 'j6', event_type, COUNT(*), CAST(SUM(rec) AS BIGINT), ''
+    FROM (SELECT event_type, unnest(generate_series(1, cnt)) AS rec
+          FROM (SELECT event_type,
+                       COALESCE(NULLIF({_K} % 5, 0), NULLIF(bit_count({_K}) % 3, 0), 1) AS cnt
+                FROM events))
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'k2', CAST(doc_id AS VARCHAR), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(to_json(struct_pack(lang := lang, n_chars := n_chars)) AS VARCHAR)
+    FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT 'p8', channel || ':' || event_type, COUNT(*), CAST(0 AS BIGINT), ''
+    FROM (SELECT CASE WHEN value IS NULL OR value < 0
+                        OR props NOT SIMILAR TO '\\{{"k": \\d+\\}}'
+                      THEN 'quarantine' ELSE 'valid' END AS channel, event_type
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 window compaction: ten §2 operator pins as one
+    kind-tagged union over the SAME proven implementations — ordered
+    merge (A1), header dedup (A2), section-major group (A3), record
+    stride (A4), route counters (A7), dep-set dedup+sort (A8),
+    dependency-closure BFS (J3), dynamic repeat expansion (J6/§2.8),
+    JSON sink projection (K2/F10), and validator quarantine (P5/P8/R3).
+    Every constituent DataFrame comes from its original registered
+    callable (q_a1_ordered_merge, …, q_p8_quarantine — each with 1–3
+    prior driver greens) re-projected onto the common
+    (kind, key, n, metric, detail) schema, so this slot value-checks
+    the identical plans the per-operator queries run in pytest parity."""
+    # lazy sibling imports: registration side-effects without import cycles
+    from . import queries_ops, queries_ops2  # noqa: F401
+    from .queries import QUERIES
+
+    def run(name: str) -> DataFrame:
+        return QUERIES[name][0](spark, sf_dir)
+
+    z = F.lit(0).cast("long")
+    e = F.lit("")
+
+    def shape(df: DataFrame, kind: str, key, n=None, metric=None, detail=None):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            key.cast("string").alias("key"),
+            (n if n is not None else z).cast("long").alias("n"),
+            (metric if metric is not None else z).cast("long").alias("metric"),
+            (detail if detail is not None else e).alias("detail"),
+        )
+
+    parts = [
+        shape(run("q_a1_ordered_merge"), "a1", F.col("o_custkey"),
+              n=F.col("n_orders"), detail=F.col("merged")),
+        shape(run("q_a2_header_dedup"), "a2", F.col("p_brand"),
+              n=F.col("n_kept"), metric=F.col("n_dropped")),
+        shape(run("q_a3_section_group"), "a3", F.col("major"),
+              n=F.col("n_tables"),
+              metric=F.col("min_minor") * 100 + F.col("max_minor")),
+        shape(run("q_a4_record_stride"), "a4", F.col("tbl"),
+              n=F.col("n_fields"), metric=F.col("stride_bytes")),
+        shape(run("q_a7_route_counts"), "a7", F.col("route"),
+              n=F.col("n"), metric=F.col("sum_value_c")),
+        shape(run("q_a8_depset_sorted"), "a8", F.col("o_orderpriority"),
+              detail=F.col("deps")),
+        shape(run("q_j3_dep_closure"), "j3", F.col("root"),
+              n=F.col("n_reachable"), metric=F.col("min_node")),
+        shape(run("q_j6_dynamic_repeat"), "j6", F.col("event_type"),
+              n=F.col("n_records"), metric=F.col("sum_rec")),
+        shape(run("q_k2_json_sink"), "k2", F.col("doc_id"),
+              detail=F.col("payload")),
+        shape(run("q_p8_quarantine"), "p8",
+              F.concat("channel", F.lit(":"), "event_type"), n=F.col("n")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # quality + BPE count + repetition: one per-source document profile
 # ---------------------------------------------------------------------------
 
