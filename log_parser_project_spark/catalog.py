@@ -21,8 +21,11 @@ cache), ``iceberg_available()`` flips and ``write_table`` uses
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import fcntl
 import json
+import math
 import os
 import re
 import time
@@ -246,6 +249,16 @@ class SnapshotCatalog(Catalog):
       resume (SURVEY.md §7.4 risk 7);
     * ``read_table(..., since=snap)`` is the incremental (CDC-style)
       scan over directories added by append commits after ``snap``.
+
+    Concurrency contract: all manifest-log mutations (commit appends,
+    publish, and the read-filter-rewrite maintenance paths
+    ``abandon_stage`` / ``expire_snapshots``) serialize on a per-table
+    ``flock`` sidecar (:meth:`_log_lock`), so a commit can never be
+    silently dropped by a concurrent rewrite on the same host.
+    Multiple writers on DIFFERENT hosts against a shared filesystem
+    are out of scope — that coordination belongs to a real catalog
+    service (Hive/REST/Glue), which is exactly what Iceberg's atomic
+    metadata swap delegates to.
     """
 
     def exists(self, table: str) -> bool:
@@ -257,6 +270,28 @@ class SnapshotCatalog(Catalog):
     # ------------------------------------------------------------ manifests
     def _log_path(self, table: str) -> str:
         return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.log.jsonl")
+
+    @contextlib.contextmanager
+    def _log_lock(self, table: str):
+        """Exclusive per-table advisory lock (flock on a sidecar file)
+        held across every manifest-log mutation. The append paths
+        (write_table, publish) are single-file-atomic on their own, but
+        the maintenance rewrites (abandon_stage, expire_snapshots) are
+        read-filter-rewrite: an append landing inside that window would
+        be silently dropped by the os.replace. The lock serializes
+        appends against rewrites within this host — the same guarantee
+        Iceberg gets from its atomic catalog swap. Cross-host writers
+        need an external catalog lock; flock does not travel over NFS
+        reliably, and multi-writer-multi-host is out of scope for this
+        parquet shim (documented on the class)."""
+        path = self._log_path(table) + ".lock"
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def history(self, table: str) -> list[Snapshot]:
         """All committed snapshots, oldest first — the parent chain
@@ -343,12 +378,16 @@ class SnapshotCatalog(Catalog):
                 v = v.replace(tzinfo=datetime.timezone.utc)
             return v.timestamp()
         if isinstance(v, (int, float)) and not isinstance(v, bool):
-            return float(v)
+            # inf/nan are not instants; returning None routes them to
+            # the same LookupError as any other garbage value instead
+            # of silently resolving 'inf' to the newest snapshot
+            return float(v) if math.isfinite(v) else None
         if isinstance(v, str):
             if cls._ID_SHAPE.match(v):
                 return None
             try:
-                return float(v)
+                f = float(v)
+                return f if math.isfinite(f) else None
             except ValueError:
                 pass
             try:
@@ -530,12 +569,14 @@ class SnapshotCatalog(Catalog):
             staged=staged,
         )
         # append to the log first, then atomically flip the pointer —
-        # the pointer replace is the commit point
-        with open(self._log_path(table), "a") as f:
-            f.write(json.dumps(asdict(snap)) + "\n")
-        if staged:
-            return snap  # WAP: pointer untouched until publish()
-        self._flip_pointer(table, snap)
+        # the pointer replace is the commit point; the lock keeps the
+        # append from racing a maintenance rewrite's read-filter-replace
+        with self._log_lock(table):
+            with open(self._log_path(table), "a") as f:
+                f.write(json.dumps(asdict(snap)) + "\n")
+            if staged:
+                return snap  # WAP: pointer untouched until publish()
+            self._flip_pointer(table, snap)
         return snap
 
     def _flip_pointer(self, table: str, snap: Snapshot) -> None:
@@ -583,11 +624,18 @@ class SnapshotCatalog(Catalog):
                 f"table pointer is {cur_id!r}; re-stage against the current state"
             )
         snap.staged = False
+        # visibility timeline: readers could not see this snapshot until
+        # NOW, so the published line carries publish time (Iceberg's
+        # cherry-pick/commit time) — timestamp time-travel and rollback
+        # resolve against when data became visible, not when it was
+        # staged. The staged line keeps the stage time for forensics.
+        snap.committed_at_unix = time.time()
         # a published line so history()'s by-id map resolves the final
         # (unstaged) version; the old staged line becomes inert
-        with open(self._log_path(table), "a") as f:
-            f.write(json.dumps(asdict(snap)) + "\n")
-        self._flip_pointer(table, snap)
+        with self._log_lock(table):
+            with open(self._log_path(table), "a") as f:
+                f.write(json.dumps(asdict(snap)) + "\n")
+            self._flip_pointer(table, snap)
         return snap
 
     def abandon_stage(self, table: str, snapshot_id: str) -> list[str]:
@@ -599,20 +647,23 @@ class SnapshotCatalog(Catalog):
         removed dirs."""
         import shutil
 
-        entries = self._log_entries(table)
-        published = {s.snapshot_id for s in entries if not s.staged}
-        targets = [s for s in entries if s.snapshot_id == snapshot_id and s.staged]
-        if not targets or snapshot_id in published:
-            raise LookupError(
-                f"no pending staged snapshot {snapshot_id!r} for table {table!r}"
-            )
-        remaining = [s for s in entries if s.snapshot_id != snapshot_id]
-        lpath = self._log_path(table)
-        tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            for s in remaining:
-                f.write(json.dumps(asdict(s)) + "\n")
-        os.replace(tmp, lpath)
+        with self._log_lock(table):
+            entries = self._log_entries(table)
+            published = {s.snapshot_id for s in entries if not s.staged}
+            targets = [
+                s for s in entries if s.snapshot_id == snapshot_id and s.staged
+            ]
+            if not targets or snapshot_id in published:
+                raise LookupError(
+                    f"no pending staged snapshot {snapshot_id!r} for table {table!r}"
+                )
+            remaining = [s for s in entries if s.snapshot_id != snapshot_id]
+            lpath = self._log_path(table)
+            tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as f:
+                for s in remaining:
+                    f.write(json.dumps(asdict(s)) + "\n")
+            os.replace(tmp, lpath)
         # dirs still referenced: the pointer chain + every other line
         # (pending stages inherit parent dirs; phantoms are inert but
         # their dirs belong to the sweep, not to this targeted drop)
@@ -1152,6 +1203,10 @@ class SnapshotCatalog(Catalog):
         directories no live snapshot references. Returns removed dirs."""
         import shutil
 
+        with self._log_lock(table):
+            return self._expire_locked(table, keep_last, shutil)
+
+    def _expire_locked(self, table: str, keep_last: int, shutil) -> list[str]:
         hist = self.history(table)
         if len(hist) <= keep_last:
             return []

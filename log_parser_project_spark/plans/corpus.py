@@ -118,6 +118,21 @@ def commit_increment(
     (doc_id, status, dup_of, sim), already materialized — re-committing
     the same increment is a no-op (every doc reports
     ``exact_history``; nothing is appended).
+
+    Crash consistency: the three commits are not one atomic
+    transaction, so the write ORDER makes every crash window
+    recoverable. The corpus is the source of truth and the index is
+    derived data; writes go docs → bands → index_docs, so a doc
+    present in ``_index_docs`` is guaranteed fully committed
+    everywhere. On entry, any committed doc MISSING from
+    ``_index_docs`` (a crash between the docs commit and the index
+    commits, or a lost index table) is detected and its index rows
+    rebuilt from the committed text before deduping the increment —
+    without the repair, every later increment would silently miss
+    duplicates against those docs. The fast path is a count
+    comparison (index ⊆ corpus holds by write order, so equal counts
+    ⇒ equal id sets — no corpus-wide anti-join per increment); the
+    id-level anti-join runs only when the counts diverge.
     """
     from ..operators.dedup import build_dedup_index, increment_dedup_report
 
@@ -125,8 +140,48 @@ def commit_increment(
     history = idx_docs = idx_bands = None
     if catalog.exists(table):
         history = catalog.read_table(table)
-        idx_docs = catalog.read_table(docs_t)
-        idx_bands = catalog.read_table(bands_t)
+        have_idx = catalog.exists(docs_t) and catalog.exists(bands_t)
+        if have_idx:
+            idx_docs = catalog.read_table(docs_t)
+            idx_bands = catalog.read_table(bands_t)
+            unindexed = (
+                history
+                if history.select(id_col).count() != idx_docs.count()
+                else None
+            )
+            if unindexed is not None:
+                unindexed = history.join(
+                    idx_docs.select(id_col), id_col, "left_anti"
+                )
+        else:
+            unindexed = history  # index tables lost/never written
+        if unindexed is not None and not unindexed.isEmpty():
+            rep_docs, rep_bands = build_dedup_index(
+                unindexed, n=n, num_hashes=num_hashes, bands=bands,
+                id_col=id_col, text_col=text_col,
+            )
+            repair_lineage = {"stage": "incremental_dedup_index_repair"}
+            if have_idx:
+                # a crash BETWEEN the bands and index_docs commits left
+                # band rows for these docs — don't append them twice
+                rep_bands = rep_bands.join(
+                    idx_bands.select(id_col).distinct(), id_col, "left_anti"
+                )
+                catalog.write_table(
+                    rep_bands, bands_t, mode="append", lineage=repair_lineage
+                )
+                catalog.write_table(
+                    rep_docs, docs_t, mode="append", lineage=repair_lineage
+                )
+            else:
+                catalog.write_table(
+                    rep_bands, bands_t, mode="overwrite", lineage=repair_lineage
+                )
+                catalog.write_table(
+                    rep_docs, docs_t, mode="overwrite", lineage=repair_lineage
+                )
+            idx_docs = catalog.read_table(docs_t)
+            idx_bands = catalog.read_table(bands_t)
     report = increment_dedup_report(
         increment, history, idx_docs, idx_bands,
         n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -142,7 +197,9 @@ def commit_increment(
         )
         mode = "append" if history is not None else "overwrite"
         lineage = {"stage": "incremental_dedup", "added": n_kept}
+        # recovery-ordered: docs first (source of truth), index_docs
+        # LAST (the commit marker the entry repair keys on)
         catalog.write_table(survivors, table, mode=mode, lineage=lineage, row_count=n_kept)
-        catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
         catalog.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
+        catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
     return report

@@ -849,3 +849,70 @@ def test_commit_increment_accumulates_and_recommit_adds_nothing_kept(
     assert cat.read_table("corpus").count() == kept0 + kept1 + r2.filter(
         F.col("status") == "kept"
     ).count()
+
+
+def test_commit_increment_repairs_missing_index_rows(spark, docs, tmp_path):
+    """Crash window between the docs commit and the index commits:
+    committed docs with lost index rows must be re-indexed on the next
+    increment, so duplicates against them are still caught (without the
+    repair they would silently be re-kept)."""
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.operators.sampling import hash_bucket
+    from log_parser_project_spark.plans.corpus import commit_increment
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    inc0 = docs.filter(hash_bucket(F.col("doc_id"), 2) == 0)
+    r0 = commit_increment(cat, inc0)
+    kept0 = {r.doc_id for r in r0.filter(F.col("status") == "kept").collect()}
+    assert kept0
+
+    # drop HALF the index rows (docs + bands), keeping the corpus intact
+    keep_ids = sorted(kept0)[: len(kept0) // 2]
+    for t in ("corpus_index_docs", "corpus_index_bands"):
+        full = cat.read_table(t)
+        kept_rows = full.filter(F.col("doc_id").isin(keep_ids)).collect()
+        cat.write_table(
+            spark.createDataFrame(kept_rows, full.schema), t, mode="overwrite"
+        )
+    assert cat.read_table("corpus_index_docs").count() == len(keep_ids)
+
+    # re-commit the same docs: every previously-kept doc must be
+    # recognized as exact history — nothing re-appended
+    r1 = commit_increment(cat, inc0)
+    statuses = {r.doc_id: r.status for r in r1.collect()}
+    assert all(statuses[d] == "exact_history" for d in kept0)
+    assert cat.read_table("corpus").count() == len(kept0)
+    # index healed back to one row per committed doc
+    assert cat.read_table("corpus_index_docs").count() == len(kept0)
+    bands_per_doc = (
+        cat.read_table("corpus_index_bands").groupBy("doc_id").count()
+        .select(F.max("count")).first()[0]
+    )
+    assert bands_per_doc == cat.read_table("corpus_index_bands").groupBy(
+        "doc_id"
+    ).count().select(F.min("count")).first()[0]  # no doubled band rows
+
+
+def test_commit_increment_rebuilds_lost_index_tables(spark, docs, tmp_path):
+    """Total index loss (crash before the FIRST index commit, or a
+    deleted derived table): the whole index is rebuilt from the
+    committed corpus — the corpus is the source of truth."""
+    import shutil
+
+    from log_parser_project_spark.catalog import Catalog
+    from log_parser_project_spark.operators.sampling import hash_bucket
+    from log_parser_project_spark.plans.corpus import commit_increment
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    inc0 = docs.filter(hash_bucket(F.col("doc_id"), 2) == 0)
+    r0 = commit_increment(cat, inc0)
+    kept0 = {r.doc_id for r in r0.filter(F.col("status") == "kept").collect()}
+
+    shutil.rmtree(cat.path("corpus_index_docs"))
+    shutil.rmtree(cat.path("corpus_index_bands"))
+
+    r1 = commit_increment(cat, inc0)
+    statuses = {r.doc_id: r.status for r in r1.collect()}
+    assert all(statuses[d] == "exact_history" for d in kept0)
+    assert cat.read_table("corpus").count() == len(kept0)
+    assert cat.read_table("corpus_index_docs").count() == len(kept0)

@@ -959,11 +959,14 @@ def test_time_travel_by_timestamp(spark, cat):
     mid = (s1.committed_at_unix + s2.committed_at_unix) / 2
     # epoch float, ISO string, and datetime all resolve to s1
     assert _vals(cat.read_table("t", as_of=mid)) == [(1, "a", "x")]
-    iso = datetime.datetime.fromtimestamp(mid).isoformat()
-    assert _vals(cat.read_table("t", as_of=iso)) == [(1, "a", "x")]
-    assert _vals(
-        cat.read_table("t", as_of=datetime.datetime.fromtimestamp(mid))
-    ) == [(1, "a", "x")]
+    # naive inputs are documented as UTC — build them from UTC so the
+    # test is host-timezone-independent (a local-time naive value would
+    # resolve to the wrong snapshot on any non-UTC host)
+    naive_utc = datetime.datetime.fromtimestamp(
+        mid, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    assert _vals(cat.read_table("t", as_of=naive_utc.isoformat())) == [(1, "a", "x")]
+    assert _vals(cat.read_table("t", as_of=naive_utc)) == [(1, "a", "x")]
     # at-or-after the second commit resolves to s2
     assert _vals(cat.read_table("t", as_of=s2.committed_at_unix)) == [(2, "b", "y")]
     # before the first commit: nothing existed
@@ -1016,3 +1019,84 @@ def test_timestamp_resolution_is_timezone_aware(spark, cat):
     naive_utc = dt.datetime.fromtimestamp(mid, tz=dt.timezone.utc).replace(tzinfo=None)
     assert _vals(cat.read_table("t", as_of=naive_utc)) == [(1, "a", "x")]
     assert _vals(cat.read_table("t", as_of=naive_utc.isoformat())) == [(1, "a", "x")]
+
+
+def test_non_finite_as_of_raises(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    # 'inf' is float()-parsable but not an instant — it must raise like
+    # any other garbage string, never resolve to the newest snapshot
+    for bad in ("inf", "-inf", "nan", float("inf"), float("nan")):
+        with pytest.raises(LookupError):
+            cat.read_table("t", as_of=bad)
+
+
+def test_publish_stamps_publish_time(spark, cat):
+    import time as _time
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(
+        _df(spark, [(2, "b", "y")]), "t", mode="append", staged=True
+    )
+    _time.sleep(0.05)
+    before_publish = _time.time()
+    _time.sleep(0.05)
+    pub = cat.publish("t", staged.snapshot_id)
+    # visibility timeline: the published snapshot carries PUBLISH time,
+    # not stage time — a reader at before_publish could only see s1
+    assert pub.committed_at_unix > before_publish > staged.committed_at_unix
+    assert _vals(cat.read_table("t", as_of=before_publish)) == [(1, "a", "x")]
+    assert _vals(cat.read_table("t", as_of=pub.committed_at_unix)) == [
+        (1, "a", "x"), (2, "b", "y")
+    ]
+
+
+def test_log_lock_serializes_append_against_rewrite(spark, cat):
+    """A maintenance rewrite (expire_snapshots) holds the per-table
+    flock, so a racing commit append cannot land inside its
+    read-filter-replace window and be dropped."""
+    import threading
+    import time as _time
+
+    for i in range(3):
+        cat.write_table(_df(spark, [(i, "a", "x")]), "t", mode="append")
+
+    entered = threading.Event()
+    release = threading.Event()
+    orig = type(cat)._expire_locked
+
+    def slow_expire(self, table, keep_last, shutil):
+        entered.set()
+        release.wait(timeout=10)
+        return orig(self, table, keep_last, shutil)
+
+    results = {}
+
+    def do_expire():
+        type(cat)._expire_locked = slow_expire
+        try:
+            results["expired"] = cat.expire_snapshots("t", keep_last=1)
+        finally:
+            type(cat)._expire_locked = orig
+
+    t1 = threading.Thread(target=do_expire)
+    t1.start()
+    assert entered.wait(timeout=10)
+
+    def do_commit():
+        results["snap"] = cat.write_table(
+            _df(spark, [(99, "z", "z")]), "t", mode="append"
+        )
+
+    t2 = threading.Thread(target=do_commit)
+    t2.start()
+    t2.join(timeout=1.0)
+    # the commit is blocked on the lock while the rewrite is in flight
+    assert t2.is_alive()
+    release.set()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert not t1.is_alive() and not t2.is_alive()
+    # the append survived the rewrite: it is the committed pointer
+    hist = cat.history("t")
+    assert hist[-1].snapshot_id == results["snap"].snapshot_id
+    assert (99, "z", "z") in _vals(cat.read_table("t"))
