@@ -147,6 +147,32 @@ def main() -> None:
             _extract_agg(ex).collect()
             best = min(best, time.perf_counter() - t0)
         timings[f"pipeline_{ex}_extract_pass"] = round(best, 3)
+
+    # match-KERNEL micro-bench (driver-side, cached in-memory batch, no
+    # route/agg/exchange): isolates the per-row regex-engine cost the
+    # full passes above cannot resolve — the kernel is ~20 ms of a
+    # ~1.5 s distributed pass, far inside the ±10% box noise, which is
+    # why r02/r03 full-pass orderings flip-flopped. This is the number
+    # choose_extractor's arrow-before-pandas preference rests on
+    # (measured: RE2/Arrow ≈ 1.5–2× the pandas str.extract kernel).
+    from log_parser_project_spark.operators import parse as parse_mod
+
+    kernel_pdf = (
+        parse_mod.classify(tdf2.limit(60_000), "text")
+        .select("text", "pattern_class", "version")
+        .toPandas()
+    )
+    match_kernel: dict[str, float] = {"rows": len(kernel_pdf)}
+    for ex in ("pandas", "arrow"):
+        fn = parse_mod._make_extract_udf(parse_mod.PATTERNS, ex)[0].func
+        args = (kernel_pdf["text"], kernel_pdf["pattern_class"], kernel_pdf["version"])
+        fn(*args)  # warm (compile caches)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(*args)
+            best = min(best, time.perf_counter() - t0)
+        match_kernel[f"{ex}_us_per_row"] = round(best * 1e6 / len(kernel_pdf), 3)
     tdf2.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -161,6 +187,7 @@ def main() -> None:
                 "pipeline_rows": n_rows,
                 "turns_per_sec": round(n_rows / pipeline_sec, 1),
                 "cpus": cpus,
+                "match_kernel": match_kernel,
             }
         )
     )

@@ -184,9 +184,10 @@ def _make_extract_udf(patterns: tuple[Pattern, ...], impl: str):
     #   matcher(sub, rx, groups) -> (ok_mask: np.bool_[], {group: values[ok]})
     # "pandas" = Series.str.extract (Python re); "arrow" = RE2 via
     # pyarrow.compute.extract_regex — a single C++ pass over the Arrow
-    # string array per pattern per batch (~10× the Python-re loop; the
-    # north star's "batched re2-style matching over Arrow string
-    # arrays", literally). Only the repeat-group findall (matched
+    # string array per pattern per batch (≈1.5–2× the pandas kernel,
+    # bench.py match_kernel; the north star's "batched re2-style
+    # matching over Arrow string arrays", literally). Only the
+    # repeat-group findall (matched
     # tool_call/citation rows) stays in Python re on either engine.
     def _match_pandas(sub: pd.Series, rx, groups):
         hit = sub.str.extract(rx)
@@ -337,8 +338,14 @@ def _portable(regex: str) -> bool:
 
 def choose_extractor(spark, patterns: tuple[Pattern, ...] = PATTERNS) -> str:
     """Resolve ``extractor="auto"``: the fastest engine whose semantics
-    are provably identical for THIS registry (bench: jvm ≈ 4×, arrow ≈
-    3× the pandas pass).
+    are provably identical for THIS registry. Cost model (bench.py's
+    ``match_kernel`` micro-bench — kernel-only, cached batch, no
+    exchange): jvm skips the Python exchange entirely (zero
+    ArrowEvalPython nodes, the whole plan stays codegen'd); arrow
+    (RE2) runs the match kernel ≈ 1.5–2× faster than pandas
+    ``str.extract``. Full-pass timings CANNOT rank arrow vs pandas —
+    the kernel is ~20 ms of a ~1.5 s distributed pass, inside box
+    noise, which is why r02/r03 full-pass orderings flip-flopped.
 
     * ``jvm`` — registry compiled to built-in expressions — when every
       regex is engine-portable (ASCII, explicit classes, no divergent
