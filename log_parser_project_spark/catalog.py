@@ -32,6 +32,8 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -122,9 +124,7 @@ class Catalog:
         if callable(row_count):
             row_count = int(row_count())
         if row_count is None:
-            # read back with the writer's schema — an empty sink has no
-            # footer to infer from (found by /verify's empty-input probe)
-            row_count = self.spark.read.schema(df.schema).parquet(self.path(table)).count()
+            row_count = self._dir_row_count(self.path(table))
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex[:16],
             table=table,
@@ -137,6 +137,24 @@ class Catalog:
         ) as f:
             json.dump(asdict(snap), f, indent=2)
         return snap
+
+    @staticmethod
+    def _dir_row_count(absdir: str) -> int:
+        """Row count summed from parquet FOOTERS — metadata-only, no
+        Spark job, no data read. The commit-time default when the
+        caller didn't supply ``row_count``: the write just produced
+        these footers, so re-reading the data to count it would plan a
+        full scan of the new snapshot for a number the files already
+        carry. An empty sink (no files) counts 0, matching the old
+        schema-supplied read-back."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _d, fns in os.walk(absdir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return n
 
     # ---------------------------------------------------------------- read
     def read_table(self, table: str, schema=None) -> DataFrame:
@@ -532,7 +550,7 @@ class SnapshotCatalog(Catalog):
         if callable(row_count):
             row_count = int(row_count())
         if row_count is None:
-            row_count = self.spark.read.schema(df.schema).parquet(abs_dir).count()
+            row_count = self._dir_row_count(abs_dir)
 
         new_entry = {"dir": rel_dir, "exclude": []}
         if stats_cols:
@@ -760,15 +778,15 @@ class SnapshotCatalog(Catalog):
     _BLOOM_SIDECAR = "_bloom.json"
 
     def _write_blooms(self, absdir: str, cols: list[str], m: int, k: int) -> None:
-        """One distributed pass per commit: every (file, col) pair's set
-        bit positions come back as a bounded array (``collect_set`` of
-        ``xxhash64(cast(col as string), seed) mod m`` — at most ``m``
-        elements per file, thousands of times smaller than the data);
-        the driver only packs bits. Values hash via their STRING image
-        so the probe literal never drifts from the stored type; nulls
-        set no bits (an eq-probe is for a concrete value)."""
-        import base64
-
+        """One distributed pass per commit: each (file, col) pair's set
+        bit positions aggregate executor-side (``collect_set`` of
+        ``xxhash64(cast(col as string), seed) mod m`` — map-side
+        combined, at most ``m`` elements per file) and are PACKED into
+        the b64 bitmap executor-side too, so the driver collects one
+        bounded string per (file, col) and only inserts them into the
+        sidecar dict. Values hash via their STRING image so the probe
+        literal never drifts from the stored type; nulls set no bits
+        (an eq-probe is for a concrete value)."""
         from pyspark.sql import functions as F
 
         df = self.spark.read.parquet(absdir)
@@ -800,6 +818,31 @@ class SnapshotCatalog(Catalog):
                         F.array().cast(arr_t)
                     )
                 )
+            # pack the bitmap EXECUTOR-side: collect_set keeps its
+            # map-side combine (the shuffle moves position SETS, not the
+            # raw probe stream), then an Arrow-batched UDF folds each
+            # set into the b64 bitmap, so the driver collects ONE
+            # bounded string per (file, col) — ~1.4 KB for m=8192 —
+            # instead of up to m longs (64 KB); driver work is O(files)
+            # string inserts, no bit twiddling
+            nbytes = (m + 7) // 8
+
+            @F.pandas_udf("string")
+            def _pack_bits(ps: pd.Series) -> pd.Series:
+                import base64 as _b64
+
+                import numpy as np
+
+                out = []
+                for positions in ps:
+                    bits = np.zeros(nbytes, dtype=np.uint8)
+                    p = np.asarray(positions, dtype=np.int64)
+                    np.bitwise_or.at(
+                        bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                    )
+                    out.append(_b64.b64encode(bits.tobytes()).decode())
+                return pd.Series(out)
+
             rows = (
                 df.select(
                     F.input_file_name().alias("_f"),
@@ -808,16 +851,12 @@ class SnapshotCatalog(Catalog):
                 .select("_f", F.col("_e.c").alias("_c"), F.col("_e.p").alias("_p"))
                 .groupBy("_f", "_c")
                 .agg(F.collect_set("_p").alias("_ps"))
+                .select("_f", "_c", _pack_bits("_ps").alias("_b"))
                 .collect()
             )
             for r in rows:
-                bits = bytearray((m + 7) // 8)
-                for p in r["_ps"]:
-                    bits[p >> 3] |= 1 << (p & 7)
                 rel = os.path.relpath(r["_f"].removeprefix("file://"), absdir)
-                blooms.setdefault(rel, {})[r["_c"]] = base64.b64encode(
-                    bytes(bits)
-                ).decode()
+                blooms.setdefault(rel, {})[r["_c"]] = r["_b"]
         side = os.path.join(absdir, self._BLOOM_SIDECAR)
         tmp = f"{side}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:

@@ -1100,3 +1100,22 @@ def test_log_lock_serializes_append_against_rewrite(spark, cat):
     hist = cat.history("t")
     assert hist[-1].snapshot_id == results["snap"].snapshot_id
     assert (99, "z", "z") in _vals(cat.read_table("t"))
+
+
+def test_default_row_count_is_footer_only_no_read_job(spark, cat):
+    """write_table(row_count=None) must not plan a Spark read job over
+    the fresh snapshot: the count comes from the parquet footers the
+    write just produced (metadata-only)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = _df(spark, [(i, "a", "x") for i in range(7)])
+    snap = cat.write_table(df, "t")  # row_count defaults to None
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert snap.row_count == 7
+    # exactly the write job itself — no second count/scan job
+    assert len(after - before) == 1
+    # empty commit still counts 0 with no files to walk
+    empty = cat.write_table(
+        spark.createDataFrame([], "k int, route string, v string"), "t2"
+    )
+    assert empty.row_count == 0
