@@ -114,7 +114,7 @@ WINDOW: tuple[str, ...] = (
     "q_profile_columns",
     "q_j_asof_rates",
     "q_j_range_campaigns",
-    "q_sk_quantile_hist",
+    "q_sk_suite",         # hist rollup (= q_sk_quantile_hist) + HLL value pin
     # similarity + skew + P7/A6 merged profile
     "q_sim_semantic_dedup",
     "q_skew_hot_join",

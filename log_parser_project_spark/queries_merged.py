@@ -557,3 +557,76 @@ def q_tx_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("rep") * 10000)).cast("long").alias("sum_rep_e4"),
         F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).cast("long").alias("n_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch suite: mergeable-histogram rollup + HLL weekly distinct, one slot
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_sk_suite",
+    """
+    SELECT 'hist' AS kind,
+           event_type AS k,
+           LEAST(CAST(floor(CAST(value AS DOUBLE) / 10) AS BIGINT), 49) AS tag,
+           COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'hll' AS kind,
+           CAST(CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           / 7) AS BIGINT) AS VARCHAR) AS k,
+           1 AS tag,
+           COUNT(DISTINCT user_id) AS cnt
+    FROM events
+    GROUP BY 2
+    """,
+)
+def q_sk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both mergeable-sketch families value-checked in one slot.
+
+    ``kind='hist'`` rows are :func:`queries_data.q_sk_quantile_hist`'s
+    exact rollup verbatim (fixed boundaries ⇒ loss-free merge; ``tag``
+    is the bucket). ``kind='hll'`` rows give the HLL weekly rollup
+    (``operators.sketches.daily_sketches`` → union to week — the SAME
+    path as rows-only ``q_sk_distinct_rollup``) a driver VALUE pin:
+    ``cnt`` is the exact weekly distinct-user count and ``tag`` is 1
+    iff the sketch estimate lands within 5% of it (lgk=12 ⇒ RSE≈1.6%,
+    and weekly cardinalities here sit in HLL's near-exact range), which
+    the oracle asserts as the literal 1 — a broken sketch path flips
+    the flag and hash-fails. Estimates themselves stay rows-only by
+    design (DuckDB has no byte-compatible HLL)."""
+    from .operators.sketches import daily_sketches, rollup_estimate
+    from .queries import QUERIES
+
+    hist = QUERIES["q_sk_quantile_hist"][0](spark, sf_dir).select(
+        F.lit("hist").alias("kind"),
+        F.col("event_type").alias("k"),
+        F.col("bucket").alias("tag"),
+        F.col("cnt"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_date(F.to_date("ts")) / 7).cast("long")
+    est = rollup_estimate(
+        daily_sketches(ev, key="user_id", ts_col="ts").withColumn(
+            "week", F.floor(F.unix_date(F.col("day")) / 7).cast("long")
+        ),
+        "week",
+    )
+    exact = ev.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    hll = est.join(exact, "week").select(
+        F.lit("hll").alias("kind"),
+        F.col("week").cast("string").alias("k"),
+        F.when(
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tag"),
+        F.col("n_exact").cast("long").alias("cnt"),
+    )
+    return hist.unionByName(hll)
