@@ -390,12 +390,14 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Multimodal plumbing (stub decode kernels — see operators/multimodal.py)
+# Multimodal plumbing (magic-dispatched decode kernels: WAV real via
+# stdlib wave, PNG/JPEG real via PIL guard, fake otherwise — see
+# operators/multimodal.py; synth_media payloads take the fake path)
 # ===========================================================================
 
 @_register("q_mm_features", None)  # synthetic media, rows-only
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas (stub kernel)."""
+    """Binary-column feature extraction via mapInPandas."""
     media = multimodal.synth_media(spark, n=64)
     feats = multimodal.extract_features(media)
     return feats.groupBy("kind").agg(
