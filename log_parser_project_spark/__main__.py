@@ -88,6 +88,22 @@ def main(argv: list[str] | None = None) -> int:
     p_mt.add_argument("--show", choices=["files", "partitions", "snapshots"],
                       help="print a metadata table after the actions")
 
+    p_ch = sub.add_parser(
+        "changes",
+        help="row-level changelog between two snapshots (Iceberg's "
+             "create_changelog_view): inserts/deletes per commit, "
+             "copy-on-write carryovers netted out",
+    )
+    p_ch.add_argument("--warehouse", required=True)
+    p_ch.add_argument("--table", required=True)
+    p_ch.add_argument("--from", dest="from_snapshot", metavar="SNAPSHOT_ID_OR_TIME",
+                      help="exclusive lower bound (default: table creation)")
+    p_ch.add_argument("--to", dest="to_snapshot", metavar="SNAPSHOT_ID_OR_TIME",
+                      help="inclusive upper bound (default: current snapshot)")
+    p_ch.add_argument("--keep-carryovers", action="store_true",
+                      help="raw file-level churn: rewritten-but-unchanged rows too")
+    p_ch.add_argument("--limit", type=int, default=1000)
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -152,6 +168,21 @@ def main(argv: list[str] | None = None) -> int:
             }[args.show](args.table)
             out["show"] = [r.asDict(recursive=True) for r in mt.collect()]
         print(json.dumps(out, indent=2, default=str))
+        return 0
+
+    if args.cmd == "changes":
+        from .catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        ch = cat.changes(
+            args.table,
+            from_snapshot=args.from_snapshot,
+            to_snapshot=args.to_snapshot,
+            drop_carryovers=not args.keep_carryovers,
+        ).limit(args.limit)
+        print(json.dumps(
+            [r.asDict(recursive=True) for r in ch.collect()], indent=2, default=str
+        ))
         return 0
 
     if args.cmd == "mine":

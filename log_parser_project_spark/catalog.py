@@ -1146,6 +1146,165 @@ class SnapshotCatalog(Catalog):
             out = out.unionByName(d)
         return out
 
+    # ------------------------------------------------------------ changelog
+    _CHANGE_COLS = ("_change_type", "_commit_snapshot_id", "_change_ordinal")
+
+    def changes(
+        self,
+        table: str,
+        from_snapshot: str | float | int | datetime.datetime | None = None,
+        to_snapshot: str | float | int | datetime.datetime | None = None,
+        drop_carryovers: bool = True,
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots — Iceberg's
+        ``create_changelog_view`` for copy-on-write tables (the
+        reference's SQLite store has no analog; it overwrites in
+        place, ``src/datastore.py:148-212``).
+
+        Returns the table's data columns plus ``_change_type``
+        (``'insert'`` | ``'delete'``), ``_commit_snapshot_id``, and
+        ``_change_ordinal`` (0-based commit position within the
+        requested range). ``from_snapshot`` is EXCLUSIVE (None = table
+        creation), ``to_snapshot`` INCLUSIVE (None = current pointer);
+        both accept a snapshot id or a point in time, like ``as_of``.
+        An update rewritten by :meth:`merge` surfaces as a delete of
+        the old row plus an insert of the new one.
+
+        Planning is metadata-only: each commit's change set is the
+        difference of its and its parent's visible FILE sets (manifest
+        dirs minus exclusions) — only files that actually entered or
+        left the table are scanned, never the unchanged remainder.
+        Copy-on-write rewrites (merge, compact) re-write untouched
+        rows into new files; ``drop_carryovers`` (default, like
+        Iceberg's changelog procedure) nets those out by multiset-
+        subtracting each commit's deletes from its inserts — one
+        content-keyed shuffle — so a pure :meth:`compact` yields an
+        empty changelog and a merge yields exactly the touched rows.
+        Pass ``drop_carryovers=False`` for the raw file-level churn
+        (no shuffle; also the fallback when a column type is not
+        groupable, e.g. maps).
+
+        Each side of a commit reads under the schema of its own
+        snapshot (deletes under the parent's, inserts under the
+        commit's); across add-column evolution the union pads missing
+        columns with nulls."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        hist = self.history(table)
+        if not hist:
+            raise LookupError(f"no committed table {table!r}")
+        pos = {s.snapshot_id: i for i, s in enumerate(hist)}
+
+        def _locate(bound, name: str) -> int:
+            snap = self._resolve(table, bound)
+            if snap is None or snap.snapshot_id not in pos:
+                raise LookupError(
+                    f"{name} snapshot {bound!r} is not in table {table!r}'s "
+                    "committed history (staged, expired, or foreign)"
+                )
+            return pos[snap.snapshot_id]
+
+        lo = -1 if from_snapshot is None else _locate(from_snapshot, "from")
+        hi = len(hist) - 1 if to_snapshot is None else _locate(to_snapshot, "to")
+        if hi < lo:
+            raise ValueError(
+                f"to_snapshot {to_snapshot!r} precedes from_snapshot "
+                f"{from_snapshot!r} in table {table!r}'s history"
+            )
+
+        def _visible(snap: Snapshot) -> dict:
+            # warehouse-relative file path -> its manifest entry dir
+            # (the basePath that restores its partition columns)
+            out: dict[str, str] = {}
+            for e in snap.state:
+                absdir = os.path.join(self.warehouse, e["dir"])
+                for p in self._entry_files(absdir, e["exclude"]):
+                    out[os.path.relpath(p, self.warehouse)] = e["dir"]
+            return out
+
+        def _schema_of(snap: Snapshot | None):
+            if snap is None or not snap.schema_json:
+                return None
+            return StructType.fromJson(json.loads(snap.schema_json))
+
+        def _read_side(files: dict, schema, ctype: str, snap: Snapshot, ordinal: int):
+            by_dir: dict[str, list[str]] = {}
+            for rel, entry_dir in files.items():
+                by_dir.setdefault(entry_dir, []).append(
+                    os.path.join(self.warehouse, rel)
+                )
+            pieces = []
+            for entry_dir, paths in sorted(by_dir.items()):
+                reader = self.spark.read.option(
+                    "basePath", os.path.join(self.warehouse, entry_dir)
+                )
+                if schema is not None:
+                    reader = reader.schema(schema)
+                pieces.append(reader.parquet(*sorted(paths)))
+            return [
+                p.withColumns({
+                    "_change_type": F.lit(ctype),
+                    "_commit_snapshot_id": F.lit(snap.snapshot_id),
+                    "_change_ordinal": F.lit(ordinal).cast("long"),
+                })
+                for p in pieces
+            ]
+
+        parts: list[DataFrame] = []
+        prev_visible = _visible(hist[lo]) if lo >= 0 else {}
+        for i in range(lo + 1, hi + 1):
+            snap = hist[i]
+            cur_visible = _visible(snap)
+            ordinal = i - (lo + 1)
+            added = {f: d for f, d in cur_visible.items() if f not in prev_visible}
+            removed = {f: d for f, d in prev_visible.items() if f not in cur_visible}
+            parts += _read_side(added, _schema_of(snap), "insert", snap, ordinal)
+            parts += _read_side(
+                removed, _schema_of(hist[i - 1] if i else None), "delete", snap, ordinal
+            )
+            prev_visible = cur_visible
+
+        if not parts:
+            base = _schema_of(hist[hi]) or StructType([])
+            empty = StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_snapshot_id", StringType(), False),
+                    StructField("_change_ordinal", LongType(), False),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        data_cols = [c for c in out.columns if c not in self._CHANGE_COLS]
+        out = out.select(*data_cols, *self._CHANGE_COLS)
+        if not drop_carryovers:
+            return out
+        # net out copy-on-write carry-overs per commit: a row deleted
+        # and re-inserted unchanged is rewrite churn, not a change
+        net = (
+            out.withColumn(
+                "_sign",
+                F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+            )
+            .groupBy(*data_cols, "_commit_snapshot_id", "_change_ordinal")
+            .agg(F.sum("_sign").alias("_net"))
+            .where(F.col("_net") != 0)
+        )
+        return (
+            net.withColumn(
+                "_change_type",
+                F.when(F.col("_net") > 0, F.lit("insert")).otherwise(F.lit("delete")),
+            )
+            # a commit can insert N identical rows: emit |net| copies
+            .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.abs(F.col("_net")))))
+            .select(*data_cols, *self._CHANGE_COLS)
+        )
+
     # -------------------------------------------------------------- compact
     def compact(
         self,

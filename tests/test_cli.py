@@ -116,3 +116,18 @@ def test_cli_maintain_publish_and_abandon(spark, tmp_path):
     assert len(out["abandoned_dirs"]) == 1
     assert cat.read_table("t").count() == 2
     assert cat._pending_stages("t") == []
+
+
+def test_cli_changes(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    s1 = cat.write_table(spark.createDataFrame([(1, "a")], "k int, r string"), "t")
+    cat.write_table(spark.createDataFrame([(2, "b")], "k int, r string"), "t", mode="append")
+    rows = json.loads(_run(
+        "changes", "--warehouse", wh, "--table", "t", "--from", s1.snapshot_id,
+    ))
+    assert [(r["k"], r["_change_type"], r["_change_ordinal"]) for r in rows] == [
+        (2, "insert", 0)
+    ]

@@ -1119,3 +1119,116 @@ def test_default_row_count_is_footer_only_no_read_job(spark, cat):
         spark.createDataFrame([], "k int, route string, v string"), "t2"
     )
     assert empty.row_count == 0
+
+
+# --------------------------------------------------------------- changelog
+def _changes(df):
+    return sorted(
+        (r.k, r.route, r.v, r._change_type, r._change_ordinal) for r in df.collect()
+    )
+
+
+def test_changes_append_only_is_pure_inserts(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    s3 = cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    assert _changes(ch) == [
+        (2, "b", "y", "insert", 0),
+        (3, "c", "z", "insert", 1),
+    ]
+    by_commit = {r._commit_snapshot_id for r in ch.collect()}
+    assert by_commit == {s2.snapshot_id, s3.snapshot_id}
+    # from=None walks from table creation; to= bounds inclusively
+    assert _changes(cat.changes("t", to_snapshot=s2.snapshot_id)) == [
+        (1, "a", "x", "insert", 0),
+        (2, "b", "y", "insert", 1),
+    ]
+
+
+def test_changes_merge_update_is_delete_plus_insert(spark, cat):
+    s1 = cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]),
+        "t", partition_by=["route"],
+    )
+    cat.merge(_df(spark, [(2, "a", "Y2")]), "t", on=["route", "k"], partition_by=["route"])
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    # row 1 lives in the rewritten partition route=a but is unchanged:
+    # carryover netting must hide it; row 3's partition was untouched
+    assert _changes(ch) == [
+        (2, "a", "Y2", "insert", 0),
+        (2, "a", "y", "delete", 0),
+    ]
+    raw = cat.changes("t", from_snapshot=s1.snapshot_id, drop_carryovers=False)
+    vals = _changes(raw)
+    assert (1, "a", "x", "insert", 0) in vals and (1, "a", "x", "delete", 0) in vals
+    assert not any(r[0] == 3 for r in vals)  # untouched partition never scanned
+
+
+def test_changes_overwrite_and_compact(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    s2 = cat.write_table(_df(spark, [(9, "z", "new")]), "t")  # overwrite
+    assert _changes(cat.changes("t", from_snapshot=s1.snapshot_id)) == [
+        (1, "a", "x", "delete", 0),
+        (2, "b", "y", "delete", 0),
+        (9, "z", "new", "insert", 0),
+    ]
+    cat.write_table(_df(spark, [(8, "w", "w8")]), "t", mode="append")
+    s3 = cat.snapshot("t")
+    cat.compact("t", partition_by=None)
+    # compaction changes no data: netted changelog is empty, raw is balanced
+    assert cat.changes("t", from_snapshot=s3.snapshot_id).count() == 0
+    raw = cat.changes("t", from_snapshot=s3.snapshot_id, drop_carryovers=False)
+    per_type = {r["_change_type"]: r["n"] for r in
+                raw.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert per_type == {"insert": 2, "delete": 2}
+
+
+def test_changes_duplicate_rows_net_by_multiplicity(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (1, "a", "x")]), "t", mode="append"
+    )
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    assert _changes(ch) == [
+        (1, "a", "x", "insert", 0),
+        (1, "a", "x", "insert", 0),
+    ]
+
+
+def test_changes_across_add_column_evolution(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.write_table(
+        spark.createDataFrame([(2, "b", "y", 7)], "k int, route string, v string, extra int"),
+        "t", mode="append",
+    )
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    rows = ch.collect()
+    assert [(r.k, r.extra, r._change_type) for r in rows] == [(2, 7, "insert")]
+
+
+def test_changes_bounds_and_errors(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    # from == to -> empty frame with data + change columns
+    empty = cat.changes("t", from_snapshot=s2.snapshot_id, to_snapshot=s2.snapshot_id)
+    assert empty.count() == 0
+    assert empty.columns[-3:] == ["_change_type", "_commit_snapshot_id", "_change_ordinal"]
+    with pytest.raises(ValueError, match="precedes"):
+        cat.changes("t", from_snapshot=s2.snapshot_id, to_snapshot=s1.snapshot_id)
+    staged = cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append", staged=True)
+    with pytest.raises(LookupError, match="staged, expired, or foreign"):
+        cat.changes("t", to_snapshot=staged.snapshot_id)
+    with pytest.raises(LookupError):
+        cat.changes("missing")
+
+
+def test_changes_accepts_timestamp_bounds(spark, cat):
+    import time as _time
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    assert _changes(cat.changes("t", from_snapshot=mid)) == [(2, "b", "y", "insert", 0)]
