@@ -1760,3 +1760,53 @@ def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.increment_dedup_report(
         inc, hist, candidates="exact", max_doc_freq=16, self_near=False
     )
+
+
+@_register(
+    "q_cdc_changelog",
+    """
+    WITH base AS (
+      SELECT s_suppkey AS k, s_nationkey AS nk, s_name AS v FROM supplier
+    )
+    SELECT k, nk, v, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _change_ordinal
+    FROM base WHERE k % 4 = 0
+    UNION ALL
+    SELECT k, nk, v, 'delete', CAST(1 AS BIGINT) FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, nk, v || '!', 'insert', CAST(1 AS BIGINT)
+    FROM base WHERE k % 10 = 0
+    ORDER BY _change_ordinal, _change_type, k
+    """,
+)
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read pinned to an oracle: build a SnapshotCatalog
+    table from ``supplier`` in three commits — overwrite (k%4 != 0),
+    append (k%4 == 0), then a partition-pruned MERGE updating every
+    k%10 == 0 row — and return ``changes()`` from the first commit.
+    The oracle recomputes the expected change rows in SQL: the append
+    slice as ordinal-0 inserts, the merge as ordinal-1 delete+insert
+    pairs. Copy-on-write carryovers (merge rewrites whole partitions)
+    must be netted out for the row sets to match — this query fails if
+    carryover elimination ever regresses. ``_commit_snapshot_id`` is
+    excluded (uuids are nondeterministic by design)."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_name").alias("v"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="cdc_wh_"))
+    s1 = cat.write_table(base.filter(F.col("k") % 4 != 0), "t", partition_by=["nk"])
+    cat.write_table(base.filter(F.col("k") % 4 == 0), "t", mode="append",
+                    partition_by=["nk"])
+    upd = base.filter(F.col("k") % 10 == 0).withColumn("v", F.concat("v", F.lit("!")))
+    cat.merge(upd, "t", on=["nk", "k"], partition_by=["nk"])
+    return (
+        cat.changes("t", from_snapshot=s1.snapshot_id)
+        .select("k", "nk", "v", "_change_type", "_change_ordinal")
+        .orderBy("_change_ordinal", "_change_type", "k")
+    )
