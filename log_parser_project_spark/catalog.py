@@ -552,7 +552,11 @@ class SnapshotCatalog(Catalog):
         if row_count is None:
             row_count = self._dir_row_count(abs_dir)
 
-        new_entry = {"dir": rel_dir, "exclude": []}
+        # "seq" = the commit that ADDED this entry (carried forward
+        # verbatim by later commits): equality deletes apply only to
+        # data entries with a LOWER seq — Iceberg's sequence-number
+        # rule. Legacy entries without it read as seq 0.
+        new_entry = {"dir": rel_dir, "exclude": [], "seq": seq}
         if stats_cols:
             new_entry["files"] = self._file_stats(abs_dir, stats_cols)
         if bloom_cols:
@@ -944,6 +948,7 @@ class SnapshotCatalog(Catalog):
         when_not_matched: str | None = "insert",
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
+        strategy: str = "cow",
     ) -> Snapshot:
         """``MERGE INTO`` analog (Iceberg's copy-on-write merge): rows of
         ``source`` whose ``on`` keys match a target row update (or
@@ -966,9 +971,27 @@ class SnapshotCatalog(Catalog):
         the matched-row image nondeterministic — same error Iceberg
         raises) and column-compatible with the target. An empty source
         commits nothing and returns the current snapshot.
+
+        ``strategy="mor"`` is Iceberg v2's MERGE-ON-READ: instead of
+        rewriting any target file, the commit adds an EQUALITY-DELETE
+        entry (a parquet file of the source's merge keys) plus a data
+        entry with the new row images — at 100 TB an upsert of 0.1% of
+        rows writes 0.1% of the data and reads NONE of the target (the
+        upsert shape, update+insert, needs no matched/unmatched split:
+        deleting then inserting every source key is the same commit
+        either way; update-only and delete+insert read only the
+        target's key columns to classify). Readers apply the deletes
+        as a broadcast anti-join restricted by the sequence rule (a
+        delete masks only data entries committed BEFORE it), so a
+        later re-insert of a deleted key survives. The read-side debt
+        is repaid by :meth:`compact`, which materializes deletes away.
+        Merge keys must be non-null under ``mor`` (equality deletes
+        can't match nulls — same restriction as Iceberg's).
         """
         from pyspark.sql import functions as F
 
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"strategy must be cow or mor, got {strategy!r}")
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched must be update/delete/None, got {when_matched!r}")
         if when_not_matched not in ("insert", None):
@@ -993,6 +1016,12 @@ class SnapshotCatalog(Catalog):
             .filter(F.col("n") > 1).head(1)
         ):
             raise ValueError(f"merge source has duplicate keys on {on}")
+
+        if strategy == "mor":
+            return self._merge_mor(
+                source, table, on, when_matched, when_not_matched,
+                partition_by, lineage, prev, target,
+            )
 
         pruned = bool(partition_by) and set(partition_by) <= set(on)
         leaves: list[str] | None = None
@@ -1034,6 +1063,93 @@ class SnapshotCatalog(Catalog):
         return self.write_table(
             out, table, mode="overwrite", partition_by=partition_by, lineage=merge_lineage
         )
+
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        table: str,
+        on: list[str],
+        when_matched: str | None,
+        when_not_matched: str | None,
+        partition_by: list[str] | None,
+        lineage: dict | None,
+        prev: Snapshot,
+        target: DataFrame,
+    ) -> Snapshot:
+        """Merge-on-read commit: one snapshot that ADDS an equality-
+        delete entry (source merge keys) and/or a data entry (new row
+        images) to the parent's state — never rewrites or masks a
+        parent entry. See :meth:`merge` for semantics."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        if source.where(
+            functools.reduce(lambda a, b: a | b, [F.col(k).isNull() for k in on])
+        ).head(1):
+            raise ValueError(
+                f"merge strategy='mor' requires non-null merge keys {on} "
+                "(equality deletes cannot match nulls)"
+            )
+        table_schema = self._evolve_schema(prev, source.schema, "append")
+        seq = prev.sequence + 1
+        snap_id = uuid.uuid4().hex[:16]
+        entries: list[dict] = []
+        if when_matched in ("update", "delete"):
+            rel_del = f"{table}/snap-{seq:05d}-{snap_id}-eqdel"
+            # keys are distinct by the key-unique guard; coalesce(1):
+            # a delete file is keys-only and driver-bounded by design
+            source.select(*on).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.warehouse, rel_del)
+            )
+            entries.append({
+                "dir": rel_del, "exclude": [],
+                "kind": "eq_deletes", "on": list(on), "seq": seq,
+            })
+        # the upsert shape never reads the target: delete-then-insert
+        # of every source key is the same commit whether or not the key
+        # existed. The other shapes classify against the target's KEY
+        # columns only (a column-pruned scan).
+        if when_matched == "update" and when_not_matched == "insert":
+            inserts = source
+        elif when_matched == "update":
+            inserts = source.join(target.select(*on).distinct(), on, "left_semi")
+        elif when_not_matched == "insert":
+            inserts = source.join(target.select(*on).distinct(), on, "left_anti")
+        else:
+            inserts = None
+
+        rel_ins = f"{table}/snap-{seq:05d}-{snap_id}"
+        row_count = 0
+        if inserts is not None:
+            writer = inserts.select(*target.columns).write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(os.path.join(self.warehouse, rel_ins))
+            row_count = self._dir_row_count(os.path.join(self.warehouse, rel_ins))
+            entries.append({"dir": rel_ins, "exclude": [], "seq": seq})
+
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            table=table,
+            row_count=row_count,
+            committed_at_unix=time.time(),
+            lineage={
+                "stage": "merge", "strategy": "mor", "on": list(on),
+                "when_matched": when_matched, "when_not_matched": when_not_matched,
+                **(lineage or {}),
+            },
+            parent_id=prev.snapshot_id,
+            op="merge-mor",
+            state=list(prev.state) + entries,
+            sequence=seq,
+            schema_json=json.dumps(table_schema.jsonValue()),
+        )
+        with self._log_lock(table):
+            with open(self._log_path(table), "a") as f:
+                f.write(json.dumps(asdict(snap)) + "\n")
+            self._flip_pointer(table, snap)
+        return snap
 
     # ----------------------------------------------------------------- read
     def _entry_df(self, entry: dict, schema, predicate=None, eq=None) -> DataFrame | None:
@@ -1134,9 +1250,25 @@ class SnapshotCatalog(Catalog):
             before = self._resolve(table, since)
             seen = {e["dir"] for e in before.state}
             entries = [e for e in snap.state if e["dir"] not in seen]
-        dfs = [
-            d for e in entries if (d := self._entry_df(e, schema, predicate, eq)) is not None
-        ]
+        # merge-on-read equality deletes: applied on full reads; the
+        # ``since`` incremental scan stays append-deltas-only by
+        # contract (row-accurate CDC is :meth:`changes`)
+        deletes = (
+            [] if since is not None
+            else [e for e in entries if e.get("kind") == "eq_deletes"]
+        )
+        dfs = []
+        for e in entries:
+            if e.get("kind") == "eq_deletes":
+                continue
+            d = self._entry_df(e, schema, predicate, eq)
+            if d is None:
+                continue
+            if deletes:
+                from pyspark.sql import functions as F
+
+                d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
+            dfs.append(d)
         if not dfs:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
@@ -1144,7 +1276,39 @@ class SnapshotCatalog(Catalog):
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if deletes:
+            out = self._apply_eq_deletes(out, deletes)
         return out
+
+    def _apply_eq_deletes(self, out: DataFrame, deletes: list[dict]) -> DataFrame:
+        """Mask rows matched by equality-delete entries: one BROADCAST
+        anti-join per distinct key set (delete files are keys-only and
+        small until :meth:`compact` repays them), restricted by the
+        sequence rule — a delete masks only rows from data entries
+        committed BEFORE it (``__entry_seq < delete seq``), so a key
+        re-inserted after its deletion survives."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in deletes:
+            groups.setdefault(tuple(e["on"]), []).append(e)
+        for key_cols, es in sorted(groups.items()):
+            ddf = None
+            for e in es:
+                one = (
+                    self.spark.read
+                    .parquet(os.path.join(self.warehouse, e["dir"]))
+                    .select(*key_cols)
+                    .withColumn("__del_seq", F.lit(int(e["seq"])))
+                )
+                ddf = one if ddf is None else ddf.unionByName(one)
+            cond = functools.reduce(
+                lambda a, b: a & b, [out[k].eqNullSafe(ddf[k]) for k in key_cols]
+            ) & (ddf["__del_seq"] > out["__entry_seq"])
+            out = out.join(F.broadcast(ddf), cond, "left_anti")
+        return out.drop("__entry_seq")
 
     # ------------------------------------------------------------ changelog
     _CHANGE_COLS = ("_change_type", "_commit_snapshot_id", "_change_ordinal")
@@ -1187,7 +1351,14 @@ class SnapshotCatalog(Catalog):
         Each side of a commit reads under the schema of its own
         snapshot (deletes under the parent's, inserts under the
         commit's); across add-column evolution the union pads missing
-        columns with nulls."""
+        columns with nulls.
+
+        Commits that touch merge-on-read equality deletes (the commit
+        or its parent carries a delete entry) fall back from the
+        file-set diff to a full STATE diff of commit vs parent — exact
+        but heavier (two snapshot reads per such commit), and always
+        netted (``drop_carryovers=False`` raises there). Compaction
+        materializes the deletes away and restores the fast path."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -1215,13 +1386,20 @@ class SnapshotCatalog(Catalog):
 
         def _visible(snap: Snapshot) -> dict:
             # warehouse-relative file path -> its manifest entry dir
-            # (the basePath that restores its partition columns)
+            # (the basePath that restores its partition columns).
+            # Equality-delete entries are not data: commits touching
+            # them take the state-diff path below instead.
             out: dict[str, str] = {}
             for e in snap.state:
+                if e.get("kind") == "eq_deletes":
+                    continue
                 absdir = os.path.join(self.warehouse, e["dir"])
                 for p in self._entry_files(absdir, e["exclude"]):
                     out[os.path.relpath(p, self.warehouse)] = e["dir"]
             return out
+
+        def _has_deletes(snap: Snapshot) -> bool:
+            return any(e.get("kind") == "eq_deletes" for e in snap.state)
 
         def _schema_of(snap: Snapshot | None):
             if snap is None or not snap.schema_json:
@@ -1251,19 +1429,49 @@ class SnapshotCatalog(Catalog):
                 for p in pieces
             ]
 
+        def _tag(df: DataFrame, ctype: str, snap: Snapshot, ordinal: int) -> DataFrame:
+            return df.withColumns({
+                "_change_type": F.lit(ctype),
+                "_commit_snapshot_id": F.lit(snap.snapshot_id),
+                "_change_ordinal": F.lit(ordinal).cast("long"),
+            })
+
         parts: list[DataFrame] = []
+        mor_in_range = False
         prev_visible = _visible(hist[lo]) if lo >= 0 else {}
         for i in range(lo + 1, hi + 1):
             snap = hist[i]
-            cur_visible = _visible(snap)
             ordinal = i - (lo + 1)
+            parent = hist[i - 1] if i > 0 else None
+            if _has_deletes(snap) or (parent is not None and _has_deletes(parent)):
+                # merge-on-read: an equality delete changes rows without
+                # the file set saying WHICH rows, and any file-level diff
+                # over a deleted-from entry would resurrect masked rows.
+                # Diff the full table STATE of this commit vs its parent
+                # instead (read_table applies the deletes); the netting
+                # below reduces it to the true row-level change set.
+                mor_in_range = True
+                parts.append(_tag(self.read_table(table, as_of=snap.snapshot_id),
+                                  "insert", snap, ordinal))
+                if parent is not None:
+                    parts.append(_tag(self.read_table(table, as_of=parent.snapshot_id),
+                                      "delete", snap, ordinal))
+                prev_visible = _visible(snap)
+                continue
+            cur_visible = _visible(snap)
             added = {f: d for f, d in cur_visible.items() if f not in prev_visible}
             removed = {f: d for f, d in prev_visible.items() if f not in cur_visible}
             parts += _read_side(added, _schema_of(snap), "insert", snap, ordinal)
             parts += _read_side(
-                removed, _schema_of(hist[i - 1] if i else None), "delete", snap, ordinal
+                removed, _schema_of(parent), "delete", snap, ordinal
             )
             prev_visible = cur_visible
+        if mor_in_range and not drop_carryovers:
+            raise ValueError(
+                "drop_carryovers=False is undefined across merge-on-read "
+                "commits (equality deletes have no raw file-level churn); "
+                "use the default netted changelog"
+            )
 
         if not parts:
             base = _schema_of(hist[hi]) or StructType([])
@@ -1335,9 +1543,14 @@ class SnapshotCatalog(Catalog):
         # live bytes from the snapshot state; a legacy flat-layout table
         # (empty state) is measured at the table root instead — without
         # this, live_bytes=0 would repartition(1) a multi-GB table
+        # equality-delete entries are excluded twice over: their bytes
+        # are masks, not rows (sizing), and read_table below applies
+        # them — so compaction MATERIALIZES merge-on-read deletes away
+        # (the new overwrite state carries no delete entries)
         roots = (
             [(os.path.join(self.warehouse, e["dir"]),
-              tuple(x + os.sep for x in e["exclude"])) for e in snap.state]
+              tuple(x + os.sep for x in e["exclude"]))
+             for e in snap.state if e.get("kind") != "eq_deletes"]
             if snap.state
             else [(self.path(table), ())]
         )
@@ -1385,6 +1598,8 @@ class SnapshotCatalog(Catalog):
         manifest entry's first live data file (hive-style ``col=value``
         path segments). Empty for flat layouts."""
         for e in reversed(snap.state):
+            if e.get("kind") == "eq_deletes":
+                continue  # keys-only sidecar, never partitioned
             absdir = os.path.join(self.warehouse, e["dir"])
             files = self._entry_files(absdir, e["exclude"])
             if not files:
@@ -1580,6 +1795,7 @@ class SnapshotCatalog(Catalog):
         rows = []
         for e in snap.state:
             absdir = os.path.join(self.warehouse, e["dir"])
+            content = "eq_deletes" if e.get("kind") == "eq_deletes" else "data"
             for p in self._entry_files(absdir, e["exclude"]):
                 relroot = os.path.relpath(os.path.dirname(p), absdir)
                 rows.append((
@@ -1587,12 +1803,15 @@ class SnapshotCatalog(Catalog):
                     e["dir"],
                     "" if relroot == "." else relroot,
                     os.path.getsize(p),
+                    content,
                 ))
         schema = StructType([
             StructField("file_path", StringType(), False),
             StructField("snapshot_dir", StringType(), False),
             StructField("partition", StringType(), False),
             StructField("size_bytes", LongType(), False),
+            # Iceberg's files.content: data vs equality-deletes
+            StructField("content", StringType(), False),
         ])
         return self.spark.createDataFrame(rows, schema)
 

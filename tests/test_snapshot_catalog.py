@@ -1232,3 +1232,95 @@ def test_changes_accepts_timestamp_bounds(spark, cat):
     _time.sleep(0.05)
     cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
     assert _changes(cat.changes("t", from_snapshot=mid)) == [(2, "b", "y", "insert", 0)]
+
+
+# ----------------------------------------------------------- merge-on-read
+def test_mor_upsert_matches_cow_and_rewrites_nothing(spark, cat):
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]
+    s1 = cat.write_table(_df(spark, rows), "t", partition_by=["route"])
+    pre_state = [dict(e) for e in cat.snapshot("t").state]
+    src = _df(spark, [(2, "a", "Y2"), (9, "b", "NEW")])
+    s2 = cat.merge(src, "t", on=["k"], strategy="mor", partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [
+        (1, "a", "x"), (2, "a", "Y2"), (3, "b", "z"), (9, "b", "NEW")
+    ]
+    # no parent entry was rewritten or masked — MoR adds entries only
+    assert s2.state[: len(pre_state)] == pre_state
+    added = s2.state[len(pre_state):]
+    kinds = sorted(e.get("kind", "data") for e in added)
+    assert kinds == ["data", "eq_deletes"]
+    assert all(e["exclude"] == [] for e in added)
+    # time travel: pre-merge state intact
+    assert _vals(cat.read_table("t", as_of=s1.snapshot_id)) == sorted(rows)
+
+
+def test_mor_sequence_rule_reinsert_survives(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    cat.merge(_df(spark, [(1, "a", "x")]), "t", on=["k"],
+              when_matched="delete", when_not_matched=None, strategy="mor")
+    assert _vals(cat.read_table("t")) == [(2, "b", "y")]
+    # re-insert the deleted key AFTER the delete: higher seq, must survive
+    cat.write_table(_df(spark, [(1, "a", "x-back")]), "t", mode="append")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x-back"), (2, "b", "y")]
+
+
+def test_mor_classification_paths(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    # update-only: unmatched source rows are dropped, not inserted
+    cat.merge(_df(spark, [(2, "b", "Y2"), (9, "z", "NO")]), "t", on=["k"],
+              when_matched="update", when_not_matched=None, strategy="mor")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "Y2")]
+    # delete matched + insert unmatched
+    cat.merge(_df(spark, [(1, "a", "ignored"), (7, "c", "NEW")]), "t", on=["k"],
+              when_matched="delete", when_not_matched="insert", strategy="mor")
+    assert _vals(cat.read_table("t")) == [(2, "b", "Y2"), (7, "c", "NEW")]
+
+
+def test_mor_compact_materializes_deletes(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    cat.merge(_df(spark, [(2, "b", "Y2")]), "t", on=["k"], strategy="mor")
+    assert any(e.get("kind") == "eq_deletes" for e in cat.snapshot("t").state)
+    fm = cat.files_metadata("t")
+    contents = {r["content"] for r in fm.collect()}
+    assert contents == {"data", "eq_deletes"}
+    cat.compact("t")
+    post = cat.snapshot("t").state
+    assert all(e.get("kind") != "eq_deletes" for e in post)
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "Y2")]
+    assert {r["content"] for r in cat.files_metadata("t").collect()} == {"data"}
+
+
+def test_mor_changes_state_diff(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    cat.merge(_df(spark, [(2, "b", "Y2")]), "t", on=["k"], strategy="mor")
+    cat.write_table(_df(spark, [(5, "e", "v5")]), "t", mode="append")
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    assert _changes(ch) == [
+        (2, "b", "Y2", "insert", 0),
+        (2, "b", "y", "delete", 0),
+        (5, "e", "v5", "insert", 1),
+    ]
+    with pytest.raises(ValueError, match="merge-on-read"):
+        cat.changes("t", from_snapshot=s1.snapshot_id, drop_carryovers=False)
+
+
+def test_mor_guards(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    with pytest.raises(ValueError, match="strategy"):
+        cat.merge(_df(spark, [(1, "a", "x")]), "t", on=["k"], strategy="bogus")
+    with pytest.raises(ValueError, match="non-null"):
+        cat.merge(
+            spark.createDataFrame([(None, "a", "x")], "k int, route string, v string"),
+            "t", on=["k"], strategy="mor",
+        )
+
+
+def test_mor_predicate_pruning_composes_with_deletes(spark, cat):
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (50, "b", "y"), (99, "c", "z")]),
+        "t", stats_cols=["k"], sort_by=["k"],
+    )
+    cat.merge(_df(spark, [(50, "b", "GONE")]), "t", on=["k"],
+              when_matched="delete", when_not_matched=None, strategy="mor")
+    got = cat.read_table("t", predicate=("k", 40, 100)).filter("k between 40 and 100")
+    assert _vals(got) == [(99, "c", "z")]
