@@ -1810,3 +1810,72 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "nk", "v", "_change_type", "_change_ordinal")
         .orderBy("_change_ordinal", "_change_type", "k")
     )
+
+
+@_register(
+    "q_mor_upsert",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_nationkey AS nk, c_name AS v FROM customer
+    ),
+    upd AS (
+      SELECT k, nk, CASE WHEN k % 3 = 0 THEN v || '!' ELSE v END AS v
+      FROM base
+    ),
+    kept AS (SELECT * FROM upd WHERE k % 7 <> 0),
+    news AS (
+      SELECT CAST(k + 100000000 AS BIGINT) AS k, nk,
+             'new-' || CAST(k AS VARCHAR) AS v
+      FROM base WHERE k % 5 = 0
+    ),
+    back AS (
+      SELECT k, nk, 'back-' || CAST(k AS VARCHAR) AS v
+      FROM base WHERE k % 21 = 0
+    )
+    SELECT k, nk, v FROM (
+      SELECT * FROM kept UNION ALL SELECT * FROM news UNION ALL SELECT * FROM back
+    )
+    ORDER BY k
+    """,
+)
+def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read pinned to an oracle: customer becomes a snapshot
+    table, then (1) a MoR UPSERT updates every k%3==0 row and inserts
+    disjoint new keys, (2) a MoR DELETE removes k%7==0, (3) an append
+    re-inserts the k%21==0 subset of the deleted keys. The final
+    read_table() — equality deletes applied under the sequence rule,
+    so the re-inserted keys must survive the older delete while the
+    merge-1 rows fall to it — is recomputed by the oracle from the
+    source slices. No target files are rewritten by either merge
+    (state growth only; see tests/test_snapshot_catalog.py mor
+    suite)."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("v"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="mor_wh_"))
+    cat.write_table(base, "t")
+    upsert = base.filter(F.col("k") % 3 == 0).withColumn(
+        "v", F.concat("v", F.lit("!"))
+    ).unionByName(
+        base.filter(F.col("k") % 5 == 0).select(
+            (F.col("k") + 100000000).cast("long").alias("k"),
+            "nk",
+            F.concat(F.lit("new-"), F.col("k").cast("string")).alias("v"),
+        )
+    )
+    cat.merge(upsert, "t", on=["k"], strategy="mor")
+    cat.merge(base.filter(F.col("k") % 7 == 0), "t", on=["k"],
+              when_matched="delete", when_not_matched=None, strategy="mor")
+    cat.write_table(
+        base.filter(F.col("k") % 21 == 0).withColumn(
+            "v", F.concat(F.lit("back-"), F.col("k").cast("string"))
+        ),
+        "t", mode="append",
+    )
+    return cat.read_table("t").orderBy("k")
