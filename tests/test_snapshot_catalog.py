@@ -1324,3 +1324,23 @@ def test_mor_predicate_pruning_composes_with_deletes(spark, cat):
               when_matched="delete", when_not_matched=None, strategy="mor")
     got = cat.read_table("t", predicate=("k", 40, 100)).filter("k between 40 and 100")
     assert _vals(got) == [(99, "c", "z")]
+
+
+def test_partition_spec_evolution_reads_mixed_layouts(spark, cat):
+    """Iceberg partition-spec evolution: commits may change the
+    table's partition layout; reads plan each manifest entry under its
+    OWN layout (basePath per entry restores hive columns; flat entries
+    carry them in file data) and union by name."""
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t",
+                    partition_by=["route"])
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")  # flat
+    cat.write_table(_df(spark, [(4, "d", "w")]), "t", mode="append",
+                    partition_by=["route", "k"])  # deeper spec
+    assert _vals(cat.read_table("t")) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, "d", "w")
+    ]
+    # compaction normalizes to the newest live layout it sniffs
+    cat.compact("t", partition_by=["route"])
+    assert _vals(cat.read_table("t")) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, "d", "w")
+    ]
