@@ -85,7 +85,14 @@ def main(argv: list[str] | None = None) -> int:
                       help="expire all but the last N snapshots")
     p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
                       help="sweep unreferenced snap-* dirs older than this")
-    p_mt.add_argument("--show", choices=["files", "partitions", "snapshots"],
+    p_mt.add_argument("--create-tag", metavar="NAME",
+                      help="tag the current snapshot (immutable named ref; "
+                           "survives expiry/orphan sweeps until removed)")
+    p_mt.add_argument("--tag-at", metavar="SNAPSHOT_ID_OR_TIME",
+                      help="tag this snapshot instead of the current one")
+    p_mt.add_argument("--remove-tag", metavar="NAME",
+                      help="drop a tag (its snapshot becomes expirable)")
+    p_mt.add_argument("--show", choices=["files", "partitions", "snapshots", "refs"],
                       help="print a metadata table after the actions")
 
     p_ch = sub.add_parser(
@@ -154,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
                 zorder_by=args.zorder.split(",") if args.zorder else None,
             )
             out["compacted_snapshot"] = snap.snapshot_id
+        if args.create_tag:
+            out["tagged"] = {
+                args.create_tag:
+                cat.create_tag(args.table, args.create_tag, as_of=args.tag_at).snapshot_id
+            }
+        if args.remove_tag:
+            out["untagged"] = {args.remove_tag: cat.remove_tag(args.table, args.remove_tag)}
         if args.expire_keep is not None:
             out["expired_dirs"] = cat.expire_snapshots(args.table, keep_last=args.expire_keep)
         if args.orphans_older_than is not None:
@@ -165,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
                 "files": cat.files_metadata,
                 "partitions": cat.partitions_metadata,
                 "snapshots": cat.snapshots_metadata,
+                "refs": cat.refs_metadata,
             }[args.show](args.table)
             out["show"] = [r.asDict(recursive=True) for r in mt.collect()]
         print(json.dumps(out, indent=2, default=str))

@@ -340,9 +340,90 @@ class SnapshotCatalog(Catalog):
         chain.reverse()
         return chain
 
+    # ---------------------------------------------------------------- tags
+    #: tag names must be unambiguous against every other as_of form:
+    #: start with a letter (never parses as a time), not id-shaped
+    _TAG_SHAPE = re.compile(r"^[A-Za-z][A-Za-z0-9_.\-]{0,63}$")
+
+    def _refs_path(self, table: str) -> str:
+        return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.refs.json")
+
+    def tags(self, table: str) -> dict[str, str]:
+        """Named immutable refs: tag name → snapshot id (Iceberg tags)."""
+        p = self._refs_path(table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("tags", {})
+
+    def create_tag(self, table: str, name: str, as_of=None) -> Snapshot:
+        """Iceberg's ``create_tag``: a named, immutable pointer to a
+        committed snapshot (default: the current one). ``read_table
+        (as_of=<name>)`` resolves it, and the tagged snapshot's log
+        line and data directories survive :meth:`expire_snapshots` and
+        :meth:`remove_orphan_files` until :meth:`remove_tag` — tags
+        are retention anchors (audit states, training-data cuts).
+        Staged (unpublished) snapshots are not taggable."""
+        if not self._TAG_SHAPE.match(name) or self._ID_SHAPE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: must start with a letter "
+                "(so it can never be mistaken for a snapshot id or a "
+                "timestamp) and be <= 64 chars of [A-Za-z0-9_.-]"
+            )
+        snap = self._resolve(table, as_of)
+        if snap is None:
+            raise LookupError(f"no committed table {table!r}")
+        if snap.staged:
+            raise ValueError(
+                f"snapshot {snap.snapshot_id!r} is staged (unpublished); "
+                "publish it before tagging"
+            )
+        with self._log_lock(table):
+            p = self._refs_path(table)
+            refs = {"tags": {}}
+            if os.path.exists(p):
+                with open(p) as f:
+                    refs = json.load(f)
+            if name in refs.get("tags", {}):
+                raise ValueError(
+                    f"tag {name!r} already exists on table {table!r} "
+                    "(tags are immutable; remove_tag first)"
+                )
+            refs.setdefault("tags", {})[name] = snap.snapshot_id
+            tmp = f"{p}.tmp.{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=2)
+            os.replace(tmp, p)
+        return snap
+
+    def remove_tag(self, table: str, name: str) -> str:
+        """Drop a tag; its snapshot becomes expirable/collectable
+        again. Returns the snapshot id it pointed at."""
+        with self._log_lock(table):
+            p = self._refs_path(table)
+            refs = {"tags": {}}
+            if os.path.exists(p):
+                with open(p) as f:
+                    refs = json.load(f)
+            if name not in refs.get("tags", {}):
+                raise LookupError(f"no tag {name!r} on table {table!r}")
+            sid = refs["tags"].pop(name)
+            tmp = f"{p}.tmp.{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=2)
+            os.replace(tmp, p)
+        return sid
+
+    def _tagged_snapshots(self, table: str) -> list[Snapshot]:
+        """Snapshots pinned by tags — looked up in the full log, not
+        just the pointer chain, so a tag keeps protecting its snapshot
+        even after a rollback strands it on a dead branch."""
+        ids = set(self.tags(table).values())
+        return [s for s in self._log_entries(table) if s.snapshot_id in ids]
+
     def _resolve(self, table: str, as_of=None) -> Snapshot | None:
-        """``as_of`` accepts a snapshot id (exact, tried first), or a
-        point in time — Iceberg's ``FOR SYSTEM_TIME AS OF`` — as a
+        """``as_of`` accepts a TAG name (tried first), a snapshot id,
+        or a point in time — Iceberg's ``FOR SYSTEM_TIME AS OF`` — as a
         datetime, an epoch float/int, or an ISO-8601 string: the last
         committed snapshot at or before that instant. Id-SHAPED strings
         (16 hex chars) are never re-interpreted as times — an expired or
@@ -351,6 +432,17 @@ class SnapshotCatalog(Catalog):
         independent, like a session set to UTC)."""
         if as_of is None:
             return self.snapshot(table)
+        if isinstance(as_of, str):
+            tagged = self.tags(table).get(as_of)
+            if tagged is not None:
+                for s in self._log_entries(table):
+                    if s.snapshot_id == tagged:
+                        return s
+                raise LookupError(
+                    f"tag {as_of!r} points at snapshot {tagged!r} which is "
+                    f"gone from table {table!r}'s log (expired before the "
+                    "tag existed?)"
+                )
         hist = self.history(table)
         if isinstance(as_of, str):
             for s in hist:
@@ -1638,7 +1730,15 @@ class SnapshotCatalog(Catalog):
         pending = [
             s for s in self._pending_stages(table) if s.snapshot_id not in kept_ids
         ]
-        live = {e["dir"] for s in keep + pending for e in s.state}
+        # tagged snapshots are retention anchors: their log lines and
+        # dirs survive expiry until remove_tag, like Iceberg tag refs
+        anchored_ids = kept_ids | {s.snapshot_id for s in pending}
+        tagged = [
+            s for s in self._tagged_snapshots(table)
+            if s.snapshot_id not in anchored_ids
+        ]
+        keep_lines = keep + pending + tagged
+        live = {e["dir"] for s in keep_lines for e in s.state}
         # commit the truncated log FIRST (tmp + atomic rename, same as
         # the write path), THEN delete data. A crash in between leaks
         # directories (harmless, re-collectable) — the reverse order
@@ -1647,7 +1747,7 @@ class SnapshotCatalog(Catalog):
         lpath = self._log_path(table)
         tmp = f"{lpath}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
-            for s in keep + pending:
+            for s in keep_lines:
                 f.write(json.dumps(asdict(s)) + "\n")
         os.replace(tmp, lpath)
         removed = []
@@ -1740,6 +1840,8 @@ class SnapshotCatalog(Catalog):
         if pointer is not None:
             live |= {e["dir"] for e in pointer.state}
         live |= {e["dir"] for s in self._pending_stages(table) for e in s.state}
+        # tagged snapshots stay collectable-proof even on dead branches
+        live |= {e["dir"] for s in self._tagged_snapshots(table) for e in s.state}
         root = self.path(table)
         if not os.path.isdir(root):
             return removed
@@ -1833,6 +1935,26 @@ class SnapshotCatalog(Catalog):
                 F.sum("size_bytes").alias("size_bytes"),
             )
         )
+
+    def refs_metadata(self, table: str) -> DataFrame:
+        """Iceberg's ``<table>.refs``: one row per named ref —
+        (name, type, snapshot_id, in_history). ``in_history`` is False
+        for a tag stranded on a dead branch by a rollback (still
+        readable by name, still retention-protected)."""
+        from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+        hist_ids = {s.snapshot_id for s in self.history(table)}
+        rows = [
+            (name, "tag", sid, sid in hist_ids)
+            for name, sid in sorted(self.tags(table).items())
+        ]
+        schema = StructType([
+            StructField("name", StringType(), False),
+            StructField("type", StringType(), False),
+            StructField("snapshot_id", StringType(), False),
+            StructField("in_history", BooleanType(), False),
+        ])
+        return self.spark.createDataFrame(rows, schema)
 
     def snapshots_metadata(self, table: str) -> DataFrame:
         """Iceberg's ``<table>.snapshots``: the committed history as a

@@ -131,3 +131,22 @@ def test_cli_changes(spark, tmp_path):
     assert [(r["k"], r["_change_type"], r["_change_ordinal"]) for r in rows] == [
         (2, "insert", 0)
     ]
+
+
+def test_cli_maintain_tags(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    s1 = cat.write_table(spark.createDataFrame([(1, "a")], "k int, r string"), "t")
+    out = json.loads(_run(
+        "maintain", "--warehouse", wh, "--table", "t",
+        "--create-tag", "release-1", "--show", "refs",
+    ))
+    assert out["tagged"] == {"release-1": s1.snapshot_id}
+    assert out["show"] == [{"name": "release-1", "type": "tag",
+                            "snapshot_id": s1.snapshot_id, "in_history": True}]
+    out = json.loads(_run(
+        "maintain", "--warehouse", wh, "--table", "t", "--remove-tag", "release-1",
+    ))
+    assert out["untagged"] == {"release-1": s1.snapshot_id}

@@ -1344,3 +1344,52 @@ def test_partition_spec_evolution_reads_mixed_layouts(spark, cat):
     assert _vals(cat.read_table("t")) == [
         (1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, "d", "w")
     ]
+
+
+# --------------------------------------------------------------------- tags
+def test_tag_resolves_and_survives_expiry(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    cat.create_tag("t", "baseline-v1", as_of=s1.snapshot_id)
+    assert _vals(cat.read_table("t", as_of="baseline-v1")) == [(1, "a", "x")]
+    # expiry keeps the tagged snapshot's line and dirs
+    cat.expire_snapshots("t", keep_last=1)
+    assert _vals(cat.read_table("t", as_of="baseline-v1")) == [(1, "a", "x")]
+    assert cat.tags("t") == {"baseline-v1": s1.snapshot_id}
+    refs = {(r.name, r.type, r.in_history) for r in cat.refs_metadata("t").collect()}
+    assert refs == {("baseline-v1", "tag", False)}  # off the kept chain
+    # untag -> the next expiry collects it
+    assert cat.remove_tag("t", "baseline-v1") == s1.snapshot_id
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(LookupError):
+        cat.read_table("t", as_of=s1.snapshot_id)
+
+
+def test_tag_survives_rollback_and_orphan_sweep(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    cat.create_tag("t", "cut-2026w34")  # tags the current snapshot (s2)
+    cat.rollback("t", s1.snapshot_id)   # s2 becomes a dead branch
+    cat.remove_orphan_files("t", older_than_s=0)
+    # the tag still reads the dead-branch snapshot
+    assert _vals(cat.read_table("t", as_of="cut-2026w34")) == [
+        (1, "a", "x"), (2, "b", "y")
+    ]
+    assert cat.tags("t") == {"cut-2026w34": s2.snapshot_id}
+
+
+def test_tag_guards(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_tag("t", "good")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_tag("t", "good")
+    for bad in ("2026-01-01", "1699999999", "deadbeefdeadbeef", "", "a b"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            cat.create_tag("t", bad)
+    staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t",
+                             mode="append", staged=True)
+    with pytest.raises(ValueError, match="staged"):
+        cat.create_tag("t", "prestage", as_of=staged.snapshot_id)
+    with pytest.raises(LookupError, match="no tag"):
+        cat.remove_tag("t", "missing")
