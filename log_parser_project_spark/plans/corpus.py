@@ -103,6 +103,7 @@ def commit_increment(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cut_tag: str | None = None,
 ) -> DataFrame:
     """Incremental corpus commit: dedup ``increment`` against the
     committed corpus via its PERSISTED dedup index and append only
@@ -202,4 +203,11 @@ def commit_increment(
         catalog.write_table(survivors, table, mode=mode, lineage=lineage, row_count=n_kept)
         catalog.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
         catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
+    if cut_tag is not None:
+        # pin THIS cut's exact corpus snapshot: the dataset built from
+        # it stays reproducible through expiry/compaction/orphan sweeps
+        # until the tag is removed (SnapshotCatalog tags)
+        if not hasattr(catalog, "create_tag"):
+            raise ValueError("cut_tag requires a SnapshotCatalog")
+        catalog.create_tag(table, cut_tag)
     return report

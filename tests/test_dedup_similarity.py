@@ -1017,3 +1017,29 @@ def test_real_image_without_decoder_raises_loudly(spark):
         multimodal.ahash64(df.select("media_id", "kind", "payload")).collect()
     with pytest.raises(Exception, match="no image decoder"):
         multimodal.extract_features(df.select("media_id", "kind", "payload")).collect()
+
+
+def test_commit_increment_cut_tag_pins_the_cut(spark, docs, tmp_path):
+    """cut_tag pins each increment's exact corpus snapshot: the tagged
+    cut stays readable (and expiry-proof) after later increments."""
+    from log_parser_project_spark.catalog import SnapshotCatalog
+    from log_parser_project_spark.operators.sampling import hash_bucket
+    from log_parser_project_spark.plans.corpus import commit_increment
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    b = hash_bucket(F.col("doc_id"), 2)
+    inc0, inc1 = docs.filter(b == 0), docs.filter(b == 1)
+
+    r0 = commit_increment(cat, inc0, cut_tag="cut-day0")
+    kept0 = r0.filter(F.col("status") == "kept").count()
+    commit_increment(cat, inc1, cut_tag="cut-day1")
+    cat.expire_snapshots("corpus", keep_last=1)
+    assert cat.read_table("corpus", as_of="cut-day0").count() == kept0
+    assert cat.read_table("corpus", as_of="cut-day1").count() == \
+        cat.read_table("corpus").count()
+    # plain Catalog has no tags: loud error, not a silent skip
+    from log_parser_project_spark.catalog import Catalog
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="SnapshotCatalog"):
+        commit_increment(Catalog(spark, str(tmp_path / "wh2")), inc0,
+                         cut_tag="cut-x")
