@@ -71,6 +71,12 @@ class Snapshot:
     #: ADD columns — older data dirs then read back with nulls for the
     #: later-added columns, Iceberg's add-column schema evolution.
     schema_json: str | None = None
+    #: Iceberg's snapshot summary: what THIS commit physically did —
+    #: added_files/added_bytes/added_rows for the new directory(ies),
+    #: total_entries for the resulting state. Harvested from the
+    #: just-written files' metadata (no data read); empty on legacy
+    #: manifests and base-Catalog commits.
+    summary: dict = field(default_factory=dict)
     #: write-audit-publish: True while the snapshot sits in the log
     #: awaiting :meth:`SnapshotCatalog.publish` (pointer never flipped).
     #: Readers of the table don't see it; ``read_table(as_of=...)``
@@ -680,6 +686,7 @@ class SnapshotCatalog(Catalog):
             state=state,
             sequence=seq,
             schema_json=json.dumps(table_schema.jsonValue()),
+            summary=self._dir_summary([abs_dir], row_count, len(state)),
             staged=staged,
         )
         # append to the log first, then atomically flip the pointer —
@@ -692,6 +699,26 @@ class SnapshotCatalog(Catalog):
                 return snap  # WAP: pointer untouched until publish()
             self._flip_pointer(table, snap)
         return snap
+
+    @staticmethod
+    def _dir_summary(absdirs: list[str], added_rows: int, total_entries: int) -> dict:
+        """Iceberg-style snapshot summary from the just-written
+        directories' file metadata — sizes from the filesystem, rows
+        from the caller (who already has them footer- or
+        observation-sourced); never reads data."""
+        files = bytes_ = 0
+        for absdir in absdirs:
+            for root, _d, fns in os.walk(absdir):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        files += 1
+                        bytes_ += os.path.getsize(os.path.join(root, fn))
+        return {
+            "added_files": files,
+            "added_bytes": bytes_,
+            "added_rows": int(added_rows),
+            "total_entries": total_entries,
+        }
 
     def _flip_pointer(self, table: str, snap: Snapshot) -> None:
         ppath = os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.json")
@@ -1236,6 +1263,10 @@ class SnapshotCatalog(Catalog):
             state=list(prev.state) + entries,
             sequence=seq,
             schema_json=json.dumps(table_schema.jsonValue()),
+            summary=self._dir_summary(
+                [os.path.join(self.warehouse, e["dir"]) for e in entries],
+                row_count, len(prev.state) + len(entries),
+            ),
         )
         with self._log_lock(table):
             with open(self._log_path(table), "a") as f:
@@ -1966,7 +1997,8 @@ class SnapshotCatalog(Catalog):
 
         rows = [
             (s.snapshot_id, s.parent_id, s.sequence, s.op, s.row_count,
-             float(s.committed_at_unix), json.dumps(s.lineage, sort_keys=True))
+             float(s.committed_at_unix), json.dumps(s.lineage, sort_keys=True),
+             json.dumps(s.summary, sort_keys=True))
             for s in self.history(table)
         ]
         schema = StructType([
@@ -1977,5 +2009,6 @@ class SnapshotCatalog(Catalog):
             StructField("row_count", LongType(), False),
             StructField("committed_at_unix", DoubleType(), False),
             StructField("lineage_json", StringType(), False),
+            StructField("summary_json", StringType(), False),
         ])
         return self.spark.createDataFrame(rows, schema)

@@ -1393,3 +1393,21 @@ def test_tag_guards(spark, cat):
         cat.create_tag("t", "prestage", as_of=staged.snapshot_id)
     with pytest.raises(LookupError, match="no tag"):
         cat.remove_tag("t", "missing")
+
+
+def test_snapshot_summary_records_commit_physics(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    assert s1.summary["added_rows"] == 2
+    assert s1.summary["added_files"] >= 1
+    assert s1.summary["added_bytes"] > 0
+    assert s1.summary["total_entries"] == 1
+    s2 = cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    assert s2.summary["added_rows"] == 1 and s2.summary["total_entries"] == 2
+    s3 = cat.merge(_df(spark, [(3, "c", "Z!")]), "t", on=["k"], strategy="mor")
+    # MoR commit: delete sidecar + insert dir both counted
+    assert s3.summary["added_files"] >= 2
+    assert s3.summary["added_rows"] == 1
+    mt = {r.snapshot_id: json.loads(r.summary_json)
+          for r in cat.snapshots_metadata("t").collect()}
+    assert mt[s1.snapshot_id]["added_rows"] == 2
+    assert mt[s3.snapshot_id]["added_files"] == s3.summary["added_files"]
