@@ -225,7 +225,11 @@ def main() -> None:
         "clock_ratio_n_over_4n": round(clock_ratio, 3),
         "efficiency": round(eff, 3),
         "efficiency_clock_normalized": round(eff_norm, 3),
-        "pass": eff >= 0.8 or eff_norm >= 0.8,
+        # the gate reads the NORMALIZED figure only — trusting the
+        # calibration in both directions (a ratio < 1 means the 4N
+        # level clocked higher and raw efficiency is inflated; gating
+        # on "either" would always take the more favorable number)
+        "pass": eff_norm >= 0.8,
     }
     print(json.dumps(summary))
 
@@ -261,7 +265,10 @@ boosts no real N-executor cluster node would see.
 
 **Scaling efficiency = throughput_4N / (4 × throughput_N) =
 {summary["efficiency"]} raw; {summary["efficiency_clock_normalized"]}
-clock-normalized** — {"meets" if summary["pass"] else "BELOW"} the ≥ 0.8 gate.
+clock-normalized** — the gate reads the clock-normalized figure (in
+BOTH directions: a ratio < 1 deflates it, so the calibration can fail
+a run raw numbers would pass) and this run
+{"meets" if summary["pass"] else "is BELOW"} the ≥ 0.8 bar.
 
 The clock calibration (a pure register loop run INSIDE each confined
 worker while the spinners hold the complement) measures what the

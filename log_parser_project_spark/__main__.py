@@ -194,10 +194,18 @@ def main(argv: list[str] | None = None) -> int:
             from_snapshot=args.from_snapshot,
             to_snapshot=args.to_snapshot,
             drop_carryovers=not args.keep_carryovers,
-        ).limit(args.limit)
-        print(json.dumps(
-            [r.asDict(recursive=True) for r in ch.collect()], indent=2, default=str
-        ))
+        )
+        # deterministic page: same command, same rows (a bare limit
+        # would print an arbitrary plan-dependent subset)
+        rows = [
+            r.asDict(recursive=True)
+            for r in ch.orderBy(*ch.columns).limit(args.limit + 1).collect()
+        ]
+        if len(rows) > args.limit:
+            rows = rows[: args.limit]
+            print(f"(showing first {args.limit} rows; raise --limit for more)",
+                  file=sys.stderr)
+        print(json.dumps(rows, indent=2, default=str))
         return 0
 
     if args.cmd == "mine":

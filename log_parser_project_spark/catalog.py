@@ -352,7 +352,12 @@ class SnapshotCatalog(Catalog):
     _TAG_SHAPE = re.compile(r"^[A-Za-z][A-Za-z0-9_.\-]{0,63}$")
 
     def _refs_path(self, table: str) -> str:
-        return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.refs.json")
+        # deliberately NOT "*.json": a table literally named "t.refs"
+        # has pointer manifest "t.refs.json", which a ".refs.json"
+        # suffix for table "t" would clobber. Extensionless "<t>.refs"
+        # can never equal a pointer ("*.json"), a log ("*.log.jsonl"),
+        # or a lock ("*.lock") of any table name.
+        return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.refs")
 
     def tags(self, table: str) -> dict[str, str]:
         """Named immutable refs: tag name → snapshot id (Iceberg tags)."""
@@ -668,10 +673,17 @@ class SnapshotCatalog(Catalog):
             # replace_leaves extends the mask beyond what the new data
             # dir physically contains — a partition whose rows were ALL
             # deleted (e.g. by merge) writes no leaf dir, but its old
-            # rows must still be masked out
+            # rows must still be masked out. Entries carry forward
+            # VERBATIM except for the added mask: kind/on/seq (merge-
+            # on-read delete markers + sequence numbers) and files/
+            # bloom (skipping stats) must survive, and the mask never
+            # applies to keys-only eq_deletes entries (they have no
+            # partition subtrees; rebuilding them as data entries would
+            # resurrect deleted rows AND read key files as rows).
             replaced = set(self._partition_leaves(abs_dir)) | set(replace_leaves or [])
             state = [
-                {"dir": e["dir"], "exclude": sorted(set(e["exclude"]) | set(replaced))}
+                e if e.get("kind") == "eq_deletes"
+                else {**e, "exclude": sorted(set(e["exclude"]) | replaced)}
                 for e in prev.state
             ] + [new_entry]
 
@@ -689,15 +701,21 @@ class SnapshotCatalog(Catalog):
             summary=self._dir_summary([abs_dir], row_count, len(state)),
             staged=staged,
         )
-        # append to the log first, then atomically flip the pointer —
-        # the pointer replace is the commit point; the lock keeps the
-        # append from racing a maintenance rewrite's read-filter-replace
+        return self._commit(table, snap)
+
+    def _commit(self, table: str, snap: Snapshot) -> Snapshot:
+        """THE commit protocol, shared by every commit path
+        (write_table, publish, merge-on-read): append the snapshot's
+        log line first, then atomically flip the pointer — the pointer
+        replace is the commit point. A staged (write-audit-publish)
+        snapshot gets its log line but no flip. The lock keeps the
+        append from racing a maintenance rewrite's
+        read-filter-replace."""
         with self._log_lock(table):
             with open(self._log_path(table), "a") as f:
                 f.write(json.dumps(asdict(snap)) + "\n")
-            if staged:
-                return snap  # WAP: pointer untouched until publish()
-            self._flip_pointer(table, snap)
+            if not snap.staged:
+                self._flip_pointer(table, snap)
         return snap
 
     @staticmethod
@@ -773,11 +791,7 @@ class SnapshotCatalog(Catalog):
         snap.committed_at_unix = time.time()
         # a published line so history()'s by-id map resolves the final
         # (unstaged) version; the old staged line becomes inert
-        with self._log_lock(table):
-            with open(self._log_path(table), "a") as f:
-                f.write(json.dumps(asdict(snap)) + "\n")
-            self._flip_pointer(table, snap)
-        return snap
+        return self._commit(table, snap)
 
     def abandon_stage(self, table: str, snapshot_id: str) -> list[str]:
         """Write-audit-publish, the audit-FAILED arm: drop one pending
@@ -1268,11 +1282,7 @@ class SnapshotCatalog(Catalog):
                 row_count, len(prev.state) + len(entries),
             ),
         )
-        with self._log_lock(table):
-            with open(self._log_path(table), "a") as f:
-                f.write(json.dumps(asdict(snap)) + "\n")
-            self._flip_pointer(table, snap)
-        return snap
+        return self._commit(table, snap)
 
     # ----------------------------------------------------------------- read
     def _entry_df(self, entry: dict, schema, predicate=None, eq=None) -> DataFrame | None:
@@ -1529,6 +1539,13 @@ class SnapshotCatalog(Catalog):
                 return None
             return StructType.fromJson(json.loads(snap.schema_json))
 
+        def _tag(df: DataFrame, ctype: str, snap: Snapshot, ordinal: int) -> DataFrame:
+            return df.withColumns({
+                "_change_type": F.lit(ctype),
+                "_commit_snapshot_id": F.lit(snap.snapshot_id),
+                "_change_ordinal": F.lit(ordinal).cast("long"),
+            })
+
         def _read_side(files: dict, schema, ctype: str, snap: Snapshot, ordinal: int):
             by_dir: dict[str, list[str]] = {}
             for rel, entry_dir in files.items():
@@ -1543,21 +1560,7 @@ class SnapshotCatalog(Catalog):
                 if schema is not None:
                     reader = reader.schema(schema)
                 pieces.append(reader.parquet(*sorted(paths)))
-            return [
-                p.withColumns({
-                    "_change_type": F.lit(ctype),
-                    "_commit_snapshot_id": F.lit(snap.snapshot_id),
-                    "_change_ordinal": F.lit(ordinal).cast("long"),
-                })
-                for p in pieces
-            ]
-
-        def _tag(df: DataFrame, ctype: str, snap: Snapshot, ordinal: int) -> DataFrame:
-            return df.withColumns({
-                "_change_type": F.lit(ctype),
-                "_commit_snapshot_id": F.lit(snap.snapshot_id),
-                "_change_ordinal": F.lit(ordinal).cast("long"),
-            })
+            return [_tag(p, ctype, snap, ordinal) for p in pieces]
 
         parts: list[DataFrame] = []
         mor_in_range = False

@@ -137,6 +137,18 @@ def commit_increment(
     """
     from ..operators.dedup import build_dedup_index, increment_dedup_report
 
+    if cut_tag is not None:
+        # preflight BEFORE any table advances: a bad tag name, a
+        # duplicate, or a tagless catalog must fail while the commit
+        # is still retryable — failing after the three writes would
+        # leave the increment permanently committed but unpinnable
+        if not hasattr(catalog, "create_tag"):
+            raise ValueError("cut_tag requires a SnapshotCatalog")
+        if not catalog._TAG_SHAPE.match(cut_tag) or catalog._ID_SHAPE.match(cut_tag):
+            raise ValueError(f"invalid cut_tag {cut_tag!r} (see create_tag)")
+        if cut_tag in catalog.tags(table):
+            raise ValueError(f"cut_tag {cut_tag!r} already exists on {table!r}")
+
     docs_t, bands_t = f"{table}_index_docs", f"{table}_index_bands"
     history = idx_docs = idx_bands = None
     if catalog.exists(table):
@@ -206,8 +218,6 @@ def commit_increment(
     if cut_tag is not None:
         # pin THIS cut's exact corpus snapshot: the dataset built from
         # it stays reproducible through expiry/compaction/orphan sweeps
-        # until the tag is removed (SnapshotCatalog tags)
-        if not hasattr(catalog, "create_tag"):
-            raise ValueError("cut_tag requires a SnapshotCatalog")
+        # until the tag is removed (validated in the preflight above)
         catalog.create_tag(table, cut_tag)
     return report

@@ -66,7 +66,15 @@ class TableCommitStream:
         checkpoint_dir: str,
         mode: str = "appends",
         initial: str = "earliest",
+        drop_carryovers: bool = True,
     ):
+        """``drop_carryovers`` passes through to :meth:`changes` in
+        changelog mode: the netted default is what per-commit delivery
+        usually wants, but netting groups by every data column, so a
+        copy-on-write table with a non-groupable column type (maps)
+        needs ``drop_carryovers=False`` raw delivery instead (merge-
+        on-read commits reject raw delivery either way — see
+        ``changes``)."""
         if mode not in ("appends", "changelog"):
             raise ValueError(f"mode must be appends or changelog, got {mode!r}")
         if initial not in ("earliest", "latest"):
@@ -75,6 +83,7 @@ class TableCommitStream:
         self.table = table
         self.mode = mode
         self.initial = initial
+        self.drop_carryovers = drop_carryovers
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._cursor_path = os.path.join(
             checkpoint_dir, f"{table.replace('/', '__')}.cursor.json"
@@ -88,12 +97,12 @@ class TableCommitStream:
         with open(self._cursor_path) as f:
             return json.load(f)["last_snapshot_id"]
 
-    def _advance(self, snap: Snapshot) -> None:
+    def _advance(self, snapshot_id: str, sequence: int) -> None:
         tmp = f"{self._cursor_path}.tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(
-                {"table": self.table, "last_snapshot_id": snap.snapshot_id,
-                 "last_sequence": snap.sequence},
+                {"table": self.table, "last_snapshot_id": snapshot_id,
+                 "last_sequence": sequence},
                 f,
             )
         os.replace(tmp, self._cursor_path)
@@ -110,7 +119,7 @@ class TableCommitStream:
             if self.initial == "latest" and hist:
                 # start AFTER the current snapshot: mark it consumed so
                 # the first drain only sees commits made from now on
-                self._advance(hist[-1])
+                self._advance(hist[-1].snapshot_id, hist[-1].sequence)
                 return []
             return hist
         pos = {s.snapshot_id: i for i, s in enumerate(hist)}
@@ -135,6 +144,7 @@ class TableCommitStream:
                     self.table,
                     from_snapshot=snap.parent_id,
                     to_snapshot=snap.snapshot_id,
+                    drop_carryovers=self.drop_carryovers,
                 ).drop("_commit_snapshot_id", "_change_ordinal")
             else:
                 # one commit's delta: dirs in this snapshot but not in
@@ -159,9 +169,11 @@ class TableCommitStream:
     def ack(self, batch: CommitBatch) -> None:
         """Mark a batch fully processed; the cursor moves to its
         commit. Acks must arrive in delivery order (the cursor is a
-        single high-water mark, like a stream offset)."""
-        hist = {s.snapshot_id: s for s in self.catalog.history(self.table)}
-        self._advance(hist[batch.snapshot_id])
+        single high-water mark, like a stream offset). Advances from
+        the batch's own id+sequence — no log re-read, and an ack never
+        fails just because maintenance expired the commit while the
+        handler was running."""
+        self._advance(batch.snapshot_id, batch.sequence)
 
     def drain(
         self,

@@ -1411,3 +1411,27 @@ def test_snapshot_summary_records_commit_physics(spark, cat):
           for r in cat.snapshots_metadata("t").collect()}
     assert mt[s1.snapshot_id]["added_rows"] == 2
     assert mt[s3.snapshot_id]["added_files"] == s3.summary["added_files"]
+
+
+def test_replace_partitions_preserves_entry_metadata(spark, cat):
+    """replace_partitions must carry manifest entries forward VERBATIM
+    plus the new mask: merge-on-read delete markers (kind/on/seq) and
+    skipping stats (files/bloom) survive, and eq_deletes entries are
+    never masked or rebuilt as data entries."""
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]),
+                    "t", partition_by=["route"], stats_cols=["k"])
+    cat.merge(_df(spark, [(2, "b", "GONE")]), "t", on=["k"],
+              when_matched="delete", when_not_matched=None, strategy="mor")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (3, "c", "z")]
+    # now replace an UNRELATED partition
+    cat.write_table(_df(spark, [(9, "c", "NEW")]), "t",
+                    mode="replace_partitions", partition_by=["route"])
+    # the MoR delete still applies; route=c was replaced; route=a kept
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (9, "c", "NEW")]
+    state = cat.snapshot("t").state
+    kinds = [e.get("kind") for e in state]
+    assert "eq_deletes" in kinds  # marker survived the rewrite
+    first = state[0]
+    assert "files" in first and first.get("seq") == 1  # stats + seq carried
+    del_entry = next(e for e in state if e.get("kind") == "eq_deletes")
+    assert del_entry["exclude"] == [] and del_entry["on"] == ["k"]
