@@ -71,6 +71,12 @@ class Snapshot:
     #: ADD columns — older data dirs then read back with nulls for the
     #: later-added columns, Iceberg's add-column schema evolution.
     schema_json: str | None = None
+    #: Iceberg hidden partitioning: the partition spec this snapshot
+    #: was written under — a list of {"transform", "source", "name"}
+    #: (+"n" for bucket/truncate); "identity" entries are plain
+    #: columns. Non-identity entries are HIDDEN: derived at write,
+    #: dropped from reads, pruned from source-column predicates.
+    partition_spec: list = field(default_factory=list)
     #: Iceberg's snapshot summary: what THIS commit physically did —
     #: added_files/added_bytes/added_rows for the new directory(ies),
     #: total_entries for the resulting state. Harvested from the
@@ -556,6 +562,92 @@ class SnapshotCatalog(Catalog):
             + [StructField(f.name, f.dataType, nullable=True) for f in added]
         )
 
+    # ------------------------------------------------- hidden partitioning
+    _TRANSFORM_RE = re.compile(
+        r"^(day|month|hour|bucket|truncate)\((?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
+    )
+
+    @classmethod
+    def _parse_partition_spec(cls, partition_by):
+        """Iceberg hidden partitioning: ``partition_by`` may mix plain
+        columns with TRANSFORMS — ``day(ts)``, ``month(ts)``,
+        ``hour(ts)``, ``bucket(N, col)``, ``truncate(N, col)``. Returns
+        (physical partition column names, full spec); transforms get a
+        derived hidden column (``ts_day``, ``conv_id_bucket16``, ...)
+        that writers compute and readers never see."""
+        if not partition_by:
+            return partition_by, []
+        names, spec = [], []
+        for p in partition_by:
+            if "(" not in p:
+                names.append(p)
+                spec.append({"transform": "identity", "source": p, "name": p})
+                continue
+            m = cls._TRANSFORM_RE.match(p.replace(" ", ""))
+            if not m:
+                raise ValueError(
+                    f"unparseable partition transform {p!r}: expected "
+                    "day(col) / month(col) / hour(col) / bucket(N,col) / "
+                    "truncate(N,col)"
+                )
+            t, n, src = m.groups()
+            if t in ("bucket", "truncate") and not n:
+                raise ValueError(f"{t} transform requires N: {t}(N,{src})")
+            if t in ("day", "month", "hour") and n:
+                raise ValueError(f"{t} transform takes no N argument: {p!r}")
+            name = f"{src}_{t}{n or ''}" if t in ("bucket", "truncate") else f"{src}_{t}"
+            names.append(name)
+            entry = {"transform": t, "source": src, "name": name}
+            if n:
+                entry["n"] = int(n)
+            spec.append(entry)
+        return names, spec
+
+    @staticmethod
+    def _transform_col(entry: dict, source_col=None):
+        """The hidden column's value as an expression over the source
+        column (or an arbitrary expression, for predicate derivation)."""
+        from pyspark.sql import functions as F
+
+        c = F.col(entry["source"]) if source_col is None else source_col
+        t = entry["transform"]
+        if t == "identity":
+            return c
+        if t == "day":
+            return F.to_date(c)
+        if t == "month":
+            return F.date_format(c, "yyyy-MM")
+        if t == "hour":
+            return F.date_format(c, "yyyy-MM-dd-HH")
+        if t == "bucket":
+            return F.pmod(F.xxhash64(c.cast("string")), F.lit(entry["n"])).cast("int")
+        return F.substring(c.cast("string"), 1, entry["n"])  # truncate
+
+    @staticmethod
+    def _hidden_field(entry: dict):
+        from pyspark.sql.types import DateType, IntegerType, StringType, StructField
+
+        t = entry["transform"]
+        dt = DateType() if t == "day" else IntegerType() if t == "bucket" else StringType()
+        return StructField(entry["name"], dt, True)
+
+    @staticmethod
+    def _hidden_of(spec: list) -> list[dict]:
+        return [s for s in (spec or []) if s["transform"] != "identity"]
+
+    @classmethod
+    def _spec_strings(cls, spec: list) -> list[str]:
+        """Round-trip a recorded spec back to partition_by strings."""
+        out = []
+        for s in spec:
+            if s["transform"] == "identity":
+                out.append(s["source"])
+            elif "n" in s:
+                out.append(f"{s['transform']}({s['n']},{s['source']})")
+            else:
+                out.append(f"{s['transform']}({s['source']})")
+        return out
+
     # ---------------------------------------------------------------- write
     def _partition_leaves(self, absdir: str) -> list[str]:
         """Relative ``key=value[/key=value...]`` leaf-partition paths
@@ -637,7 +729,35 @@ class SnapshotCatalog(Catalog):
         if replace_leaves and mode != "replace_partitions":
             raise ValueError("replace_leaves only applies to replace_partitions")
         prev = self.snapshot(table)
+        part_names, spec = self._parse_partition_spec(partition_by)
+        hidden = self._hidden_of(spec)
+        prev_spec = list(prev.partition_spec or []) if prev else []
+        if prev is not None and mode != "overwrite" and self._hidden_of(prev_spec):
+            if partition_by is None:
+                # inherit the hidden spec: appends don't restate the
+                # layout (Iceberg writers read it from table metadata)
+                spec, part_names = prev_spec, [s["name"] for s in prev_spec]
+                hidden = self._hidden_of(spec)
+            elif spec != prev_spec:
+                raise ValueError(
+                    f"table {table!r} is hidden-partitioned by "
+                    f"{self._spec_strings(prev_spec)}; append/replace must "
+                    "match or omit partition_by (changing a hidden spec "
+                    "requires mode='overwrite')"
+                )
+        if hidden:
+            clash = [s["name"] for s in hidden if s["name"] in df.columns]
+            if clash:
+                raise ValueError(
+                    f"hidden partition names collide with data columns: {clash}"
+                )
+        # the TABLE schema never includes hidden partition columns —
+        # they are derived at write and dropped from reads
         table_schema = self._evolve_schema(prev, df.schema, mode)
+        if hidden:
+            df = df.withColumns(
+                {s["name"]: self._transform_col(s) for s in hidden}
+            )
         seq = (prev.sequence if prev else 0) + 1
         snap_id = uuid.uuid4().hex[:16]
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
@@ -646,8 +766,8 @@ class SnapshotCatalog(Catalog):
         if sort_by:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if part_names:
+            writer = writer.partitionBy(*part_names)
         writer.parquet(abs_dir)
 
         if callable(row_count):
@@ -698,6 +818,7 @@ class SnapshotCatalog(Catalog):
             state=state,
             sequence=seq,
             schema_json=json.dumps(table_schema.jsonValue()),
+            partition_spec=spec,
             summary=self._dir_summary([abs_dir], row_count, len(state)),
             staged=staged,
         )
@@ -1217,6 +1338,11 @@ class SnapshotCatalog(Catalog):
 
         from pyspark.sql import functions as F
 
+        if partition_by and any("(" in p for p in partition_by):
+            raise ValueError(
+                "merge strategy='mor' does not support hidden partition "
+                "transforms; pass plain columns or omit partition_by"
+            )
         if source.where(
             functools.reduce(lambda a, b: a | b, [F.col(k).isNull() for k in on])
         ).head(1):
@@ -1277,6 +1403,10 @@ class SnapshotCatalog(Catalog):
             state=list(prev.state) + entries,
             sequence=seq,
             schema_json=json.dumps(table_schema.jsonValue()),
+            # table metadata carries forward: without the spec, a read
+            # of the post-merge snapshot would not know the inherited
+            # entries' hidden dir columns and the union would misalign
+            partition_spec=list(prev.partition_spec or []),
             summary=self._dir_summary(
                 [os.path.join(self.warehouse, e["dir"]) for e in entries],
                 row_count, len(prev.state) + len(entries),
@@ -1378,6 +1508,19 @@ class SnapshotCatalog(Catalog):
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
+        # hidden partitioning: scan WITH the hidden columns (their dir
+        # values; entries written under another spec read them null),
+        # prune on them from source-column predicates, drop them last
+        hidden = self._hidden_of(snap.partition_spec or [])
+        scan_schema = schema
+        if hidden and schema is not None:
+            from pyspark.sql.types import StructType
+
+            present = {f.name for f in schema.fields}
+            scan_schema = StructType(
+                list(schema.fields)
+                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
+            )
         entries = snap.state
         if since is not None:
             before = self._resolve(table, since)
@@ -1394,7 +1537,7 @@ class SnapshotCatalog(Catalog):
         for e in entries:
             if e.get("kind") == "eq_deletes":
                 continue
-            d = self._entry_df(e, schema, predicate, eq)
+            d = self._entry_df(e, scan_schema, predicate, eq)
             if d is None:
                 continue
             if deletes:
@@ -1411,6 +1554,42 @@ class SnapshotCatalog(Catalog):
             out = out.unionByName(d)
         if deletes:
             out = self._apply_eq_deletes(out, deletes)
+        if hidden:
+            out = self._prune_hidden(out, hidden, predicate, eq)
+            out = out.drop(*[s["name"] for s in hidden])
+        return out
+
+    def _prune_hidden(self, out: DataFrame, hidden: list[dict], predicate, eq) -> DataFrame:
+        """Iceberg's hidden-partition pruning: a predicate on the
+        SOURCE column becomes a PartitionFilter on the derived column —
+        the user never names the layout. Time transforms are monotone
+        (date / zero-padded formats compare chronologically), so a
+        [lo, hi] source range maps to [f(lo), f(hi)] on the partition
+        value; bucket/truncate prune equality probes. Rows whose hidden
+        value is NULL (entries written under a different spec) are
+        KEPT — pruning is metadata-level best-effort, same contract as
+        the file-stat predicate: the caller's row filter stays on top."""
+        from pyspark.sql import functions as F
+
+        for s in hidden:
+            name = F.col(s["name"])
+            guard = name.isNull()
+            if (
+                predicate is not None
+                and predicate[0] == s["source"]
+                and s["transform"] in ("day", "month", "hour")
+            ):
+                _col, lo, hi = predicate
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (name >= self._transform_col(s, F.lit(lo)))
+                if hi is not None:
+                    cond = cond & (name <= self._transform_col(s, F.lit(hi)))
+                out = out.where(cond | guard)
+            if eq is not None and eq[0] == s["source"] and s["transform"] != "identity":
+                out = out.where(
+                    (name == self._transform_col(s, F.lit(eq[1]))) | guard
+                )
         return out
 
     def _apply_eq_deletes(self, out: DataFrame, deletes: list[dict]) -> DataFrame:
@@ -1614,6 +1793,18 @@ class SnapshotCatalog(Catalog):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        # hidden partition columns leak into raw file reads (Spark
+        # appends dir columns); the changelog's contract is DATA
+        # columns + change columns, so drop them across every spec in
+        # the range
+        drop_hidden = sorted({
+            s["name"]
+            for i in range(max(lo, 0), hi + 1)
+            for s in self._hidden_of(hist[i].partition_spec or [])
+            if s["name"] in out.columns
+        })
+        if drop_hidden:
+            out = out.drop(*drop_hidden)
         data_cols = [c for c in out.columns if c not in self._CHANGE_COLS]
         out = out.select(*data_cols, *self._CHANGE_COLS)
         if not drop_carryovers:
@@ -1664,7 +1855,13 @@ class SnapshotCatalog(Catalog):
         snap = self.snapshot(table)
         if snap is None:
             raise LookupError(f"no committed table {table!r}")
-        if partition_by == "auto":
+        if partition_by == "auto" and self._hidden_of(snap.partition_spec or []):
+            # hidden-partitioned table: preserve the SPEC, not the
+            # physical dir names (reads drop the hidden columns, so
+            # repartitioning by dir name would miss; write_table
+            # re-derives them from the transform strings)
+            partition_by = self._spec_strings(snap.partition_spec)
+        elif partition_by == "auto":
             partition_by = self._current_partitioning(snap) or None
         # live bytes from the snapshot state; a legacy flat-layout table
         # (empty state) is measured at the table root instead — without
@@ -1700,12 +1897,14 @@ class SnapshotCatalog(Catalog):
             from .operators.zorder import cluster_zorder
 
             df = cluster_zorder(df, zorder_by, n_partitions=n_files)
+        elif partition_by:
+            # cluster by the partition VALUES (for transforms, the
+            # derived expression — write_table re-derives the same
+            # values for the physical layout)
+            _names, cspec = self._parse_partition_spec(list(partition_by))
+            df = df.repartition(n_files, *[self._transform_col(s) for s in cspec])
         else:
-            df = (
-                df.repartition(n_files, *partition_by)
-                if partition_by
-                else df.repartition(n_files)
-            )
+            df = df.repartition(n_files)
         return self.write_table(
             df,
             table,

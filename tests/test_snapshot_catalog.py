@@ -1435,3 +1435,133 @@ def test_replace_partitions_preserves_entry_metadata(spark, cat):
     assert "files" in first and first.get("seq") == 1  # stats + seq carried
     del_entry = next(e for e in state if e.get("kind") == "eq_deletes")
     assert del_entry["exclude"] == [] and del_entry["on"] == ["k"]
+
+
+# ------------------------------------------------------ hidden partitioning
+def _tsdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, route string, ts timestamp"
+    )
+
+
+def test_hidden_partitioning_day_roundtrip_and_pruning(spark, cat):
+    import datetime as dt
+
+    rows = [
+        (1, "a", dt.datetime(2026, 1, 1, 5)),
+        (2, "b", dt.datetime(2026, 1, 2, 6)),
+        (3, "c", dt.datetime(2026, 1, 3, 7)),
+    ]
+    cat.write_table(_tsdf(spark, rows), "t", partition_by=["day(ts)"])
+    got = cat.read_table("t")
+    # hidden column derived at write, absent from reads
+    assert got.columns == ["k", "route", "ts"]
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3]
+    # physical layout: ts_day=... dirs
+    parts = {r.partition for r in cat.files_metadata("t").collect()}
+    assert parts == {"ts_day=2026-01-01", "ts_day=2026-01-02", "ts_day=2026-01-03"}
+    # predicate on the SOURCE column prunes partitions the user never named
+    pruned = cat.read_table(
+        "t", predicate=("ts", dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 3, 23))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ts_day" in plan
+    assert sorted(r.k for r in pruned.collect()) == [2, 3]
+
+
+def test_hidden_partitioning_append_inherits_spec(spark, cat):
+    import datetime as dt
+
+    cat.write_table(
+        _tsdf(spark, [(1, "a", dt.datetime(2026, 1, 1))]), "t",
+        partition_by=["day(ts)"],
+    )
+    # append WITHOUT partition_by: the hidden spec is table metadata
+    cat.write_table(
+        _tsdf(spark, [(2, "b", dt.datetime(2026, 1, 2))]), "t", mode="append"
+    )
+    parts = {r.partition for r in cat.files_metadata("t").collect()}
+    assert parts == {"ts_day=2026-01-01", "ts_day=2026-01-02"}
+    # append with a DIFFERENT spec is rejected (overwrite required)
+    with pytest.raises(ValueError, match="hidden-partitioned"):
+        cat.write_table(
+            _tsdf(spark, [(3, "c", dt.datetime(2026, 1, 3))]), "t",
+            mode="append", partition_by=["month(ts)"],
+        )
+    # restating the SAME spec is fine
+    cat.write_table(
+        _tsdf(spark, [(3, "c", dt.datetime(2026, 1, 3))]), "t",
+        mode="append", partition_by=["day(ts)"],
+    )
+    assert cat.read_table("t").count() == 3
+
+
+def test_hidden_partitioning_bucket_eq_prunes(spark, cat):
+    df = spark.range(0, 200).selectExpr(
+        "cast(id as int) as k", "concat('c-', id) as conv_id", "concat('v', id) as v"
+    )
+    cat.write_table(df, "t", partition_by=["bucket(8,conv_id)"])
+    got = cat.read_table("t", eq=("conv_id", "c-7")).filter("conv_id = 'c-7'")
+    assert [r.k for r in got.collect()] == [7]
+    plan = cat.read_table("t", eq=("conv_id", "c-7"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "conv_id_bucket8" in plan
+    assert cat.read_table("t").columns == ["k", "conv_id", "v"]
+
+
+def test_hidden_partitioning_compact_preserves_spec(spark, cat):
+    import datetime as dt
+
+    cat.write_table(
+        _tsdf(spark, [(1, "a", dt.datetime(2026, 1, 1)),
+                      (2, "b", dt.datetime(2026, 1, 2))]),
+        "t", partition_by=["day(ts)"],
+    )
+    cat.write_table(
+        _tsdf(spark, [(3, "c", dt.datetime(2026, 1, 2, 9))]), "t", mode="append"
+    )
+    cat.compact("t")
+    assert cat.snapshot("t").partition_spec and \
+        cat.snapshot("t").partition_spec[0]["transform"] == "day"
+    parts = {r.partition for r in cat.files_metadata("t").collect()}
+    assert parts == {"ts_day=2026-01-01", "ts_day=2026-01-02"}
+    assert cat.read_table("t").count() == 3
+
+
+def test_hidden_partitioning_changes_and_mor_interplay(spark, cat):
+    import datetime as dt
+
+    s1 = cat.write_table(
+        _tsdf(spark, [(1, "a", dt.datetime(2026, 1, 1))]), "t",
+        partition_by=["day(ts)"],
+    )
+    cat.write_table(
+        _tsdf(spark, [(2, "b", dt.datetime(2026, 1, 2))]), "t", mode="append"
+    )
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    # changelog exposes data columns only — no hidden ts_day
+    assert ch.columns == ["k", "route", "ts",
+                          "_change_type", "_commit_snapshot_id", "_change_ordinal"]
+    assert [(r.k, r._change_type) for r in ch.collect()] == [(2, "insert")]
+    # MoR on a hidden table: plain-column/omitted partition_by works
+    cat.merge(_tsdf(spark, [(2, "b", dt.datetime(2026, 1, 2, 4))]), "t",
+              on=["k"], strategy="mor")
+    assert cat.read_table("t").filter("k = 2").first().ts.hour == 4
+    with pytest.raises(ValueError, match="hidden partition"):
+        cat.merge(_tsdf(spark, [(9, "z", dt.datetime(2026, 1, 9))]), "t",
+                  on=["k"], strategy="mor", partition_by=["day(ts)"])
+
+
+def test_hidden_partitioning_name_guards(spark, cat):
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="unparseable"):
+        cat.write_table(_tsdf(spark, [(1, "a", dt.datetime(2026, 1, 1))]),
+                        "t", partition_by=["dayz(ts)"])
+    with pytest.raises(ValueError, match="requires N"):
+        cat.write_table(_tsdf(spark, [(1, "a", dt.datetime(2026, 1, 1))]),
+                        "t", partition_by=["bucket(conv_id)"])
+    bad = spark.createDataFrame([(1, "x")], "k int, ts_day string")
+    with pytest.raises(ValueError, match="collide"):
+        cat.write_table(bad.withColumn("ts", F.current_timestamp()),
+                        "t", partition_by=["day(ts)"])
