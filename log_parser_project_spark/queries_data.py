@@ -1879,3 +1879,48 @@ def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", mode="append",
     )
     return cat.read_table("t").orderBy("k")
+
+
+@_register(
+    "q_hp_pruned_scan",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning pinned to an oracle: events lands in a
+    snapshot table partitioned by ``day(ts)`` + ``bucket(4,user_id)``
+    (the user never sees either column), then a ts-range read —
+    pruned at scan planning via the derived PartitionFilter — feeds a
+    per-day/type rollup. The oracle recomputes from the raw parquet
+    with the same row filter, so the result proves the
+    write-transform → prune → drop path is lossless. Cites Iceberg
+    hidden partitioning; the reference has no partitioning at all
+    (single SQLite file, src/datastore.py)."""
+    import datetime as dt
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="hp_wh_"))
+    cat.write_table(
+        _t(spark, sf_dir, "events"), "ev",
+        partition_by=["day(ts)", "bucket(4,user_id)"],
+    )
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    return (
+        cat.read_table("ev", predicate=("ts", lo, hi))
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
