@@ -1565,3 +1565,33 @@ def test_hidden_partitioning_name_guards(spark, cat):
     with pytest.raises(ValueError, match="collide"):
         cat.write_table(bad.withColumn("ts", F.current_timestamp()),
                         "t", partition_by=["day(ts)"])
+
+
+def test_partition_spec_parse_roundtrip_property(spark, cat):
+    """_spec_strings(_parse_partition_spec(x)) is the identity on
+    canonical spec strings — fuzzed over the transform grammar."""
+    from hypothesis import given, settings, strategies as st
+
+    col = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+    n = st.integers(min_value=1, max_value=64)
+    spec_str = st.one_of(
+        col,
+        st.tuples(st.sampled_from(["day", "month", "hour"]), col).map(
+            lambda t: f"{t[0]}({t[1]})"
+        ),
+        st.tuples(st.sampled_from(["bucket", "truncate"]), n, col).map(
+            lambda t: f"{t[0]}({t[1]},{t[2]})"
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(spec_str, min_size=1, max_size=4))
+    def check(parts):
+        names, spec = cat._parse_partition_spec(parts)
+        assert cat._spec_strings(spec) == parts
+        assert len(names) == len(parts) and len(set()) == 0
+        # re-parse of the round-trip is a fixed point
+        names2, spec2 = cat._parse_partition_spec(cat._spec_strings(spec))
+        assert spec2 == spec and names2 == names
+
+    check()
