@@ -92,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
                       help="tag this snapshot instead of the current one")
     p_mt.add_argument("--remove-tag", metavar="NAME",
                       help="drop a tag (its snapshot becomes expirable)")
+    p_mt.add_argument("--create-branch", metavar="NAME",
+                      help="cut a movable branch ref at the current snapshot "
+                           "(write_table(branch=...) then commits onto it)")
+    p_mt.add_argument("--fast-forward", metavar="BRANCH",
+                      help="publish a branch: move the main pointer to its "
+                           "head (rejected if main diverged)")
+    p_mt.add_argument("--remove-branch", metavar="NAME",
+                      help="drop a branch ref (unpublished commits orphan)")
     p_mt.add_argument("--show", choices=["files", "partitions", "snapshots", "refs"],
                       help="print a metadata table after the actions")
 
@@ -168,6 +176,20 @@ def main(argv: list[str] | None = None) -> int:
             }
         if args.remove_tag:
             out["untagged"] = {args.remove_tag: cat.remove_tag(args.table, args.remove_tag)}
+        if args.create_branch:
+            out["branched"] = {
+                args.create_branch:
+                cat.create_branch(args.table, args.create_branch).snapshot_id
+            }
+        if args.fast_forward:
+            out["fast_forwarded"] = {
+                args.fast_forward:
+                cat.fast_forward(args.table, args.fast_forward).snapshot_id
+            }
+        if args.remove_branch:
+            out["branch_removed"] = {
+                args.remove_branch: cat.remove_branch(args.table, args.remove_branch)
+            }
         if args.expire_keep is not None:
             out["expired_dirs"] = cat.expire_snapshots(args.table, keep_last=args.expire_keep)
         if args.orphans_older_than is not None:

@@ -365,13 +365,48 @@ class SnapshotCatalog(Catalog):
         # or a lock ("*.lock") of any table name.
         return os.path.join(self._manifest_dir, f"{table.replace('/', '__')}.refs")
 
-    def tags(self, table: str) -> dict[str, str]:
-        """Named immutable refs: tag name → snapshot id (Iceberg tags)."""
+    def _load_refs(self, table: str) -> dict:
         p = self._refs_path(table)
         if not os.path.exists(p):
-            return {}
+            return {"tags": {}, "branches": {}}
         with open(p) as f:
-            return json.load(f).get("tags", {})
+            refs = json.load(f)
+        refs.setdefault("tags", {})
+        refs.setdefault("branches", {})
+        return refs
+
+    def _save_refs(self, table: str, refs: dict) -> None:
+        p = self._refs_path(table)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=2)
+        os.replace(tmp, p)
+
+    def tags(self, table: str) -> dict[str, str]:
+        """Named immutable refs: tag name → snapshot id (Iceberg tags)."""
+        return self._load_refs(table)["tags"]
+
+    def branches(self, table: str) -> dict[str, str]:
+        """Named MOVABLE refs: branch name → head snapshot id. A
+        branch is an independent commit lineage over the same shared
+        log — `write_table(..., branch=name)` advances it without
+        touching the main pointer (Iceberg branches; the multi-commit
+        generalization of write-audit-publish staging)."""
+        return self._load_refs(table)["branches"]
+
+    def _check_ref_name(self, table: str, name: str) -> None:
+        if not self._TAG_SHAPE.match(name) or self._ID_SHAPE.match(name):
+            raise ValueError(
+                f"invalid ref name {name!r}: must start with a letter "
+                "(so it can never be mistaken for a snapshot id or a "
+                "timestamp) and be <= 64 chars of [A-Za-z0-9_.-]"
+            )
+        refs = self._load_refs(table)
+        if name in refs["tags"] or name in refs["branches"]:
+            raise ValueError(
+                f"ref {name!r} already exists on table {table!r} "
+                "(tags and branches share one namespace)"
+            )
 
     def create_tag(self, table: str, name: str, as_of=None) -> Snapshot:
         """Iceberg's ``create_tag``: a named, immutable pointer to a
@@ -381,12 +416,7 @@ class SnapshotCatalog(Catalog):
         :meth:`remove_orphan_files` until :meth:`remove_tag` — tags
         are retention anchors (audit states, training-data cuts).
         Staged (unpublished) snapshots are not taggable."""
-        if not self._TAG_SHAPE.match(name) or self._ID_SHAPE.match(name):
-            raise ValueError(
-                f"invalid tag name {name!r}: must start with a letter "
-                "(so it can never be mistaken for a snapshot id or a "
-                "timestamp) and be <= 64 chars of [A-Za-z0-9_.-]"
-            )
+        self._check_ref_name(table, name)
         snap = self._resolve(table, as_of)
         if snap is None:
             raise LookupError(f"no committed table {table!r}")
@@ -396,50 +426,102 @@ class SnapshotCatalog(Catalog):
                 "publish it before tagging"
             )
         with self._log_lock(table):
-            p = self._refs_path(table)
-            refs = {"tags": {}}
-            if os.path.exists(p):
-                with open(p) as f:
-                    refs = json.load(f)
-            if name in refs.get("tags", {}):
-                raise ValueError(
-                    f"tag {name!r} already exists on table {table!r} "
-                    "(tags are immutable; remove_tag first)"
-                )
-            refs.setdefault("tags", {})[name] = snap.snapshot_id
-            tmp = f"{p}.tmp.{uuid.uuid4().hex[:6]}"
-            with open(tmp, "w") as f:
-                json.dump(refs, f, indent=2)
-            os.replace(tmp, p)
+            refs = self._load_refs(table)
+            if name in refs["tags"] or name in refs["branches"]:
+                raise ValueError(f"ref {name!r} already exists on table {table!r}")
+            refs["tags"][name] = snap.snapshot_id
+            self._save_refs(table, refs)
         return snap
 
     def remove_tag(self, table: str, name: str) -> str:
         """Drop a tag; its snapshot becomes expirable/collectable
         again. Returns the snapshot id it pointed at."""
         with self._log_lock(table):
-            p = self._refs_path(table)
-            refs = {"tags": {}}
-            if os.path.exists(p):
-                with open(p) as f:
-                    refs = json.load(f)
-            if name not in refs.get("tags", {}):
+            refs = self._load_refs(table)
+            if name not in refs["tags"]:
                 raise LookupError(f"no tag {name!r} on table {table!r}")
             sid = refs["tags"].pop(name)
-            tmp = f"{p}.tmp.{uuid.uuid4().hex[:6]}"
-            with open(tmp, "w") as f:
-                json.dump(refs, f, indent=2)
-            os.replace(tmp, p)
+            self._save_refs(table, refs)
         return sid
 
-    def _tagged_snapshots(self, table: str) -> list[Snapshot]:
-        """Snapshots pinned by tags — looked up in the full log, not
-        just the pointer chain, so a tag keeps protecting its snapshot
-        even after a rollback strands it on a dead branch."""
-        ids = set(self.tags(table).values())
+    # ------------------------------------------------------------- branches
+    def create_branch(self, table: str, name: str, as_of=None) -> Snapshot:
+        """Iceberg's ``create_branch``: a named MOVABLE pointer,
+        starting at a committed snapshot (default: the current one).
+        ``write_table(..., branch=name)`` then commits onto the branch
+        — the shared log gains the snapshot line, the branch head
+        moves, the main pointer never does — until
+        :meth:`fast_forward` publishes the branch to main. The
+        multi-commit generalization of write-audit-publish: stage a
+        whole SEQUENCE of commits, audit the branch by name
+        (``read_table(as_of=name)``), then fast-forward or
+        :meth:`remove_branch`. Branch heads are retention anchors
+        exactly like tags."""
+        self._check_ref_name(table, name)
+        snap = self._resolve(table, as_of)
+        if snap is None:
+            raise LookupError(f"no committed table {table!r}")
+        if snap.staged:
+            raise ValueError("cannot branch from a staged snapshot; publish it first")
+        with self._log_lock(table):
+            refs = self._load_refs(table)
+            if name in refs["tags"] or name in refs["branches"]:
+                raise ValueError(f"ref {name!r} already exists on table {table!r}")
+            refs["branches"][name] = snap.snapshot_id
+            self._save_refs(table, refs)
+        return snap
+
+    def remove_branch(self, table: str, name: str) -> str:
+        """Drop a branch ref; its unpublished commits become orphan
+        candidates. Returns the head snapshot id."""
+        with self._log_lock(table):
+            refs = self._load_refs(table)
+            if name not in refs["branches"]:
+                raise LookupError(f"no branch {name!r} on table {table!r}")
+            sid = refs["branches"].pop(name)
+            self._save_refs(table, refs)
+        return sid
+
+    def fast_forward(self, table: str, branch: str) -> Snapshot:
+        """Iceberg's ``fast_forward('main', branch)``: atomically move
+        the MAIN pointer to the branch head, provided main is an
+        ancestor of it (the branch strictly extends main — nothing on
+        main would be abandoned). A diverged branch (main advanced
+        since it was cut) is rejected; rebase by re-branching from the
+        new main. The branch ref survives, now equal to main."""
+        head_id = self.branches(table).get(branch)
+        if head_id is None:
+            raise LookupError(f"no branch {branch!r} on table {table!r}")
+        by_id = {s.snapshot_id: s for s in self._log_entries(table)}
+        if head_id not in by_id:
+            raise LookupError(
+                f"branch {branch!r} head {head_id!r} is gone from the log"
+            )
+        cur = self.snapshot(table)
+        node, seen = head_id, set()
+        while node is not None and node in by_id and node not in seen:
+            if cur is None or node == cur.snapshot_id:
+                self._flip_pointer(table, by_id[head_id])
+                return by_id[head_id]
+            seen.add(node)
+            node = by_id[node].parent_id
+        raise ValueError(
+            f"branch {branch!r} does not descend from the main pointer "
+            f"({cur.snapshot_id if cur else None!r}) — it diverged (or its "
+            "ancestry chain was expired); re-branch from the current main"
+        )
+
+    def _ref_pinned_snapshots(self, table: str) -> list[Snapshot]:
+        """Snapshots pinned by tags or branch heads — looked up in the
+        full log, not just the pointer chain, so refs keep protecting
+        their snapshots even after a rollback strands them on a dead
+        branch."""
+        refs = self._load_refs(table)
+        ids = set(refs["tags"].values()) | set(refs["branches"].values())
         return [s for s in self._log_entries(table) if s.snapshot_id in ids]
 
     def _resolve(self, table: str, as_of=None) -> Snapshot | None:
-        """``as_of`` accepts a TAG name (tried first), a snapshot id,
+        """``as_of`` accepts a TAG or BRANCH name (tried first), a snapshot id,
         or a point in time — Iceberg's ``FOR SYSTEM_TIME AS OF`` — as a
         datetime, an epoch float/int, or an ISO-8601 string: the last
         committed snapshot at or before that instant. Id-SHAPED strings
@@ -450,15 +532,16 @@ class SnapshotCatalog(Catalog):
         if as_of is None:
             return self.snapshot(table)
         if isinstance(as_of, str):
-            tagged = self.tags(table).get(as_of)
-            if tagged is not None:
+            refs = self._load_refs(table)
+            named = refs["tags"].get(as_of) or refs["branches"].get(as_of)
+            if named is not None:
                 for s in self._log_entries(table):
-                    if s.snapshot_id == tagged:
+                    if s.snapshot_id == named:
                         return s
                 raise LookupError(
-                    f"tag {as_of!r} points at snapshot {tagged!r} which is "
+                    f"ref {as_of!r} points at snapshot {named!r} which is "
                     f"gone from table {table!r}'s log (expired before the "
-                    "tag existed?)"
+                    "ref existed?)"
                 )
         hist = self.history(table)
         if isinstance(as_of, str):
@@ -675,6 +758,7 @@ class SnapshotCatalog(Catalog):
         bloom_bits: int = 8192,
         bloom_hashes: int = 4,
         staged: bool = False,
+        branch: str | None = None,
     ) -> Snapshot:
         """Commit one snapshot. ``staged=True`` is Iceberg's
         write-audit-publish: the data and the manifest log line are
@@ -728,7 +812,27 @@ class SnapshotCatalog(Catalog):
             raise ValueError("replace_partitions requires partition_by")
         if replace_leaves and mode != "replace_partitions":
             raise ValueError("replace_leaves only applies to replace_partitions")
-        prev = self.snapshot(table)
+        if staged and branch:
+            raise ValueError(
+                "staged and branch are mutually exclusive (a branch IS the "
+                "multi-commit staging mechanism; publish it via fast_forward)"
+            )
+        if branch is not None:
+            # commit onto the branch lineage: parent = branch head
+            head = self.branches(table).get(branch)
+            if head is None:
+                raise LookupError(
+                    f"no branch {branch!r} on table {table!r}; create_branch first"
+                )
+            prev = next(
+                (s for s in self._log_entries(table) if s.snapshot_id == head), None
+            )
+            if prev is None:
+                raise LookupError(
+                    f"branch {branch!r} head {head!r} is gone from the log"
+                )
+        else:
+            prev = self.snapshot(table)
         part_names, spec = self._parse_partition_spec(partition_by)
         hidden = self._hidden_of(spec)
         prev_spec = list(prev.partition_spec or []) if prev else []
@@ -822,17 +926,33 @@ class SnapshotCatalog(Catalog):
             summary=self._dir_summary([abs_dir], row_count, len(state)),
             staged=staged,
         )
-        return self._commit(table, snap)
+        return self._commit(table, snap, branch=branch)
 
-    def _commit(self, table: str, snap: Snapshot) -> Snapshot:
+    def _commit(self, table: str, snap: Snapshot, branch: str | None = None) -> Snapshot:
         """THE commit protocol, shared by every commit path
-        (write_table, publish, merge-on-read): append the snapshot's
-        log line first, then atomically flip the pointer — the pointer
-        replace is the commit point. A staged (write-audit-publish)
-        snapshot gets its log line but no flip. The lock keeps the
-        append from racing a maintenance rewrite's
+        (write_table, publish, merge-on-read, branch writes): append
+        the snapshot's log line first, then atomically flip the
+        pointer — the pointer replace is the commit point. A staged
+        (write-audit-publish) snapshot gets its log line but no flip;
+        a BRANCH commit moves the branch ref instead of the main
+        pointer, and refuses if the branch advanced concurrently (the
+        ref-swap analog of publish's stale-stage check). The lock
+        keeps the append from racing a maintenance rewrite's
         read-filter-replace."""
         with self._log_lock(table):
+            if branch is not None:
+                refs = self._load_refs(table)
+                if refs["branches"].get(branch) != snap.parent_id:
+                    raise ValueError(
+                        f"branch {branch!r} advanced concurrently (head is "
+                        f"{refs['branches'].get(branch)!r}, this commit parents "
+                        f"{snap.parent_id!r}); re-read the branch and retry"
+                    )
+                with open(self._log_path(table), "a") as f:
+                    f.write(json.dumps(asdict(snap)) + "\n")
+                refs["branches"][branch] = snap.snapshot_id
+                self._save_refs(table, refs)
+                return snap
             with open(self._log_path(table), "a") as f:
                 f.write(json.dumps(asdict(snap)) + "\n")
             if not snap.staged:
@@ -1967,7 +2087,7 @@ class SnapshotCatalog(Catalog):
         # dirs survive expiry until remove_tag, like Iceberg tag refs
         anchored_ids = kept_ids | {s.snapshot_id for s in pending}
         tagged = [
-            s for s in self._tagged_snapshots(table)
+            s for s in self._ref_pinned_snapshots(table)
             if s.snapshot_id not in anchored_ids
         ]
         keep_lines = keep + pending + tagged
@@ -2074,7 +2194,7 @@ class SnapshotCatalog(Catalog):
             live |= {e["dir"] for e in pointer.state}
         live |= {e["dir"] for s in self._pending_stages(table) for e in s.state}
         # tagged snapshots stay collectable-proof even on dead branches
-        live |= {e["dir"] for s in self._tagged_snapshots(table) for e in s.state}
+        live |= {e["dir"] for s in self._ref_pinned_snapshots(table) for e in s.state}
         root = self.path(table)
         if not os.path.isdir(root):
             return removed
@@ -2177,9 +2297,13 @@ class SnapshotCatalog(Catalog):
         from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
         hist_ids = {s.snapshot_id for s in self.history(table)}
+        refs = self._load_refs(table)
         rows = [
             (name, "tag", sid, sid in hist_ids)
-            for name, sid in sorted(self.tags(table).items())
+            for name, sid in sorted(refs["tags"].items())
+        ] + [
+            (name, "branch", sid, sid in hist_ids)
+            for name, sid in sorted(refs["branches"].items())
         ]
         schema = StructType([
             StructField("name", StringType(), False),

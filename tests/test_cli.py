@@ -150,3 +150,20 @@ def test_cli_maintain_tags(spark, tmp_path):
         "maintain", "--warehouse", wh, "--table", "t", "--remove-tag", "release-1",
     ))
     assert out["untagged"] == {"release-1": s1.snapshot_id}
+
+
+def test_cli_maintain_branches(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    s1 = cat.write_table(spark.createDataFrame([(1, "a")], "k int, r string"), "t")
+    out = json.loads(_run("maintain", "--warehouse", wh, "--table", "t",
+                          "--create-branch", "wip"))
+    assert out["branched"] == {"wip": s1.snapshot_id}
+    b1 = cat.write_table(spark.createDataFrame([(2, "b")], "k int, r string"),
+                         "t", mode="append", branch="wip")
+    out = json.loads(_run("maintain", "--warehouse", wh, "--table", "t",
+                          "--fast-forward", "wip", "--show", "refs"))
+    assert out["fast_forwarded"] == {"wip": b1.snapshot_id}
+    assert cat.read_table("t").count() == 2

@@ -1385,7 +1385,7 @@ def test_tag_guards(spark, cat):
     with pytest.raises(ValueError, match="already exists"):
         cat.create_tag("t", "good")
     for bad in ("2026-01-01", "1699999999", "deadbeefdeadbeef", "", "a b"):
-        with pytest.raises(ValueError, match="invalid tag name"):
+        with pytest.raises(ValueError, match="invalid ref name"):
             cat.create_tag("t", bad)
     staged = cat.write_table(_df(spark, [(2, "b", "y")]), "t",
                              mode="append", staged=True)
@@ -1595,3 +1595,74 @@ def test_partition_spec_parse_roundtrip_property(spark, cat):
         assert spec2 == spec and names2 == names
 
     check()
+
+
+# ----------------------------------------------------------------- branches
+def test_branch_commits_move_branch_not_main(spark, cat):
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_branch("t", "audit")
+    b1 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append",
+                         branch="audit")
+    b2 = cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append",
+                         branch="audit")
+    # main untouched; the branch sees its lineage by name
+    assert _vals(cat.read_table("t")) == [(1, "a", "x")]
+    assert _vals(cat.read_table("t", as_of="audit")) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "z")
+    ]
+    assert b1.parent_id == s1.snapshot_id and b2.parent_id == b1.snapshot_id
+    assert cat.branches("t") == {"audit": b2.snapshot_id}
+    # main history never shows branch commits
+    assert [s.snapshot_id for s in cat.history("t")] == [s1.snapshot_id]
+    refs = {(r.name, r.type) for r in cat.refs_metadata("t").collect()}
+    assert refs == {("audit", "branch")}
+
+
+def test_fast_forward_publishes_a_branch(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_branch("t", "audit")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", branch="audit")
+    head = cat.fast_forward("t", "audit")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (2, "b", "y")]
+    assert cat.snapshot("t").snapshot_id == head.snapshot_id
+    assert len(cat.history("t")) == 2  # branch lineage is now main's
+
+
+def test_fast_forward_rejects_diverged_branch(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_branch("t", "audit")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", branch="audit")
+    cat.write_table(_df(spark, [(9, "z", "w")]), "t", mode="append")  # main moves
+    with pytest.raises(ValueError, match="does not descend"):
+        cat.fast_forward("t", "audit")
+    # main unaffected by the failed publish
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (9, "z", "w")]
+
+
+def test_branch_guards_and_removal(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_tag("t", "pin")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_branch("t", "pin")  # tags and branches share a namespace
+    with pytest.raises(LookupError, match="no branch"):
+        cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append",
+                        branch="missing")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cat.create_branch("t", "b1")
+        cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append",
+                        branch="b1", staged=True)
+    head = cat.branches("t")["b1"]
+    assert cat.remove_branch("t", "b1") == head
+    with pytest.raises(LookupError):
+        cat.remove_branch("t", "b1")
+
+
+def test_branch_head_survives_expiry(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    cat.create_branch("t", "wip")
+    cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append", branch="wip")
+    cat.write_table(_df(spark, [(9, "z", "w")]), "t", mode="append")  # main
+    cat.expire_snapshots("t", keep_last=1)
+    cat.remove_orphan_files("t", older_than_s=0)
+    # the branch stays readable by name: head line + dirs protected
+    assert _vals(cat.read_table("t", as_of="wip")) == [(1, "a", "x"), (2, "b", "y")]
