@@ -1534,25 +1534,317 @@ class SnapshotCatalog(Catalog):
         )
         return self._commit(table, snap)
 
+    # ------------------------------------------------------------------ DML
+    @staticmethod
+    def _dml_condition(predicate, eq, where):
+        """The row-level condition of a DML statement as a Column:
+        conjunction of the ``predicate`` range, the ``eq`` equality,
+        and an arbitrary residual ``where`` (SQL string or Column).
+        Unlike :meth:`read_table` — where predicate/eq are metadata
+        HINTS under a caller-refilters contract — here they are part
+        of the statement's semantics, so the file pruning they drive
+        is sound by construction: a file whose stats/bloom cannot
+        match them cannot hold a row the full condition matches."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.column import Column
+
+        conds = []
+        if predicate is not None:
+            if len(predicate) != 3 or predicate[0] is None:
+                raise ValueError("predicate must be (col, lo, hi)")
+            col, lo, hi = predicate
+            if lo is None and hi is None:
+                raise ValueError("predicate needs at least one bound")
+            if lo is not None:
+                conds.append(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                conds.append(F.col(col) <= F.lit(hi))
+        if eq is not None:
+            if len(eq) != 2 or eq[0] is None or eq[1] is None:
+                raise ValueError("eq must be (col, value) with a non-null value")
+            conds.append(F.col(eq[0]) == F.lit(eq[1]))
+        if where is not None:
+            conds.append(F.expr(where) if isinstance(where, str) else where)
+            if not isinstance(conds[-1], Column):
+                raise ValueError("where must be a SQL string or a Column")
+        if not conds:
+            raise ValueError("DML needs a condition: predicate, eq, and/or where")
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond
+
+    def delete_where(
+        self,
+        table: str,
+        predicate: tuple | None = None,
+        eq: tuple | None = None,
+        where=None,
+        lineage: dict | None = None,
+    ) -> Snapshot:
+        """Row-level ``DELETE FROM table WHERE ...`` — Iceberg's
+        copy-on-write delete at FILE granularity (the reference's
+        SQLite store deletes in place, ``src/datastore.py:148-212``;
+        Iceberg instead commits a new snapshot and leaves history
+        readable).
+
+        Two-phase plan, exactly like Iceberg's delete planning:
+
+        1. **Plan** — candidate files are pruned metadata-only: the
+           ``predicate`` range against manifest min/max stats and the
+           ``eq`` probe against bloom sidecars (same machinery as
+           ``read_table``). One column-pruned scan of the candidates
+           then finds the files that ACTUALLY hold matching rows.
+        2. **Rewrite** — only those files are read back and rewritten
+           without their matching rows; every other file of every
+           entry carries over BY REFERENCE (a file-level ``exclude``
+           mask on the old entry — no data movement). At 100 TB,
+           deleting one bad hour rewrites the files containing that
+           hour, not the table.
+
+        The condition is ``predicate AND eq AND where`` (see
+        :meth:`_dml_condition`); SQL NULL semantics apply — rows where
+        the condition is NULL are NOT deleted. Rewritten survivors
+        re-commit at the new sequence number with any pending
+        merge-on-read equality deletes APPLIED (otherwise a
+        higher-seq rewrite would resurrect MOR-deleted rows); pending
+        delete entries stay in state to keep masking the untouched
+        files. A delete that matches nothing commits nothing and
+        returns the current snapshot. Old snapshots time-travel to the
+        pre-delete rows until :meth:`expire_snapshots`; note expiry is
+        directory-granular, so masked files' bytes are reclaimed by
+        the next :meth:`compact` + expiry, not by expiry alone."""
+        return self._dml_rewrite(table, predicate, eq, where, None, "delete", lineage)
+
+    def update_where(
+        self,
+        table: str,
+        assignments: dict,
+        predicate: tuple | None = None,
+        eq: tuple | None = None,
+        where=None,
+        lineage: dict | None = None,
+    ) -> Snapshot:
+        """Row-level ``UPDATE table SET ... WHERE ...`` — the
+        copy-on-write twin of :meth:`delete_where`, same two-phase
+        file-granular plan: only files holding matched rows rewrite;
+        matched rows take the ``assignments`` (column name → SQL
+        expression string or Column, evaluated against the OLD row —
+        simultaneous-assignment semantics, like SQL), unmatched rows
+        in those files rewrite byte-equal, and untouched files carry
+        by reference. Updating an identity partition column moves the
+        row to its new partition directory; updating a hidden
+        transform's SOURCE column re-derives the hidden value, so
+        partition pruning stays correct. Assigning to a hidden
+        partition NAME is rejected (derived, never stored)."""
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        return self._dml_rewrite(
+            table, predicate, eq, where, dict(assignments), "update", lineage
+        )
+
+    def _dml_rewrite(
+        self, table, predicate, eq, where, assignments, op_name, lineage
+    ) -> Snapshot:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cond = self._dml_condition(predicate, eq, where)
+        matched = F.coalesce(cond, F.lit(False))
+        prev = self.snapshot(table)
+        if prev is None or not prev.state:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        schema = (
+            StructType.fromJson(json.loads(prev.schema_json))
+            if prev.schema_json else None
+        )
+        hidden = self._hidden_of(prev.partition_spec or [])
+        if assignments:
+            bad = [c for c in assignments if c in {s["name"] for s in hidden}]
+            if bad:
+                raise ValueError(
+                    f"cannot assign hidden partition columns {bad}; "
+                    "assign their source columns instead"
+                )
+            if schema is not None:
+                unknown = [c for c in assignments if c not in schema.fieldNames()]
+                if unknown:
+                    raise ValueError(f"unknown update columns {unknown}")
+        scan_schema = schema
+        if hidden and schema is not None:
+            present = {f.name for f in schema.fields}
+            scan_schema = StructType(
+                list(schema.fields)
+                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
+            )
+
+        def _open(absdir, files):
+            r = self.spark.read.option("basePath", absdir)
+            if scan_schema is not None:
+                r = r.schema(scan_schema)
+            return r.parquet(*files)
+
+        # phase 1: plan — metadata-pruned candidates, then one scan
+        # (projected to the file name) finds files with real matches
+        cands: dict[int, tuple[str, list[str]]] = {}
+        probe = None
+        for i, e in enumerate(prev.state):
+            if e.get("kind") == "eq_deletes":
+                continue
+            files = self._pruned_files(e, predicate, eq)
+            if not files:
+                continue
+            absdir = os.path.join(self.warehouse, e["dir"])
+            cands[i] = (absdir, files)
+            p = _open(absdir, files).where(cond).select(
+                F.input_file_name().alias("__f")
+            )
+            probe = p if probe is None else probe.unionByName(p)
+        if probe is None:
+            return prev
+        import urllib.parse
+
+        matched_paths = {
+            os.path.abspath(urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path))
+            for r in probe.distinct().collect()
+        }
+        if not matched_paths:
+            return prev
+
+        # phase 2: rewrite only the hit files; mask them on their entry
+        seq = prev.sequence + 1
+        new_state: list[dict] = []
+        rewrite = None
+        stats_cols: set[str] = set()
+        bloom_meta: dict | None = None
+        for i, e in enumerate(prev.state):
+            if i not in cands:
+                new_state.append(e)
+                continue
+            absdir, files = cands[i]
+            hit = [f for f in files if os.path.abspath(f) in matched_paths]
+            if not hit:
+                new_state.append(e)
+                continue
+            rels = sorted(os.path.relpath(f, absdir) for f in hit)
+            new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
+            stats_cols |= {
+                c for fd in (e.get("files") or {}).values() for c in fd
+            }
+            if e.get("bloom"):
+                bloom_meta = e["bloom"]
+            d = _open(absdir, hit).withColumn(
+                "__entry_seq", F.lit(int(e.get("seq", 0)))
+            )
+            rewrite = d if rewrite is None else rewrite.unionByName(d)
+
+        del_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
+        if del_entries:
+            rewrite = self._apply_eq_deletes(rewrite, del_entries)
+        else:
+            rewrite = rewrite.drop("__entry_seq")
+        if assignments:
+            out = rewrite.withColumns({
+                c: F.when(matched, F.expr(v) if isinstance(v, str) else v)
+                .otherwise(F.col(c))
+                for c, v in assignments.items()
+            })
+            # a hidden transform whose source was assigned re-derives,
+            # so the rewritten rows land (and prune) under the right
+            # partition value
+            redo = {
+                s["name"]: self._transform_col(s)
+                for s in hidden if s["source"] in assignments
+            }
+            if redo:
+                out = out.withColumns(redo)
+        else:
+            out = rewrite.where(~matched)
+
+        snap_id = uuid.uuid4().hex[:16]
+        rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
+        abs_dir = os.path.join(self.warehouse, rel_dir)
+        part_names = self._current_partitioning(prev)
+        writer = out.write.mode("overwrite")
+        if part_names:
+            writer = writer.partitionBy(*part_names)
+        writer.parquet(abs_dir)
+        row_count = self._dir_row_count(abs_dir)
+
+        new_entry: dict = {"dir": rel_dir, "exclude": [], "seq": seq}
+        if row_count:
+            # skipping metadata carries across the rewrite: recompute
+            # the union of the touched entries' stats columns / bloom
+            # config for the survivors, so a predicate that pruned
+            # before the DML prunes after it too
+            if stats_cols:
+                new_entry["files"] = self._file_stats(abs_dir, sorted(stats_cols))
+            if bloom_meta:
+                self._write_blooms(
+                    abs_dir, bloom_meta["cols"], bloom_meta["m"], bloom_meta["k"]
+                )
+                new_entry["bloom"] = dict(bloom_meta)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            table=table,
+            row_count=row_count,
+            committed_at_unix=time.time(),
+            lineage={
+                "stage": op_name,
+                **({"set": sorted(assignments)} if assignments else {}),
+                **(lineage or {}),
+            },
+            parent_id=prev.snapshot_id,
+            op=op_name,
+            state=new_state + [new_entry],
+            sequence=seq,
+            schema_json=prev.schema_json,
+            partition_spec=list(prev.partition_spec or []),
+            summary=self._dir_summary([abs_dir], row_count, len(new_state) + 1),
+        )
+        return self._commit(table, snap)
+
     # ----------------------------------------------------------------- read
+    def _pruned_files(self, entry: dict, predicate=None, eq=None) -> list[str]:
+        """The manifest entry's live files after scan-planning pruning:
+        exclude masks, then per-file min/max stats against ``predicate``
+        (when the entry committed ``stats_cols``), then per-file bloom
+        probes against ``eq`` (when it committed ``bloom_cols``).
+        Shared by :meth:`_entry_df` (reads) and the DML rewrite planner
+        (:meth:`delete_where` / :meth:`update_where`), so a predicate
+        bounds the rewrite set exactly as it bounds a scan."""
+        absdir = os.path.join(self.warehouse, entry["dir"])
+        files = self._entry_files(absdir, entry["exclude"])
+        fstats = entry.get("files") if predicate is not None else None
+        if fstats is not None:
+            files = [
+                f for f in files
+                if self._file_matches(fstats.get(os.path.relpath(f, absdir)), predicate)
+            ]
+        if eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"]:
+            side = self._load_blooms(absdir)
+            if side is not None:
+                fmap = side["files"]
+                positions = self._bloom_positions(eq[1], side["m"], side["k"])
+                col = eq[0]
+                files = [
+                    f for f in files
+                    if self._bloom_matches(
+                        (fmap.get(os.path.relpath(f, absdir)) or {}).get(col), positions
+                    )
+                ]
+        return files
+
     def _entry_df(self, entry: dict, schema, predicate=None, eq=None) -> DataFrame | None:
         absdir = os.path.join(self.warehouse, entry["dir"])
         reader = self.spark.read.option("basePath", absdir)
         if schema is not None:
             reader = reader.schema(schema)
-        # manifest stats recorded at commit time (write_table stats_cols)
-        fstats = entry.get("files") if predicate is not None else None
-        # bloom sidecar: only consulted when this entry committed blooms
-        # for the probed column
-        bloom = None
-        if eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"]:
-            side = self._load_blooms(absdir)
-            if side is not None:
-                bloom = (
-                    side["files"],
-                    self._bloom_positions(eq[1], side["m"], side["k"]),
-                )
-        if not entry["exclude"] and fstats is None and bloom is None:
+        prunable = (
+            (predicate is not None and entry.get("files"))
+            or (eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"])
+        )
+        if not entry["exclude"] and not prunable:
             # a zero-row delta (e.g. a merge that deleted every row of
             # its touched partitions) writes a dir with no parquet files
             # — skip it instead of letting schema inference blow up
@@ -1562,21 +1854,7 @@ class SnapshotCatalog(Catalog):
                 for fn in fns
             )
             return reader.parquet(absdir) if has_parquet else None
-        files = self._entry_files(absdir, entry["exclude"])
-        if fstats is not None:
-            files = [
-                f for f in files
-                if self._file_matches(fstats.get(os.path.relpath(f, absdir)), predicate)
-            ]
-        if bloom is not None:
-            fmap, positions = bloom
-            col = eq[0]
-            files = [
-                f for f in files
-                if self._bloom_matches(
-                    (fmap.get(os.path.relpath(f, absdir)) or {}).get(col), positions
-                )
-            ]
+        files = self._pruned_files(entry, predicate, eq)
         if not files:
             return None
         return reader.parquet(*files)
@@ -1991,23 +2269,18 @@ class SnapshotCatalog(Catalog):
         # them — so compaction MATERIALIZES merge-on-read deletes away
         # (the new overwrite state carries no delete entries)
         roots = (
-            [(os.path.join(self.warehouse, e["dir"]),
-              tuple(x + os.sep for x in e["exclude"]))
+            [(os.path.join(self.warehouse, e["dir"]), e["exclude"])
              for e in snap.state if e.get("kind") != "eq_deletes"]
             if snap.state
-            else [(self.path(table), ())]
+            else [(self.path(table), [])]
         )
         live_bytes = 0
         for absdir, excl in roots:
-            for root, _d, fns in os.walk(absdir):
-                rel = os.path.relpath(root, absdir) + os.sep
-                if excl and rel.startswith(excl):
-                    continue
-                live_bytes += sum(
-                    os.path.getsize(os.path.join(root, fn))
-                    for fn in fns
-                    if fn.endswith(".parquet")
-                )
+            # sized through _entry_files so dir- AND file-level masks
+            # (replace_partitions / delete_where) both count correctly
+            live_bytes += sum(
+                os.path.getsize(f) for f in self._entry_files(absdir, excl)
+            )
         n_files = max(1, -(-live_bytes // target_file_bytes))  # ceil
         df = self.read_table(table)
         if zorder_by:
@@ -2222,14 +2495,27 @@ class SnapshotCatalog(Catalog):
         """Live parquet files of one manifest entry: every file under
         the entry's directory whose partition subpath is not masked by
         an ``exclude`` prefix (the manifest-level partition
-        replacement of :meth:`write_table`)."""
-        excl = tuple(e + os.sep for e in exclude)
+        replacement of :meth:`write_table`). An exclude item ending in
+        ``.parquet`` masks that exact FILE (warehouse-entry-relative
+        path) — the file-granular copy-on-write mask that
+        :meth:`delete_where` / :meth:`update_where` commit so every
+        untouched file carries over by reference. This is the single
+        choke point for mask interpretation: scan planning, the
+        changelog diff, metadata tables, and compaction sizing all
+        list files through here, so a mask added by any commit path is
+        honored everywhere at once."""
+        excl_dirs = tuple(e + os.sep for e in exclude if not e.endswith(".parquet"))
+        excl_files = {e for e in exclude if e.endswith(".parquet")}
         return [
             os.path.join(root, fn)
             for root, _d, fns in os.walk(absdir)
             for fn in fns
             if fn.endswith(".parquet")
-            and not (excl and (os.path.relpath(root, absdir) + os.sep).startswith(excl))
+            and not (
+                excl_dirs
+                and (os.path.relpath(root, absdir) + os.sep).startswith(excl_dirs)
+            )
+            and os.path.relpath(os.path.join(root, fn), absdir) not in excl_files
         ]
 
     def files_metadata(

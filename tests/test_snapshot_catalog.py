@@ -1666,3 +1666,214 @@ def test_branch_head_survives_expiry(spark, cat):
     cat.remove_orphan_files("t", older_than_s=0)
     # the branch stays readable by name: head line + dirs protected
     assert _vals(cat.read_table("t", as_of="wip")) == [(1, "a", "x"), (2, "b", "y")]
+
+
+# ---------------------------------------------------------------------------
+# row-level DML: delete_where / update_where (file-granular copy-on-write)
+# ---------------------------------------------------------------------------
+
+def test_delete_where_rewrites_only_matching_files(spark, cat):
+    """DELETE WHERE commits one snapshot; files without matches carry
+    over BY REFERENCE (same physical paths keep being planned), only
+    files holding matched rows rewrite."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    s1 = cat.write_table(df.repartitionByRange(8, "k"), "t", stats_cols=["k"])
+    before = set(cat.read_table("t").inputFiles())
+    s2 = cat.delete_where("t", predicate=("k", 100, 150))
+    out = cat.read_table("t")
+    assert out.count() == 1000 - 51
+    assert out.filter(F.col("k").between(100, 150)).count() == 0
+    after = set(out.inputFiles())
+    # 8 disjoint-range files; [100,150] touches at most 2 of them
+    assert len(before & after) >= len(before) - 2
+    assert after - before, "survivors dir must be planned"
+    # pre-delete snapshot time-travels intact
+    assert cat.read_table("t", as_of=s1.snapshot_id).count() == 1000
+    assert s2.op == "delete" and s2.parent_id == s1.snapshot_id
+    # the mask is file-level excludes on the ORIGINAL entry
+    excl = cat.snapshot("t").state[0]["exclude"]
+    assert excl and all(e.endswith(".parquet") for e in excl)
+    assert len(excl) <= 2
+
+
+def test_delete_where_plans_candidates_from_stats(spark, cat):
+    """The rewrite planner prunes candidate files metadata-only with
+    the same stats machinery as scan planning."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    cat.write_table(df.repartitionByRange(8, "k"), "t", stats_cols=["k"])
+    entry = cat.snapshot("t").state[0]
+    allf = cat._pruned_files(entry)
+    cand = cat._pruned_files(entry, predicate=("k", 100, 150))
+    assert len(cand) < len(allf) and len(cand) >= 1
+
+
+def test_delete_where_no_match_commits_nothing(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    s1 = cat.snapshot("t")
+    # eq misses entirely
+    assert cat.delete_where("t", eq=("k", 999)).snapshot_id == s1.snapshot_id
+    # stats-candidate files but zero actual matches (residual where)
+    assert (
+        cat.delete_where("t", predicate=("k", 1, 2), where="v = 'nope'").snapshot_id
+        == s1.snapshot_id
+    )
+    assert len(cat.history("t")) == 1
+
+
+def test_delete_where_null_condition_rows_survive(spark, cat):
+    """SQL DELETE semantics: a NULL condition does not delete."""
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, None, "y"), (3, "b", "z")]), "t"
+    )
+    cat.delete_where("t", where="route = 'a'")
+    assert _vals(cat.read_table("t")) == [(2, None, "y"), (3, "b", "z")]
+
+
+def test_delete_where_all_rows(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    s2 = cat.delete_where("t", where="k >= 0")
+    assert s2.row_count == 0
+    assert cat.read_table("t").count() == 0
+    assert cat.read_table("t").columns == ["k", "route", "v"]
+
+
+def test_dml_condition_guards(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    with pytest.raises(ValueError, match="condition"):
+        cat.delete_where("t")
+    with pytest.raises(ValueError, match="bound"):
+        cat.delete_where("t", predicate=("k", None, None))
+    with pytest.raises(ValueError, match="assignment"):
+        cat.update_where("t", {}, where="k = 1")
+    with pytest.raises(ValueError, match="unknown update columns"):
+        cat.update_where("t", {"zzz": "1"}, where="k = 1")
+    with pytest.raises(LookupError):
+        cat.delete_where("missing", where="k = 1")
+
+
+def test_update_where_matched_rows_only(spark, cat):
+    """UPDATE SET applies to matched rows; unmatched rows in touched
+    files rewrite unchanged; simultaneous-assignment reads OLD values."""
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "z")]), "t"
+    )
+    s2 = cat.update_where(
+        "t", {"v": "upper(v)", "k": "k + 10"}, where="route = 'b'"
+    )
+    assert s2.op == "update"
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (12, "b", "Y"), (13, "b", "Z")]
+    # time travel to pre-update image
+    assert _vals(cat.read_table("t", as_of=s2.parent_id)) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "b", "z")
+    ]
+
+
+def test_update_where_moves_rows_across_partitions(spark, cat):
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), "t", partition_by=["route"]
+    )
+    before = set(cat.read_table("t").inputFiles())
+    cat.update_where("t", {"route": "'a'"}, eq=("k", 2))
+    out = cat.read_table("t")
+    assert _vals(out) == [(1, "a", "x"), (2, "a", "y")]
+    parts = {r.partition for r in cat.files_metadata("t").collect()}
+    assert "route=a" in parts and not any(p == "route=b" for p in parts)
+    # the untouched route=a file carried by reference
+    assert any(f in before for f in out.inputFiles())
+
+
+def test_delete_where_applies_pending_mor_deletes(spark, cat):
+    """Survivors re-commit at a NEW sequence number, so pending
+    equality deletes (which mask only LOWER-seq entries) must be
+    applied during the rewrite or MOR-deleted rows would resurrect."""
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, "d", "w")]), "t")
+    cat.merge(
+        _df(spark, [(2, "b", "y")]), "t", on=["k"],
+        when_matched="delete", when_not_matched=None, strategy="mor",
+    )
+    assert sorted(r.k for r in cat.read_table("t").collect()) == [1, 3, 4]
+    cat.delete_where("t", eq=("k", 4))
+    assert sorted(r.k for r in cat.read_table("t").collect()) == [1, 3]
+
+
+def test_delete_where_changelog_is_exact_deletes(spark, cat):
+    """changes() across a DELETE commit nets to exactly the deleted
+    rows (carried files diff empty; rewritten survivors net out)."""
+    s1 = cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "z")]), "t"
+    )
+    s2 = cat.delete_where("t", where="route = 'b'")
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id, to_snapshot=s2.snapshot_id)
+    rows = sorted((r.k, r.route, r.v, r._change_type) for r in ch.collect())
+    assert rows == [(2, "b", "y", "delete"), (3, "b", "z", "delete")]
+
+
+def test_dml_preserves_skipping_metadata(spark, cat):
+    """Stats and bloom skipping fire on the rewritten survivors too:
+    the new entry recomputes the touched entries' stats columns and
+    bloom config from the survivors' footers."""
+    df = (
+        spark.range(0, 400)
+        .withColumnRenamed("id", "k")
+        .withColumn("conv_id", F.concat(F.lit("c"), F.col("k") % 50))
+    )
+    cat.write_table(
+        df.repartitionByRange(4, "k"), "t",
+        stats_cols=["k"], bloom_cols=["conv_id"],
+    )
+    cat.delete_where("t", predicate=("k", 0, 29))
+    snap = cat.snapshot("t")
+    new_entry = snap.state[-1]
+    assert new_entry.get("files"), "survivor stats must be recomputed"
+    assert new_entry.get("bloom", {}).get("cols") == ["conv_id"]
+    pruned = cat.read_table("t", predicate=("k", 350, 360))
+    assert len(pruned.inputFiles()) < len(cat.read_table("t").inputFiles())
+    assert pruned.filter(F.col("k").between(350, 360)).count() == 11
+    probe = cat.read_table("t", eq=("conv_id", "c25"))
+    assert probe.filter(F.col("conv_id") == "c25").count() == 7  # k=25 deleted
+
+
+def test_dml_hidden_partitioning_roundtrip(spark, cat):
+    """DELETE prunes its rewrite set under hidden specs; UPDATE of a
+    transform's source column re-derives the hidden value so the row
+    lands (and prunes) under its new partition."""
+    import datetime as dt
+
+    rows = [
+        (1, "a", dt.datetime(2026, 1, 1, 5)),
+        (2, "b", dt.datetime(2026, 1, 2, 6)),
+        (3, "c", dt.datetime(2026, 1, 3, 7)),
+    ]
+    cat.write_table(_tsdf(spark, rows), "t", partition_by=["day(ts)"])
+    cat.delete_where("t", eq=("k", 2))
+    assert sorted(r.k for r in cat.read_table("t").collect()) == [1, 3]
+    cat.update_where("t", {"ts": "ts + interval 10 days"}, eq=("k", 3))
+    parts = {r.partition for r in cat.files_metadata("t").collect()}
+    assert "ts_day=2026-01-13" in parts
+    got = cat.read_table(
+        "t", predicate=("ts", dt.datetime(2026, 1, 13), dt.datetime(2026, 1, 14))
+    )
+    assert [r.k for r in got.collect()] == [3]
+    assert cat.read_table("t").columns == ["k", "route", "ts"]
+
+
+def test_dml_masked_files_survive_sweeps_then_compact_reclaims(spark, cat):
+    """Orphan sweep and expiry are dir-granular: a masked file's bytes
+    stay (older snapshots still reference them) until a compaction
+    rewrite makes the old dir fully droppable."""
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    cat.write_table(df.repartition(4), "t")
+    cat.delete_where("t", where="k < 10")
+    masked = [
+        e for s in [cat.snapshot("t")] for ent in s.state for e in ent["exclude"]
+    ]
+    assert masked
+    cat.remove_orphan_files("t", older_than_s=0)
+    assert cat.read_table("t").count() == 90
+    cat.compact("t")
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.read_table("t").count() == 90
+    # post-compact state has no excludes at all
+    assert all(not e["exclude"] for e in cat.snapshot("t").state)
