@@ -1924,3 +1924,82 @@ def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@_register(
+    "q_dml_rowlevel",
+    """
+    WITH base AS (
+      SELECT p_partkey AS k, p_brand AS brand, p_type AS ptype,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ),
+    survivors AS (
+      SELECT * FROM base
+      WHERE NOT (k BETWEEN 100 AND 900 AND brand LIKE 'Brand#1%')
+    ),
+    updated AS (
+      SELECT k, brand,
+             CASE WHEN k % 10 = 0 THEN 'U:' || ptype ELSE ptype END AS ptype,
+             CASE WHEN k % 10 = 0 THEN cents + 999 ELSE cents END AS cents
+      FROM survivors
+    )
+    SELECT brand,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN ptype LIKE 'U:%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM updated
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_dml_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML pinned to an oracle: ``part`` becomes a snapshot
+    table (range-clustered on ``k`` with min/max stats so the DML
+    planner's file pruning is real), then (1) ``delete_where`` removes
+    a k-range restricted by a residual brand predicate — stats bound
+    the rewrite set, the residual forces the actual-match scan to
+    matter — and (2) ``update_where`` applies simultaneous assignments
+    to every k%10 row. The final ``read_table()`` rollup is recomputed
+    by the oracle as NOT-deleted → CASE-updated SQL over the same
+    source, so carryover-by-reference, survivor rewrite, and update
+    semantics are all value-checked. Cites Iceberg copy-on-write
+    row-level DELETE/UPDATE; the reference mutates SQLite in place
+    (src/datastore.py:148-212) with no history."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+    from .queries import cents
+
+    base = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        cents("p_retailprice").alias("cents"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="dml_wh_"))
+    cat.write_table(base.repartitionByRange(8, "k"), "t", stats_cols=["k"])
+    cat.delete_where(
+        "t", predicate=("k", 100, 900), where="brand LIKE 'Brand#1%'"
+    )
+    cat.update_where(
+        "t",
+        {"ptype": "concat('U:', ptype)", "cents": "cents + 999"},
+        where="k % 10 = 0",
+    )
+    return (
+        cat.read_table("t")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("ptype").startswith("U:"), 1).otherwise(0)
+            ).cast("long").alias("n_updated"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("brand")
+    )
