@@ -30,11 +30,21 @@ import os
 import re
 import time
 import uuid
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(ValueError):
+    """A commit lost the optimistic-concurrency race: the table (or
+    branch) advanced between the writer reading its parent snapshot
+    and the commit point, and the operation could not be rebased.
+    Re-read the table and retry — the Iceberg
+    ``CommitFailedException`` analog. Subclasses ``ValueError`` so
+    pre-existing callers that caught the branch-race ValueError keep
+    working."""
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -489,22 +499,26 @@ class SnapshotCatalog(Catalog):
         main would be abandoned). A diverged branch (main advanced
         since it was cut) is rejected; rebase by re-branching from the
         new main. The branch ref survives, now equal to main."""
-        head_id = self.branches(table).get(branch)
-        if head_id is None:
-            raise LookupError(f"no branch {branch!r} on table {table!r}")
-        by_id = {s.snapshot_id: s for s in self._log_entries(table)}
-        if head_id not in by_id:
-            raise LookupError(
-                f"branch {branch!r} head {head_id!r} is gone from the log"
-            )
-        cur = self.snapshot(table)
-        node, seen = head_id, set()
-        while node is not None and node in by_id and node not in seen:
-            if cur is None or node == cur.snapshot_id:
-                self._flip_pointer(table, by_id[head_id])
-                return by_id[head_id]
-            seen.add(node)
-            node = by_id[node].parent_id
+        with self._log_lock(table):
+            # ancestry check and flip under one lock: a commit landing
+            # on main between the check and the flip would otherwise be
+            # silently clobbered by a now-stale fast-forward
+            head_id = self.branches(table).get(branch)
+            if head_id is None:
+                raise LookupError(f"no branch {branch!r} on table {table!r}")
+            by_id = {s.snapshot_id: s for s in self._log_entries(table)}
+            if head_id not in by_id:
+                raise LookupError(
+                    f"branch {branch!r} head {head_id!r} is gone from the log"
+                )
+            cur = self.snapshot(table)
+            node, seen = head_id, set()
+            while node is not None and node in by_id and node not in seen:
+                if cur is None or node == cur.snapshot_id:
+                    self._flip_pointer(table, by_id[head_id])
+                    return by_id[head_id]
+                seen.add(node)
+                node = by_id[node].parent_id
         raise ValueError(
             f"branch {branch!r} does not descend from the main pointer "
             f"({cur.snapshot_id if cur else None!r}) — it diverged (or its "
@@ -930,20 +944,40 @@ class SnapshotCatalog(Catalog):
 
     def _commit(self, table: str, snap: Snapshot, branch: str | None = None) -> Snapshot:
         """THE commit protocol, shared by every commit path
-        (write_table, publish, merge-on-read, branch writes): append
-        the snapshot's log line first, then atomically flip the
-        pointer — the pointer replace is the commit point. A staged
+        (write_table, publish, merge-on-read, DML, branch writes):
+        validate, append the snapshot's log line, then atomically flip
+        the pointer — the pointer replace is the commit point. A staged
         (write-audit-publish) snapshot gets its log line but no flip;
         a BRANCH commit moves the branch ref instead of the main
         pointer, and refuses if the branch advanced concurrently (the
         ref-swap analog of publish's stale-stage check). The lock
         keeps the append from racing a maintenance rewrite's
-        read-filter-replace."""
+        read-filter-replace.
+
+        Main-pointer commits are OPTIMISTICALLY CONCURRENT (Iceberg's
+        commit model): every snapshot is computed against the parent
+        its writer read, and this method re-checks — inside the lock —
+        that the pointer still IS that parent. When it is not (a
+        concurrent writer landed first):
+
+        - an ``append`` whose table metadata (schema + partition spec)
+          matches the new head is REBASED onto it automatically —
+          Iceberg's fast-append retry / ``cherry_pick``: the new data
+          dir is pure delta, so re-parenting it onto the winner's state
+          is exactly what a retry would recompute, minus the rewrite;
+        - every other op (overwrite, replace_partitions, merge, DML —
+          all computed FROM the stale parent's state) raises
+          :class:`CommitConflict`; the caller re-reads and re-runs,
+          Iceberg's serializable-isolation retry loop.
+
+        Without this check, the second writer's unconditional pointer
+        flip would silently discard the first writer's commit — the
+        classic lost update."""
         with self._log_lock(table):
             if branch is not None:
                 refs = self._load_refs(table)
                 if refs["branches"].get(branch) != snap.parent_id:
-                    raise ValueError(
+                    raise CommitConflict(
                         f"branch {branch!r} advanced concurrently (head is "
                         f"{refs['branches'].get(branch)!r}, this commit parents "
                         f"{snap.parent_id!r}); re-read the branch and retry"
@@ -953,11 +987,47 @@ class SnapshotCatalog(Catalog):
                 refs["branches"][branch] = snap.snapshot_id
                 self._save_refs(table, refs)
                 return snap
+            if not snap.staged:
+                cur = self.snapshot(table)
+                cur_id = cur.snapshot_id if cur else None
+                if cur_id != snap.parent_id:
+                    snap = self._rebase_or_conflict(table, snap, cur)
             with open(self._log_path(table), "a") as f:
                 f.write(json.dumps(asdict(snap)) + "\n")
             if not snap.staged:
                 self._flip_pointer(table, snap)
         return snap
+
+    def _rebase_or_conflict(
+        self, table: str, snap: Snapshot, cur: Snapshot | None
+    ) -> Snapshot:
+        """Resolve a stale-parent commit (see :meth:`_commit`): rebase
+        a metadata-compatible append onto the current head, raise
+        :class:`CommitConflict` for everything else. Caller holds the
+        table lock."""
+        cur_id = cur.snapshot_id if cur else None
+        rebasable = (
+            snap.op == "append"
+            and cur is not None
+            and cur.schema_json == snap.schema_json
+            and list(cur.partition_spec or []) == list(snap.partition_spec or [])
+        )
+        if not rebasable:
+            raise CommitConflict(
+                f"table {table!r} advanced concurrently: this {snap.op!r} was "
+                f"computed against parent {snap.parent_id!r} but the pointer is "
+                f"{cur_id!r}; re-read the table and retry the operation"
+            )
+        seq = cur.sequence + 1
+        entry = {**snap.state[-1], "seq": seq}
+        return replace(
+            snap,
+            parent_id=cur.snapshot_id,
+            sequence=seq,
+            state=list(cur.state) + [entry],
+            committed_at_unix=time.time(),
+            lineage={**snap.lineage, "rebased_from_parent": snap.parent_id},
+        )
 
     @staticmethod
     def _dir_summary(absdirs: list[str], added_rows: int, total_entries: int) -> dict:
@@ -2406,22 +2476,25 @@ class SnapshotCatalog(Catalog):
         Iceberg rejects both, so the lookup is explicitly over
         :meth:`history`, never the staged-id fallback of ``_resolve``.
         """
-        hist = self.history(table)
-        target = next((s for s in hist if s.snapshot_id == snapshot_id), None)
-        if target is None:
-            # rollback_to_timestamp: last ancestor at or before the
-            # instant (id-shaped strings never parse as times, so an
-            # expired/staged/abandoned id still raises below)
-            t = self._as_epoch(snapshot_id)
-            if t is not None:
-                target = self._snapshot_at(hist, t)
-        if target is None:
-            raise LookupError(
-                f"snapshot {snapshot_id!r} is not an ancestor of table {table!r}'s "
-                "pointer (staged, abandoned-branch, or expired ids are not valid "
-                "rollback targets)"
-            )
-        self._flip_pointer(table, target)
+        with self._log_lock(table):
+            # resolve and flip under one lock, so the ancestor check
+            # holds against the pointer actually being replaced
+            hist = self.history(table)
+            target = next((s for s in hist if s.snapshot_id == snapshot_id), None)
+            if target is None:
+                # rollback_to_timestamp: last ancestor at or before the
+                # instant (id-shaped strings never parse as times, so an
+                # expired/staged/abandoned id still raises below)
+                t = self._as_epoch(snapshot_id)
+                if t is not None:
+                    target = self._snapshot_at(hist, t)
+            if target is None:
+                raise LookupError(
+                    f"snapshot {snapshot_id!r} is not an ancestor of table {table!r}'s "
+                    "pointer (staged, abandoned-branch, or expired ids are not valid "
+                    "rollback targets)"
+                )
+            self._flip_pointer(table, target)
         return target
 
     def _pending_stages(self, table: str) -> list[Snapshot]:

@@ -1877,3 +1877,131 @@ def test_dml_masked_files_survive_sweeps_then_compact_reclaims(spark, cat):
     assert cat.read_table("t").count() == 90
     # post-compact state has no excludes at all
     assert all(not e["exclude"] for e in cat.snapshot("t").state)
+
+
+# ----------------------------------------------------- optimistic concurrency
+# Iceberg's commit model: snapshots are computed against the parent the
+# writer read; _commit re-validates the pointer inside the table lock.
+# A concurrent append is rebased (fast-append retry / cherry_pick);
+# anything else raises CommitConflict (lost update prevented).
+
+
+def _stale(snap, **over):
+    """A copy of a committed snapshot re-posing as a fresh commit —
+    the deterministic stand-in for 'a writer computed this against a
+    parent that is no longer the pointer'."""
+    import uuid
+    from dataclasses import replace
+
+    return replace(snap, snapshot_id=uuid.uuid4().hex[:16], **over)
+
+
+def test_concurrent_append_rebases_onto_new_head(spark, cat):
+    from log_parser_project_spark.catalog import CommitConflict  # noqa: F401
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    # an append computed against s1 (stale: pointer is s2) — reuses
+    # s2's data dir as its delta, so the rebased table must show that
+    # delta TWICE (once from s2, once re-parented)
+    stale = _stale(
+        s2, parent_id=s1.snapshot_id, state=[s1.state[0], s2.state[-1]]
+    )
+    out = cat._commit("t", stale)
+    assert out.parent_id == s2.snapshot_id  # re-parented onto the head
+    assert out.sequence == s2.sequence + 1
+    assert out.state[:-1] == s2.state  # winner's state carried verbatim
+    assert out.state[-1]["seq"] == out.sequence  # delta entry re-sequenced
+    assert out.lineage["rebased_from_parent"] == s1.snapshot_id
+    assert _vals(cat.read_table("t")) == [
+        (1, "a", "x"), (2, "b", "y"), (2, "b", "y")
+    ]
+    hist = cat.history("t")
+    assert [h.snapshot_id for h in hist] == [
+        s1.snapshot_id, s2.snapshot_id, out.snapshot_id
+    ]
+
+
+def test_concurrent_overwrite_conflicts(spark, cat):
+    from log_parser_project_spark.catalog import CommitConflict
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    stale = _stale(s2, parent_id=s1.snapshot_id, op="overwrite")
+    with pytest.raises(CommitConflict, match="advanced concurrently"):
+        cat._commit("t", stale)
+    # the losing commit left no trace: pointer AND log are untouched
+    assert cat.snapshot("t").snapshot_id == s2.snapshot_id
+    assert [s.snapshot_id for s in cat.history("t")] == [
+        s1.snapshot_id, s2.snapshot_id
+    ]
+    assert stale.snapshot_id not in {
+        s.snapshot_id for s in cat._log_entries("t")
+    }
+
+
+def test_concurrent_append_with_schema_change_conflicts(spark, cat):
+    from log_parser_project_spark.catalog import CommitConflict
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    # the stale append believes a schema s2 does not have — rebasing
+    # would smuggle an unvalidated schema evolution past the winner
+    other = json.dumps(
+        spark.createDataFrame([(1, "a", "x", 0)], "k int, route string, v string, extra int")
+        .schema.jsonValue()
+    )
+    stale = _stale(s2, parent_id=s1.snapshot_id, schema_json=other)
+    with pytest.raises(CommitConflict):
+        cat._commit("t", stale)
+
+
+def test_concurrent_append_with_spec_change_conflicts(spark, cat):
+    from log_parser_project_spark.catalog import CommitConflict
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t", mode="append")
+    spec = [{"transform": "identity", "source": "route", "name": "route"}]
+    stale = _stale(s2, parent_id=s1.snapshot_id, partition_spec=spec)
+    with pytest.raises(CommitConflict):
+        cat._commit("t", stale)
+
+
+def test_threaded_appends_lose_no_rows(spark, cat):
+    """API-level stress: N writers appending concurrently must all
+    land (rebase absorbs whatever interleavings actually occur) — the
+    no-CAS failure mode is silently dropped rows."""
+    import threading
+
+    cat.write_table(_df(spark, [(0, "seed", "s")]), "t")
+    errs = []
+
+    def w(i):
+        try:
+            cat.write_table(
+                _df(spark, [(i, f"r{i}", f"v{i}")]), "t", mode="append"
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=w, args=(i,)) for i in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(r.k for r in cat.read_table("t").collect()) == list(range(7))
+    # every appended delta survives in the final state
+    assert len(cat.snapshot("t").state) == 7
+
+
+def test_stale_publish_still_rejected_under_commit_cas(spark, cat):
+    """publish's friendly pre-check and _commit's CAS agree: a staged
+    snapshot whose parent is no longer the pointer cannot flip."""
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    staged = cat.write_table(
+        _df(spark, [(2, "b", "y")]), "t", mode="overwrite", staged=True
+    )
+    cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    with pytest.raises(ValueError, match="stale stage"):
+        cat.publish("t", staged.snapshot_id)
