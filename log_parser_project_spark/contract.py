@@ -42,7 +42,15 @@ def _import_all() -> None:
 #:
 #: Round-4 rotation: the 29 round-3 feature queries that had never
 #: received a driver verdict enter the window; 21 slots keep every
-#: SURVEY §2 operator pinned by an in-window green. Ten single-op
+#: SURVEY §2 operator pinned by an in-window green. Mid-round, four
+#: round-4 catalog feature queries (CDC changelog, merge-on-read,
+#: hidden partitioning, row-level DML) replaced four single-pin r03
+#: greens (q_j2_version_lookup, q_j8_positional_zip,
+#: q_p9_description_cleanup, q_s5_float_decode) whose operators keep
+#: r03 ledger greens + full-parity coverage: J2 via
+#: q_j2_versioned_payload (r01+r03), J8/P9 via their own r03 rows, F6
+#: via q_f6_float_reinterpret (r03) with the layout path exercised
+#: inside in-window q_s5_packet_decode. Ten single-op
 #: queries (A1 A2 A3 A4 A7 A8 J3 J6 K2 P8 — each with 1–3 prior driver
 #: greens) fold into the merged ``q_ops_suite`` so their pins survive
 #: in ONE slot; everything else rotated out holds at least one driver
@@ -66,12 +74,8 @@ WINDOW: tuple[str, ...] = (
     "q_j7_fact_join",         # J7
     "q_w1_event_features",    # W1 W4 W5
     "q_s5_packet_decode",     # S5 P3 K3 P6 P8-reasons R6
-    "q_s5_float_decode",      # F6 layout path
-    "q_j2_version_lookup",    # J2
     "q_j4_struct_flatten",    # J4
-    "q_j8_positional_zip",    # J8
     "q_fx_bitmath",           # A5 F3 F5 F7
-    "q_p9_description_cleanup",  # P9 F2 S4
     "q_w23_sorts",            # W2 W3
     "q_so_membership",        # J5 SO1 SO4 SO5
     "q_so_setops",            # SO2 SO3
@@ -119,6 +123,13 @@ WINDOW: tuple[str, ...] = (
     "q_sim_semantic_dedup",
     "q_skew_hot_join",
     "q_p7a6_brand_profile",   # P7 A6
+    # round-4 catalog feature surface (parity-green at sf0.01 AND
+    # sf0.1; entered mid-r04 in place of four single-pin r03 greens —
+    # see the mid-round-4 rotation note in COVERAGE.md)
+    "q_cdc_changelog",        # K1 changelog read (CDC)
+    "q_mor_upsert",           # K1 merge-on-read equality deletes
+    "q_hp_pruned_scan",       # S3 hidden partitioning + derived pruning
+    "q_dml_rowlevel",         # K1 row-level DELETE/UPDATE (copy-on-write)
 )
 
 
