@@ -2003,3 +2003,58 @@ def q_dml_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@_register(
+    "q_br_branch_publish",
+    """
+    WITH base AS (
+      SELECT s_suppkey AS k, s_nationkey AS nk, s_name AS v FROM supplier
+    )
+    SELECT 'main_before' AS stage, k, nk, v FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'branch_audit' AS stage, k, nk, v FROM base
+    UNION ALL
+    SELECT 'main_after' AS stage, k, nk, v FROM base
+    ORDER BY stage, k
+    """,
+)
+def q_br_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches pinned to an oracle: supplier's even keys land on
+    main, a branch takes TWO staged commits (the odd keys in two
+    halves), and the three reads are value-checked together — main
+    BEFORE the publish (branch writes must not leak), the branch
+    audited BY NAME, and main AFTER ``fast_forward`` (the atomic
+    multi-commit publish). Each ``read_table`` resolves its manifest
+    eagerly, so the three stages capture three distinct pointer
+    states inside one returned DataFrame. The Iceberg
+    branch-write → audit → fast_forward workflow end to end
+    (catalog.py: write_table(branch=...), create_branch,
+    fast_forward)."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"),
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_name").alias("v"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="br_wh_"))
+    cat.write_table(base.filter(F.col("k") % 2 == 0), "t")
+    cat.create_branch("t", "audit")
+    cat.write_table(base.filter(F.col("k") % 4 == 1), "t",
+                    mode="append", branch="audit")
+    cat.write_table(base.filter(F.col("k") % 4 == 3), "t",
+                    mode="append", branch="audit")
+    before = cat.read_table("t").withColumn("stage", F.lit("main_before"))
+    audited = cat.read_table("t", as_of="audit").withColumn(
+        "stage", F.lit("branch_audit")
+    )
+    cat.fast_forward("t", "audit")
+    after = cat.read_table("t").withColumn("stage", F.lit("main_after"))
+    return (
+        before.unionByName(audited).unionByName(after)
+        .select("stage", "k", "nk", "v")
+        .orderBy("stage", "k")
+    )
