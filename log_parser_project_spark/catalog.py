@@ -942,6 +942,209 @@ class SnapshotCatalog(Catalog):
         )
         return self._commit(table, snap, branch=branch)
 
+    # ------------------------------------------------- schema evolution v2
+    # Metadata-only column evolution (Iceberg ALTER TABLE semantics,
+    # resolved like Delta column mapping): rename / drop / widen commit
+    # a new snapshot whose entries carry a logical→physical ``colmap``
+    # (renames) and logical→written-type ``casts`` (widens). No data
+    # file rewrites — at 100 TB the alternative is a full-table
+    # rewrite. Reads project each entry from its written layout back to
+    # the snapshot's logical schema (:meth:`_entry_projection`); time
+    # travel still reads old snapshots under their own schema; stats /
+    # bloom skipping keeps firing through the name mapping; and
+    # :meth:`compact` materializes the mapping away.
+
+    #: integer/float widening promotions Iceberg allows (by Spark
+    #: simpleString); decimal precision-up at equal scale is handled
+    #: separately.
+    _WIDEN_OK = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def _evolve_guard(self, prev: Snapshot, col: str, verb: str) -> None:
+        """Columns the metadata-only ops must not touch: partition-spec
+        sources / names (the physical dir layout and transform hashing
+        are keyed on them — evolve the spec with an overwrite first)
+        and pending equality-delete keys (delete files store the key
+        under its written name; compact() materializes them away)."""
+        for s in prev.partition_spec or []:
+            if col in (s.get("source"), s.get("name")):
+                raise ValueError(
+                    f"cannot {verb} {col!r}: it is part of the partition spec "
+                    f"({self._spec_strings(prev.partition_spec)}); rewrite the "
+                    "spec with mode='overwrite' first"
+                )
+        for e in prev.state:
+            if e.get("kind") == "eq_deletes" and col in e.get("on", []):
+                raise ValueError(
+                    f"cannot {verb} {col!r}: pending merge-on-read equality "
+                    "deletes key on it; run compact() to materialize them first"
+                )
+
+    def _evolve_commit(
+        self, table: str, op: str, prev: Snapshot, schema, state: list, detail: dict
+    ) -> Snapshot:
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            table=table,
+            row_count=0,
+            committed_at_unix=time.time(),
+            lineage={"stage": op, **detail},
+            parent_id=prev.snapshot_id,
+            op=op,
+            state=state,
+            sequence=prev.sequence + 1,
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_spec=list(prev.partition_spec or []),
+            summary={"op": op, **detail, "added-records": 0,
+                     "total-manifest-entries": len(state)},
+        )
+        return self._commit(table, snap)
+
+    def _evolved_prev(self, table: str, col: str, verb: str):
+        from pyspark.sql.types import StructType
+
+        prev = self.snapshot(table)
+        if prev is None or not prev.schema_json:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        schema = StructType.fromJson(json.loads(prev.schema_json))
+        if col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} in table {table!r}")
+        self._evolve_guard(prev, col, verb)
+        return prev, schema
+
+    def rename_column(self, table: str, old: str, new: str) -> Snapshot:
+        """Iceberg's ``ALTER TABLE ... RENAME COLUMN`` — metadata-only:
+        the committed snapshot's schema carries the new name, and every
+        existing manifest entry records ``colmap[new] = <its written
+        name>`` so its files read back through the rename without a
+        rewrite. Appends after the rename write (and are pruned /
+        DML'd under) the new name; time travel before it still shows
+        the old one."""
+        from pyspark.sql.types import StructField, StructType
+
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+            raise ValueError(f"invalid column name {new!r}")
+        prev, schema = self._evolved_prev(table, old, "rename")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists in table {table!r}")
+        hidden_names = {s["name"] for s in self._hidden_of(prev.partition_spec or [])}
+        if new in hidden_names:
+            raise ValueError(f"{new!r} collides with a hidden partition column")
+        new_schema = StructType([
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in schema.fields
+        ])
+        state = []
+        for e in prev.state:
+            if e.get("kind") == "eq_deletes":
+                state.append(e)  # guarded: old is never one of its keys
+                continue
+            colmap = dict(e.get("colmap") or {})
+            phys = colmap.pop(old, old)
+            if phys != new:
+                colmap[new] = phys
+            casts = dict(e.get("casts") or {})
+            if old in casts:
+                casts[new] = casts.pop(old)
+            ne = {k: v for k, v in e.items() if k not in ("colmap", "casts")}
+            if colmap:
+                ne["colmap"] = colmap
+            if casts:
+                ne["casts"] = casts
+            state.append(ne)
+        return self._evolve_commit(
+            table, "rename-column", prev, new_schema, state,
+            {"from": old, "to": new},
+        )
+
+    def drop_column(self, table: str, col: str) -> Snapshot:
+        """Iceberg's ``ALTER TABLE ... DROP COLUMN`` — metadata-only:
+        the column leaves the snapshot schema (schema-driven reads
+        simply stop scanning it; the bytes stay until files naturally
+        rewrite). Every entry's ``colmap`` gets a tombstone mapping so
+        a LATER re-add of the same name reads nulls from pre-drop files
+        instead of resurrecting the dropped values (the field-id
+        discipline Iceberg gets from its format)."""
+        prev, schema = self._evolved_prev(table, col, "drop")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop a table's only column")
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType([f for f in schema.fields if f.name != col])
+        tomb = f"__dropped_{col}_{prev.sequence + 1}"
+        state = []
+        for e in prev.state:
+            if e.get("kind") == "eq_deletes":
+                state.append(e)
+                continue
+            colmap = dict(e.get("colmap") or {})
+            colmap.pop(col, None)
+            colmap[col] = tomb
+            casts = dict(e.get("casts") or {})
+            casts.pop(col, None)
+            ne = {k: v for k, v in e.items() if k not in ("colmap", "casts")}
+            ne["colmap"] = colmap
+            if casts:
+                ne["casts"] = casts
+            state.append(ne)
+        return self._evolve_commit(
+            table, "drop-column", prev, new_schema, state, {"column": col}
+        )
+
+    def widen_column(self, table: str, col: str, new_type) -> Snapshot:
+        """Iceberg's type-promotion evolution — metadata-only widen of
+        a column (tinyint→…→bigint, float→double, decimal precision-up
+        at equal scale). Entries record the type the column was WRITTEN
+        with (``casts[col]``); reads scan old files under that type and
+        cast up to the logical one. Narrowing — a lossy rewrite — is
+        rejected."""
+        from pyspark.sql.types import DecimalType, StructField, StructType
+
+        if isinstance(new_type, str):
+            new_type = StructType.fromDDL(f"x {new_type}").fields[0].dataType
+        prev, schema = self._evolved_prev(table, col, "widen")
+        old_f = schema[col]
+        old_t, new_t = old_f.dataType, new_type
+        ok = new_t.simpleString() in self._WIDEN_OK.get(old_t.simpleString(), set())
+        if (
+            not ok
+            and isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType)
+            and new_t.scale == old_t.scale and new_t.precision > old_t.precision
+        ):
+            ok = True
+        if not ok:
+            raise ValueError(
+                f"cannot widen {col!r} from {old_t.simpleString()} to "
+                f"{new_t.simpleString()}: only lossless promotions "
+                "(tinyint→…→bigint, float→double, decimal precision-up at "
+                "equal scale) are metadata-only; anything else is a rewrite"
+            )
+        new_schema = StructType([
+            StructField(col, new_t, f.nullable, f.metadata) if f.name == col else f
+            for f in schema.fields
+        ])
+        state = []
+        for e in prev.state:
+            if e.get("kind") == "eq_deletes":
+                state.append(e)
+                continue
+            casts = dict(e.get("casts") or {})
+            # first widen records the written type; a second widen
+            # keeps it (the files still hold the ORIGINAL type)
+            casts.setdefault(col, old_t.jsonValue())
+            state.append({**{k: v for k, v in e.items() if k != "casts"},
+                          "casts": casts})
+        return self._evolve_commit(
+            table, "widen-column", prev, new_schema, state,
+            {"column": col, "from": old_t.simpleString(),
+             "to": new_t.simpleString()},
+        )
+
     def _commit(self, table: str, snap: Snapshot, branch: str | None = None) -> Snapshot:
         """THE commit protocol, shared by every commit path
         (write_table, publish, merge-on-read, DML, branch writes):
@@ -1748,11 +1951,17 @@ class SnapshotCatalog(Catalog):
                 + [self._hidden_field(s) for s in hidden if s["name"] not in present]
             )
 
-        def _open(absdir, files):
+        def _open(absdir, files, entry):
+            proj = (
+                self._entry_projection(entry, scan_schema)
+                if scan_schema is not None else None
+            )
             r = self.spark.read.option("basePath", absdir)
-            if scan_schema is not None:
-                r = r.schema(scan_schema)
-            return r.parquet(*files)
+            rs = proj[0] if proj else scan_schema
+            if rs is not None:
+                r = r.schema(rs)
+            d = r.parquet(*files)
+            return d.select(*proj[1]) if proj else d
 
         # phase 1: plan — metadata-pruned candidates, then one scan
         # (projected to the file name) finds files with real matches
@@ -1766,7 +1975,7 @@ class SnapshotCatalog(Catalog):
                 continue
             absdir = os.path.join(self.warehouse, e["dir"])
             cands[i] = (absdir, files)
-            p = _open(absdir, files).where(cond).select(
+            p = _open(absdir, files, e).where(cond).select(
                 F.input_file_name().alias("__f")
             )
             probe = p if probe is None else probe.unionByName(p)
@@ -1798,12 +2007,20 @@ class SnapshotCatalog(Catalog):
                 continue
             rels = sorted(os.path.relpath(f, absdir) for f in hit)
             new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
+            # stats/bloom column names are the old entry's PHYSICAL
+            # names; the rewrite writes LOGICAL columns, so translate
+            # through the entry's rename history before re-harvesting
+            to_logical = {v: k for k, v in (e.get("colmap") or {}).items()}
             stats_cols |= {
-                c for fd in (e.get("files") or {}).values() for c in fd
+                to_logical.get(c, c)
+                for fd in (e.get("files") or {}).values() for c in fd
             }
             if e.get("bloom"):
-                bloom_meta = e["bloom"]
-            d = _open(absdir, hit).withColumn(
+                bloom_meta = {
+                    **e["bloom"],
+                    "cols": [to_logical.get(c, c) for c in e["bloom"]["cols"]],
+                }
+            d = _open(absdir, hit, e).withColumn(
                 "__entry_seq", F.lit(int(e.get("seq", 0)))
             )
             rewrite = d if rewrite is None else rewrite.unionByName(d)
@@ -1875,6 +2092,57 @@ class SnapshotCatalog(Catalog):
         return self._commit(table, snap)
 
     # ----------------------------------------------------------------- read
+    @staticmethod
+    def _entry_pcol(entry: dict, col: str) -> str:
+        """The PHYSICAL column name inside this entry's files for the
+        table's logical column ``col`` — they differ after a
+        metadata-only :meth:`rename_column` (the entry's ``colmap``
+        records logical → physical; files never rewrite)."""
+        return (entry.get("colmap") or {}).get(col, col)
+
+    @staticmethod
+    def _entry_bloomable(entry: dict, col: str) -> bool:
+        """Whether the entry's bloom sidecar is still probe-valid for
+        logical ``col``: a :meth:`widen_column` from a FRACTIONAL type
+        invalidates it (blooms hash the value's string image, and
+        float vs double renderings can differ); integer widens keep
+        the same image, renames only move the name."""
+        phys_type = (entry.get("casts") or {}).get(col)
+        return phys_type is None or not str(phys_type).startswith("float")
+
+    def _entry_projection(self, entry: dict, schema):
+        """``None`` when the entry's physical layout already matches
+        the logical ``schema``; else ``(physical_read_schema,
+        logical_selects)`` — read the files under the names/types they
+        were WRITTEN with, then select/cast/alias back to the logical
+        schema. This is how metadata-only rename/widen evolution reads
+        old files without rewriting a byte (Delta column mapping /
+        Iceberg field-id resolution)."""
+        colmap = entry.get("colmap") or {}
+        casts = entry.get("casts") or {}
+        if not colmap and not casts:
+            return None
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        phys_fields, selects = [], []
+        for f in schema.fields:
+            pname = colmap.get(f.name, f.name)
+            if f.name in casts:
+                ptype = StructType.fromJson({
+                    "type": "struct",
+                    "fields": [{"name": "x", "type": casts[f.name],
+                                "nullable": True, "metadata": {}}],
+                }).fields[0].dataType
+            else:
+                ptype = f.dataType
+            phys_fields.append(StructField(pname, ptype, True))
+            c = F.col(pname)
+            if f.name in casts:
+                c = c.cast(f.dataType)
+            selects.append(c.alias(f.name))
+        return StructType(phys_fields), selects
+
     def _pruned_files(self, entry: dict, predicate=None, eq=None) -> list[str]:
         """The manifest entry's live files after scan-planning pruning:
         exclude masks, then per-file min/max stats against ``predicate``
@@ -1882,37 +2150,51 @@ class SnapshotCatalog(Catalog):
         probes against ``eq`` (when it committed ``bloom_cols``).
         Shared by :meth:`_entry_df` (reads) and the DML rewrite planner
         (:meth:`delete_where` / :meth:`update_where`), so a predicate
-        bounds the rewrite set exactly as it bounds a scan."""
+        bounds the rewrite set exactly as it bounds a scan. Stats and
+        bloom sidecars are keyed by the entry's PHYSICAL column names;
+        logical predicate/eq columns map through the entry's rename
+        history (:meth:`_entry_pcol`), so skipping keeps firing across
+        metadata-only renames."""
         absdir = os.path.join(self.warehouse, entry["dir"])
         files = self._entry_files(absdir, entry["exclude"])
         fstats = entry.get("files") if predicate is not None else None
         if fstats is not None:
+            pred = (self._entry_pcol(entry, predicate[0]),) + tuple(predicate[1:])
             files = [
                 f for f in files
-                if self._file_matches(fstats.get(os.path.relpath(f, absdir)), predicate)
+                if self._file_matches(fstats.get(os.path.relpath(f, absdir)), pred)
             ]
-        if eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"]:
-            side = self._load_blooms(absdir)
-            if side is not None:
-                fmap = side["files"]
-                positions = self._bloom_positions(eq[1], side["m"], side["k"])
-                col = eq[0]
-                files = [
-                    f for f in files
-                    if self._bloom_matches(
-                        (fmap.get(os.path.relpath(f, absdir)) or {}).get(col), positions
-                    )
-                ]
+        if eq is not None and entry.get("bloom"):
+            col = self._entry_pcol(entry, eq[0])
+            if col in entry["bloom"]["cols"] and self._entry_bloomable(entry, eq[0]):
+                side = self._load_blooms(absdir)
+                if side is not None:
+                    fmap = side["files"]
+                    positions = self._bloom_positions(eq[1], side["m"], side["k"])
+                    files = [
+                        f for f in files
+                        if self._bloom_matches(
+                            (fmap.get(os.path.relpath(f, absdir)) or {}).get(col),
+                            positions,
+                        )
+                    ]
         return files
 
     def _entry_df(self, entry: dict, schema, predicate=None, eq=None) -> DataFrame | None:
         absdir = os.path.join(self.warehouse, entry["dir"])
+        proj = self._entry_projection(entry, schema) if schema is not None else None
         reader = self.spark.read.option("basePath", absdir)
-        if schema is not None:
-            reader = reader.schema(schema)
+        read_schema = proj[0] if proj else schema
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
         prunable = (
             (predicate is not None and entry.get("files"))
-            or (eq is not None and entry.get("bloom") and eq[0] in entry["bloom"]["cols"])
+            or (
+                eq is not None
+                and entry.get("bloom")
+                and self._entry_pcol(entry, eq[0]) in entry["bloom"]["cols"]
+                and self._entry_bloomable(entry, eq[0])
+            )
         )
         if not entry["exclude"] and not prunable:
             # a zero-row delta (e.g. a merge that deleted every row of
@@ -1923,11 +2205,15 @@ class SnapshotCatalog(Catalog):
                 for _root, _d, fns in os.walk(absdir)
                 for fn in fns
             )
-            return reader.parquet(absdir) if has_parquet else None
-        files = self._pruned_files(entry, predicate, eq)
-        if not files:
-            return None
-        return reader.parquet(*files)
+            d = reader.parquet(absdir) if has_parquet else None
+        else:
+            files = self._pruned_files(entry, predicate, eq)
+            if not files:
+                return None
+            d = reader.parquet(*files)
+        if d is not None and proj is not None:
+            d = d.select(*proj[1])
+        return d
 
     def read_table(
         self,
@@ -2165,17 +2451,19 @@ class SnapshotCatalog(Catalog):
             )
 
         def _visible(snap: Snapshot) -> dict:
-            # warehouse-relative file path -> its manifest entry dir
-            # (the basePath that restores its partition columns).
-            # Equality-delete entries are not data: commits touching
-            # them take the state-diff path below instead.
-            out: dict[str, str] = {}
+            # warehouse-relative file path -> its manifest ENTRY (whose
+            # dir is the basePath that restores its partition columns,
+            # and whose colmap/casts say how to project the file back
+            # to the snapshot's logical schema). Equality-delete
+            # entries are not data: commits touching them take the
+            # state-diff path below instead.
+            out: dict[str, dict] = {}
             for e in snap.state:
                 if e.get("kind") == "eq_deletes":
                     continue
                 absdir = os.path.join(self.warehouse, e["dir"])
                 for p in self._entry_files(absdir, e["exclude"]):
-                    out[os.path.relpath(p, self.warehouse)] = e["dir"]
+                    out[os.path.relpath(p, self.warehouse)] = e
             return out
 
         def _has_deletes(snap: Snapshot) -> bool:
@@ -2195,18 +2483,29 @@ class SnapshotCatalog(Catalog):
 
         def _read_side(files: dict, schema, ctype: str, snap: Snapshot, ordinal: int):
             by_dir: dict[str, list[str]] = {}
-            for rel, entry_dir in files.items():
-                by_dir.setdefault(entry_dir, []).append(
+            entry_of: dict[str, dict] = {}
+            for rel, entry in files.items():
+                by_dir.setdefault(entry["dir"], []).append(
                     os.path.join(self.warehouse, rel)
                 )
+                entry_of[entry["dir"]] = entry
             pieces = []
             for entry_dir, paths in sorted(by_dir.items()):
+                entry = entry_of[entry_dir]
+                proj = (
+                    self._entry_projection(entry, schema)
+                    if schema is not None else None
+                )
                 reader = self.spark.read.option(
                     "basePath", os.path.join(self.warehouse, entry_dir)
                 )
-                if schema is not None:
-                    reader = reader.schema(schema)
-                pieces.append(reader.parquet(*sorted(paths)))
+                rs = proj[0] if proj else schema
+                if rs is not None:
+                    reader = reader.schema(rs)
+                p = reader.parquet(*sorted(paths))
+                if proj is not None:
+                    p = p.select(*proj[1])
+                pieces.append(p)
             return [_tag(p, ctype, snap, ordinal) for p in pieces]
 
         parts: list[DataFrame] = []
