@@ -2058,3 +2058,68 @@ def q_br_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage", "k", "nk", "v")
         .orderBy("stage", "k")
     )
+
+
+@_register(
+    "q_schema_evolution",
+    """
+    WITH base AS (
+      SELECT p_partkey AS k, p_brand AS brand_name, p_size AS sz FROM part
+    )
+    SELECT brand_name,
+           COUNT(*) AS n,
+           CAST(SUM(sz) AS BIGINT) AS sum_sz,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_labeled
+    FROM base
+    GROUP BY brand_name
+    ORDER BY brand_name
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution pinned to an oracle: part's odd
+    keys land with the ORIGINAL schema, then — without rewriting a
+    byte — the column ``brand`` renames to ``brand_name``, ``sz``
+    widens int→bigint, and ``ptype`` drops; the even keys append
+    under the evolved schema plus an added ``label`` column. The final
+    rollup reads BOTH generations through one logical schema (old
+    files via the entry column map, new files natively), so a drift in
+    name mapping, type promotion, or add-column null padding
+    hash-fails against the oracle's direct recomputation
+    (catalog.py: rename_column / widen_column / drop_column +
+    _entry_projection)."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    base = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("int").alias("sz"),
+        F.col("p_type").alias("ptype"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="se_wh_"))
+    cat.write_table(base.filter(F.col("k") % 2 == 1), "t")
+    cat.rename_column("t", "brand", "brand_name")
+    cat.widen_column("t", "sz", "bigint")
+    cat.drop_column("t", "ptype")
+    cat.write_table(
+        base.filter(F.col("k") % 2 == 0).select(
+            "k",
+            F.col("brand").alias("brand_name"),
+            F.col("sz").cast("bigint").alias("sz"),
+            F.concat(F.lit("L"), F.col("k").cast("string")).alias("label"),
+        ),
+        "t",
+        mode="append",
+    )
+    return (
+        cat.read_table("t")
+        .groupBy("brand_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sz").cast("long").alias("sum_sz"),
+            F.count("label").alias("n_labeled"),
+        )
+        .orderBy("brand_name")
+    )
