@@ -1016,6 +1016,48 @@ class SnapshotCatalog(Catalog):
         self._evolve_guard(prev, col, verb)
         return prev, schema
 
+    def add_column(self, table: str, name: str, dtype) -> Snapshot:
+        """Iceberg's ``ALTER TABLE ... ADD COLUMN`` — metadata-only:
+        the new nullable column joins the schema NOW; every existing
+        file reads back null for it, and later writes may populate it.
+        (Appends can also add columns implicitly — this is the
+        explicit, write-free form.) The name is tombstone-mapped in
+        existing entries exactly like :meth:`drop_column`'s re-add
+        path, so a physical column of the same name that once existed
+        in old files can never resurrect through the new logical one."""
+        from pyspark.sql.types import StructField, StructType
+
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise ValueError(f"invalid column name {name!r}")
+        if isinstance(dtype, str):
+            dtype = StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        prev = self.snapshot(table)
+        if prev is None or not prev.schema_json:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        schema = StructType.fromJson(json.loads(prev.schema_json))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists in table {table!r}")
+        hidden_names = {s["name"] for s in self._hidden_of(prev.partition_spec or [])}
+        if name in hidden_names:
+            raise ValueError(f"{name!r} collides with a hidden partition column")
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, dtype, nullable=True)]
+        )
+        tomb = f"__added_{name}_{prev.sequence + 1}"
+        state = []
+        for e in prev.state:
+            if e.get("kind") == "eq_deletes":
+                state.append(e)
+                continue
+            colmap = dict(e.get("colmap") or {})
+            colmap[name] = tomb
+            state.append({**{k: v for k, v in e.items() if k != "colmap"},
+                          "colmap": colmap})
+        return self._evolve_commit(
+            table, "add-column", prev, new_schema, state,
+            {"column": name, "type": dtype.simpleString()},
+        )
+
     def rename_column(self, table: str, old: str, new: str) -> Snapshot:
         """Iceberg's ``ALTER TABLE ... RENAME COLUMN`` — metadata-only:
         the committed snapshot's schema carries the new name, and every

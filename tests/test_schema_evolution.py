@@ -294,3 +294,37 @@ def test_evolution_commits_are_cas_protected(spark, cat):
     # same parent as the applied rename → pointer moved → conflict
     with pytest.raises(CommitConflict):
         cat._commit("t", stale)
+
+
+# --------------------------------------------------------------- add_column
+def test_add_column_metadata_only(spark, cat):
+    _base(spark, cat)
+    s = cat.add_column("t", "score", "double")
+    assert s.op == "add-column" and s.row_count == 0
+    out = cat.read_table("t")
+    assert out.columns == ["k", "route", "v", "score"]
+    assert all(r.score is None for r in out.collect())
+    cat.write_table(
+        _df(spark, [(4, "d", 40, 0.5)], "k int, route string, v int, score double"),
+        "t", mode="append",
+    )
+    assert sorted((r.k, r.score) for r in cat.read_table("t").collect()) == [
+        (1, None), (2, None), (3, None), (4, 0.5)
+    ]
+
+
+def test_add_column_never_resurrects_old_bytes(spark, cat):
+    # a physical column that once existed, was dropped, and is added
+    # again must NOT leak old values through the new logical column
+    _base(spark, cat)
+    cat.drop_column("t", "v")
+    cat.add_column("t", "v", "int")
+    assert all(r.v is None for r in cat.read_table("t").collect())
+
+
+def test_add_column_guards(spark, cat):
+    _base(spark, cat)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_column("t", "v", "int")
+    with pytest.raises(ValueError, match="invalid column name"):
+        cat.add_column("t", "2bad", "int")
