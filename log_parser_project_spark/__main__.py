@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
         out: dict = {}
         # action order mirrors a maintenance run: restore state first,
         # then rewrite, then garbage-collect what the rewrite obsoleted
+        recovered = cat.recover_transactions()
+        if recovered:
+            out["recovered_transactions"] = recovered
         if args.rollback:
             out["rolled_back_to"] = cat.rollback(args.table, args.rollback).snapshot_id
         if args.publish:

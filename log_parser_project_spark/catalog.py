@@ -47,6 +47,55 @@ class CommitConflict(ValueError):
     working."""
 
 
+class CatalogTransaction:
+    """Accumulates ONE staged write per table for
+    :meth:`SnapshotCatalog.transaction`. Each :meth:`write_table`
+    stages immediately (data + log line, no pointer); :meth:`commit`
+    publishes every pointer atomically, :meth:`abandon` sweeps the
+    stages. Branch writes are excluded (a branch IS its own staging
+    mechanism), and a second write to the same table is rejected —
+    fold multi-writes into one frame, or commit two transactions."""
+
+    def __init__(self, cat):
+        self._cat = cat
+        self._staged: dict = {}
+        self._done = False
+
+    def write_table(self, df, table: str, **kw):
+        if self._done:
+            raise RuntimeError("transaction already committed or abandoned")
+        if table in self._staged:
+            raise ValueError(
+                f"table {table!r} already staged in this transaction; one "
+                "write per table (union the frames or use two transactions)"
+            )
+        if kw.pop("staged", True) is not True:
+            raise ValueError("transaction writes are implicitly staged")
+        if kw.get("branch") is not None:
+            raise ValueError("branch writes cannot join a transaction")
+        snap = self._cat.write_table(df, table, staged=True, **kw)
+        self._staged[table] = snap
+        return snap
+
+    def commit(self) -> None:
+        if self._done:
+            return
+        self._cat._commit_transaction(self._staged)
+        self._done = True
+
+    def abandon(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        for t, s in self._staged.items():
+            try:
+                self._cat.abandon_stage(t, s.snapshot_id)
+            except Exception:
+                # best-effort: remove_orphan_files(sweep_staged=True)
+                # collects whatever a torn abandon leaves behind
+                pass
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg Spark runtime is on the session classpath."""
     try:
@@ -941,6 +990,153 @@ class SnapshotCatalog(Catalog):
             staged=staged,
         )
         return self._commit(table, snap, branch=branch)
+
+    # --------------------------------------------------- multi-table commit
+    @property
+    def _txn_dir(self) -> str:
+        p = os.path.join(self._manifest_dir, "_txn")
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    @contextlib.contextmanager
+    def transaction(self):
+        """Multi-table ATOMIC commit — the catalog-level transaction
+        Iceberg defers to its catalog for. Stage one write per table
+        inside the block; on clean exit every staged pointer flips
+        together, on an exception nothing becomes visible and the
+        stages are swept::
+
+            with cat.transaction() as txn:
+                txn.write_table(docs, "corpus", mode="append")
+                txn.write_table(bands, "corpus_index_bands", mode="append")
+                txn.write_table(fps, "corpus_index_docs", mode="append")
+
+        Readers never observe a partial advance: writes stage as
+        write-audit-publish snapshots (log line, no pointer), and the
+        commit takes every table's lock, CAS-validates every parent,
+        writes ONE transaction record (the commit point), then flips
+        the pointers. A crash mid-flip is repaired by
+        :meth:`recover_transactions` — run on entry of every
+        transaction and by ``maintain`` — which replays the recorded
+        flips idempotently. A concurrent single-table commit that
+        lands between stage and commit fails the whole transaction
+        with :class:`CommitConflict` (retry re-stages against the new
+        state)."""
+        self.recover_transactions()
+        txn = CatalogTransaction(self)
+        try:
+            yield txn
+        except BaseException:
+            txn.abandon()
+            raise
+        txn.commit()
+
+    def _commit_transaction(self, staged: dict) -> None:
+        """All-or-nothing publish of one staged snapshot per table.
+        Locks are taken in sorted table order (no deadlock between
+        concurrent transactions); the transaction record write is the
+        commit point — after it, :meth:`recover_transactions` will
+        finish the flips even across a crash."""
+        if not staged:
+            return
+        tables = sorted(staged)
+        with contextlib.ExitStack() as stack:
+            for t in tables:
+                stack.enter_context(self._log_lock(t))
+            for t in tables:
+                snap = staged[t]
+                cur = self.snapshot(t)
+                cur_id = cur.snapshot_id if cur else None
+                if cur_id != snap.parent_id:
+                    raise CommitConflict(
+                        f"table {t!r} advanced concurrently (pointer {cur_id!r}, "
+                        f"transaction staged against {snap.parent_id!r}); the "
+                        "whole transaction aborts — re-stage and retry"
+                    )
+            txn_id = uuid.uuid4().hex[:16]
+            rec = {
+                "txn_id": txn_id,
+                "tables": {t: staged[t].snapshot_id for t in tables},
+                "created_at_unix": time.time(),
+            }
+            path = os.path.join(self._txn_dir, f"{txn_id}.json")
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f, indent=2)
+            os.replace(tmp, path)  # ← the commit point
+            now = time.time()
+            for t in tables:
+                snap = staged[t]
+                snap.staged = False
+                snap.committed_at_unix = now
+                with open(self._log_path(t), "a") as f:
+                    f.write(json.dumps(asdict(snap)) + "\n")
+                self._flip_pointer(t, snap)
+            os.remove(path)
+
+    def recover_transactions(self) -> list[str]:
+        """Finish (or confirm) every recorded-but-incomplete
+        transaction: for each (table, snapshot) pair, if the pointer
+        is neither AT the snapshot nor DESCENDED from it, replay the
+        publish-flip. Idempotent; returns the recovered txn ids. A
+        table that advanced DIVERGENTLY past an incomplete transaction
+        (possible only if single-table commits ran between the crash
+        and recovery) raises :class:`CommitConflict` for manual
+        resolution rather than silently discarding either lineage."""
+        d = self._txn_dir
+        out: list[str] = []
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json"):
+                continue
+            path = os.path.join(d, fn)
+            with open(path) as f:
+                rec = json.load(f)
+            for t, sid in sorted(rec["tables"].items()):
+                with self._log_lock(t):
+                    cur = self.snapshot(t)
+                    if cur is not None:
+                        if cur.snapshot_id == sid:
+                            continue
+                        by_id = {
+                            s.snapshot_id: s for s in self._log_entries(t)
+                        }
+                        node, seen = cur.snapshot_id, set()
+                        descended = False
+                        while node and node in by_id and node not in seen:
+                            if node == sid:
+                                descended = True
+                                break
+                            seen.add(node)
+                            node = by_id[node].parent_id
+                        if descended:
+                            continue
+                    entries = [
+                        s for s in self._log_entries(t) if s.snapshot_id == sid
+                    ]
+                    if not entries:
+                        raise LookupError(
+                            f"transaction {rec['txn_id']} references snapshot "
+                            f"{sid!r} of table {t!r} which is gone from the log"
+                        )
+                    snap = entries[-1]
+                    cur_id = cur.snapshot_id if cur else None
+                    if cur is not None and cur_id != snap.parent_id:
+                        raise CommitConflict(
+                            f"table {t!r} diverged past incomplete transaction "
+                            f"{rec['txn_id']} (pointer {cur_id!r}, transaction "
+                            f"snapshot {sid!r} parents {snap.parent_id!r}); "
+                            "resolve manually (rollback the table or remove "
+                            "the record)"
+                        )
+                    if snap.staged:
+                        snap.staged = False
+                        snap.committed_at_unix = time.time()
+                        with open(self._log_path(t), "a") as f:
+                            f.write(json.dumps(asdict(snap)) + "\n")
+                    self._flip_pointer(t, snap)
+            os.remove(path)
+            out.append(rec["txn_id"])
+        return out
 
     # ------------------------------------------------- schema evolution v2
     # Metadata-only column evolution (Iceberg ALTER TABLE semantics,

@@ -120,20 +120,22 @@ def commit_increment(
     the same increment is a no-op (every doc reports
     ``exact_history``; nothing is appended).
 
-    Crash consistency: the three commits are not one atomic
-    transaction, so the write ORDER makes every crash window
-    recoverable. The corpus is the source of truth and the index is
-    derived data; writes go docs → bands → index_docs, so a doc
+    Crash consistency: with a ``SnapshotCatalog`` the three commits
+    are ONE atomic transaction (``catalog.transaction()`` — staged
+    writes, a single commit record, recovery-replayed pointer flips),
+    so readers never observe docs without their index rows. On a plain
+    catalog (no transactions) the write ORDER makes every crash window
+    recoverable instead: writes go docs → bands → index_docs, so a doc
     present in ``_index_docs`` is guaranteed fully committed
     everywhere. On entry, any committed doc MISSING from
-    ``_index_docs`` (a crash between the docs commit and the index
-    commits, or a lost index table) is detected and its index rows
-    rebuilt from the committed text before deduping the increment —
-    without the repair, every later increment would silently miss
-    duplicates against those docs. The fast path is a count
-    comparison (index ⊆ corpus holds by write order, so equal counts
-    ⇒ equal id sets — no corpus-wide anti-join per increment); the
-    id-level anti-join runs only when the counts diverge.
+    ``_index_docs`` (a pre-transaction crash between the docs commit
+    and the index commits, or a lost index table) is detected and its
+    index rows rebuilt from the committed text before deduping the
+    increment — without the repair, every later increment would
+    silently miss duplicates against those docs. The fast path is a
+    count comparison (index ⊆ corpus holds by write order, so equal
+    counts ⇒ equal id sets — no corpus-wide anti-join per increment);
+    the id-level anti-join runs only when the counts diverge.
     """
     from ..operators.dedup import build_dedup_index, increment_dedup_report
 
@@ -210,11 +212,23 @@ def commit_increment(
         )
         mode = "append" if history is not None else "overwrite"
         lineage = {"stage": "incremental_dedup", "added": n_kept}
-        # recovery-ordered: docs first (source of truth), index_docs
-        # LAST (the commit marker the entry repair keys on)
-        catalog.write_table(survivors, table, mode=mode, lineage=lineage, row_count=n_kept)
-        catalog.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
-        catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
+        if hasattr(catalog, "transaction"):
+            # SnapshotCatalog: the three tables advance ATOMICALLY —
+            # readers never see docs without their index rows, and a
+            # crash leaves either nothing or (after recovery) all three
+            with catalog.transaction() as txn:
+                txn.write_table(survivors, table, mode=mode,
+                                lineage=lineage, row_count=n_kept)
+                txn.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
+                txn.write_table(new_docs, docs_t, mode=mode,
+                                lineage=lineage, row_count=n_kept)
+        else:
+            # plain Catalog fallback, recovery-ordered: docs first
+            # (source of truth), index_docs LAST (the commit marker the
+            # entry repair keys on)
+            catalog.write_table(survivors, table, mode=mode, lineage=lineage, row_count=n_kept)
+            catalog.write_table(new_bands, bands_t, mode=mode, lineage=lineage)
+            catalog.write_table(new_docs, docs_t, mode=mode, lineage=lineage, row_count=n_kept)
     if cut_tag is not None:
         # pin THIS cut's exact corpus snapshot: the dataset built from
         # it stays reproducible through expiry/compaction/orphan sweeps
