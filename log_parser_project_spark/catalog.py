@@ -1180,8 +1180,54 @@ class SnapshotCatalog(Catalog):
                     "deletes key on it; run compact() to materialize them first"
                 )
 
+    def update_partition_spec(self, table: str, partition_by) -> Snapshot:
+        """Iceberg's PARTITION SPEC EVOLUTION — metadata-only: future
+        writes land under the new layout (appends inherit it without
+        restating ``partition_by``); existing entries keep the layout
+        they were written with, and reads plan each entry under its
+        own. Source-column pruning against the new transforms stays
+        best-effort over old entries (their derived values read null
+        and those rows are KEPT — same caller-refilters contract as
+        everywhere else). Changing a hidden spec on an APPEND is still
+        rejected; evolution happens through this explicit commit, as
+        in Iceberg."""
+        from pyspark.sql.types import StructType
+
+        prev = self.snapshot(table)
+        if prev is None or not prev.schema_json:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        _names, spec = self._parse_partition_spec(
+            list(partition_by) if partition_by else None
+        )
+        if spec == list(prev.partition_spec or []):
+            raise ValueError(
+                f"table {table!r} already has partition spec "
+                f"{self._spec_strings(spec)}"
+            )
+        schema = StructType.fromJson(json.loads(prev.schema_json))
+        fields = set(schema.fieldNames())
+        missing = [s["source"] for s in spec if s["source"] not in fields]
+        if missing:
+            raise ValueError(
+                f"partition spec sources missing from table schema: {missing}"
+            )
+        clash = [
+            s["name"] for s in self._hidden_of(spec) if s["name"] in fields
+        ]
+        if clash:
+            raise ValueError(
+                f"hidden partition names collide with data columns: {clash}"
+            )
+        return self._evolve_commit(
+            table, "update-spec", prev, schema, list(prev.state),
+            {"from": self._spec_strings(prev.partition_spec or []),
+             "to": self._spec_strings(spec)},
+            spec=spec,
+        )
+
     def _evolve_commit(
-        self, table: str, op: str, prev: Snapshot, schema, state: list, detail: dict
+        self, table: str, op: str, prev: Snapshot, schema, state: list,
+        detail: dict, spec: list | None = None,
     ) -> Snapshot:
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex[:16],
@@ -1194,7 +1240,9 @@ class SnapshotCatalog(Catalog):
             state=state,
             sequence=prev.sequence + 1,
             schema_json=json.dumps(schema.jsonValue()),
-            partition_spec=list(prev.partition_spec or []),
+            partition_spec=(
+                spec if spec is not None else list(prev.partition_spec or [])
+            ),
             summary={"op": op, **detail, "added-records": 0,
                      "total-manifest-entries": len(state)},
         )
@@ -2451,6 +2499,14 @@ class SnapshotCatalog(Catalog):
             d = reader.parquet(*files)
         if d is not None and proj is not None:
             d = d.select(*proj[1])
+        elif d is not None and hasattr(schema, "fields"):
+            # partition discovery appends dir columns even under an
+            # explicit schema; entries written under an OLDER partition
+            # spec would leak their hidden dir columns into the union —
+            # normalize every entry to exactly the scan schema.
+            # (DDL-string schemas skip this: their callers predate
+            # hidden specs and rely on discovery.)
+            d = d.select(*[f.name for f in schema.fields])
         return d
 
     def read_table(

@@ -328,3 +328,51 @@ def test_add_column_guards(spark, cat):
         cat.add_column("t", "v", "int")
     with pytest.raises(ValueError, match="invalid column name"):
         cat.add_column("t", "2bad", "int")
+
+
+# -------------------------------------------------- partition spec evolution
+def test_update_partition_spec_hidden_transforms(spark, cat):
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 03:00:00", "a"), (2, "2024-02-10 04:00:00", "b")],
+        "k int, ts string, v string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat.write_table(df, "t", partition_by=["day(ts)"])
+    s = cat.update_partition_spec("t", ["month(ts)"])
+    assert s.op == "update-spec" and s.row_count == 0
+    # appends now INHERIT the new spec without restating it
+    app = spark.createDataFrame(
+        [(3, "2024-03-15 05:00:00", "c")], "k int, ts string, v string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s2 = cat.write_table(app, "t", mode="append")
+    assert [x["transform"] for x in s2.partition_spec] == ["month"]
+    out = cat.read_table("t")
+    assert out.columns == ["k", "ts", "v"]  # hidden stays hidden
+    assert sorted(r.k for r in out.collect()) == [1, 2, 3]
+    # source-range read across BOTH layouts stays correct
+    got = cat.read_table(
+        "t", predicate=("ts", "2024-02-01", "2024-03-31")
+    ).where("ts >= '2024-02-01' and ts < '2024-04-01'")
+    assert sorted(r.k for r in got.collect()) == [2, 3]
+
+
+def test_update_partition_spec_guards(spark, cat):
+    _base(spark, cat, partition_by=["route"])
+    with pytest.raises(ValueError, match="already has"):
+        cat.update_partition_spec("t", ["route"])
+    with pytest.raises(ValueError, match="missing from table schema"):
+        cat.update_partition_spec("t", ["day(nope)"])
+    # append with a DIFFERENT hidden spec still rejected: evolution
+    # goes through update_partition_spec, not a write
+    cat.update_partition_spec("t", ["bucket(4, k)"])
+    with pytest.raises(ValueError, match="hidden-partitioned"):
+        cat.write_table(
+            _df(spark, [(9, "z", 90)]), "t", mode="append",
+            partition_by=["bucket(8, k)"],
+        )
+
+
+def test_update_partition_spec_unpartition(spark, cat):
+    _base(spark, cat, partition_by=["route"])
+    cat.update_partition_spec("t", None)
+    cat.write_table(_df(spark, [(4, "d", 40)]), "t", mode="append")
+    assert sorted(r.k for r in cat.read_table("t").collect()) == [1, 2, 3, 4]
