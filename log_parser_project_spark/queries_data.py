@@ -2123,3 +2123,136 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_name")
     )
+
+
+@_register(
+    "q_spec_evolution",
+    """
+    WITH base AS (
+      SELECT event_id AS k, ts, event_type AS etype,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT etype,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM base
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY etype
+    ORDER BY etype
+    """,
+)
+def q_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partition-spec EVOLUTION pinned to an oracle: events'
+    odd keys land under ``day(ts)``, the spec evolves to ``month(ts)``
+    metadata-only (``update_partition_spec`` — no data rewritten), and
+    the even keys append INHERITING the new layout. The mid-month
+    range read then plans across BOTH physical layouts — day dirs
+    pruned from the source predicate, month dirs carried best-effort —
+    and the rollup hash-fails against the oracle's direct
+    recomputation if either generation's rows are lost, duplicated,
+    or leak a hidden dir column (catalog.py: update_partition_spec +
+    per-entry spec planning in read_table). Iceberg's
+    partition-spec-evolution contract: old files keep their spec,
+    new files take the new one, one logical table."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("ts"),
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="pse_wh_"))
+    cat.write_table(base.filter(F.col("k") % 2 == 1), "t",
+                    partition_by=["day(ts)"])
+    cat.update_partition_spec("t", ["month(ts)"])
+    cat.write_table(base.filter(F.col("k") % 2 == 0), "t", mode="append")
+    lo, hi = "2024-01-10 00:00:00", "2024-01-25 00:00:00"
+    return (
+        cat.read_table("t", predicate=("ts", lo, hi))
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("etype")
+    )
+
+
+@_register(
+    "q_txn_multitable",
+    """
+    WITH f AS (
+      SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    d AS (
+      SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer
+    )
+    SELECT status, seg,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM f JOIN d USING (ck)
+    GROUP BY status, seg
+    ORDER BY status, seg
+    """,
+)
+def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC transactions pinned to an oracle: one
+    transaction commits a fact table (orders' even keys) and its
+    dimension (customer segments) TOGETHER, then a second transaction
+    stages an extra fact append plus a poisoned dim overwrite and
+    ABORTS — the catalog must roll the whole thing back, leaving
+    neither table advanced (Iceberg defers multi-table atomicity to
+    the catalog; here the catalog provides it: stage-all →
+    CAS-validate-all → one txn record → flip-all). The final
+    fact ⋈ dim rollup hash-fails if the aborted append leaked into
+    EITHER table (catalog.py: transaction / _commit_transaction /
+    recover_transactions)."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dims = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="txn_wh_"))
+    with cat.transaction() as txn:
+        txn.write_table(facts.filter(F.col("k") % 2 == 0), "t_fact")
+        txn.write_table(dims, "t_dim")
+    try:
+        with cat.transaction() as txn:
+            txn.write_table(
+                facts.filter(F.col("k") % 2 == 1), "t_fact", mode="append"
+            )
+            txn.write_table(dims.limit(0), "t_dim")  # poisoned overwrite
+            raise RuntimeError("abort: audit failed")
+    except RuntimeError:
+        pass  # the abort path IS the test: nothing below may see txn 2
+    return (
+        cat.read_table("t_fact")
+        .join(cat.read_table("t_dim"), "ck")
+        .groupBy("status", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("status", "seg")
+    )
