@@ -969,7 +969,7 @@ class SnapshotCatalog(Catalog):
             # resurrect deleted rows AND read key files as rows).
             replaced = set(self._partition_leaves(abs_dir)) | set(replace_leaves or [])
             state = [
-                e if e.get("kind") == "eq_deletes"
+                e if e.get("kind")  # keys-only / DV sidecars: no subtrees
                 else {**e, "exclude": sorted(set(e["exclude"]) | replaced)}
                 for e in prev.state
             ] + [new_entry]
@@ -1290,8 +1290,8 @@ class SnapshotCatalog(Catalog):
         tomb = f"__added_{name}_{prev.sequence + 1}"
         state = []
         for e in prev.state:
-            if e.get("kind") == "eq_deletes":
-                state.append(e)
+            if e.get("kind"):
+                state.append(e)  # delete sidecars carry no data columns
                 continue
             colmap = dict(e.get("colmap") or {})
             colmap[name] = tomb
@@ -1327,8 +1327,8 @@ class SnapshotCatalog(Catalog):
         ])
         state = []
         for e in prev.state:
-            if e.get("kind") == "eq_deletes":
-                state.append(e)  # guarded: old is never one of its keys
+            if e.get("kind"):
+                state.append(e)  # guarded: old is never an eq key; DVs are positional
                 continue
             colmap = dict(e.get("colmap") or {})
             phys = colmap.pop(old, old)
@@ -1365,7 +1365,7 @@ class SnapshotCatalog(Catalog):
         tomb = f"__dropped_{col}_{prev.sequence + 1}"
         state = []
         for e in prev.state:
-            if e.get("kind") == "eq_deletes":
+            if e.get("kind"):
                 state.append(e)
                 continue
             colmap = dict(e.get("colmap") or {})
@@ -1416,7 +1416,7 @@ class SnapshotCatalog(Catalog):
         ])
         state = []
         for e in prev.state:
-            if e.get("kind") == "eq_deletes":
+            if e.get("kind"):
                 state.append(e)
                 continue
             casts = dict(e.get("casts") or {})
@@ -2140,6 +2140,7 @@ class SnapshotCatalog(Catalog):
         eq: tuple | None = None,
         where=None,
         lineage: dict | None = None,
+        strategy: str = "cow",
     ) -> Snapshot:
         """Row-level ``DELETE FROM table WHERE ...`` — Iceberg's
         copy-on-write delete at FILE granularity (the reference's
@@ -2172,7 +2173,23 @@ class SnapshotCatalog(Catalog):
         returns the current snapshot. Old snapshots time-travel to the
         pre-delete rows until :meth:`expire_snapshots`; note expiry is
         directory-granular, so masked files' bytes are reclaimed by
-        the next :meth:`compact` + expiry, not by expiry alone."""
+        the next :meth:`compact` + expiry, not by expiry alone.
+
+        ``strategy="mor"`` is Iceberg v3's MERGE-ON-READ delete:
+        instead of rewriting any file, the commit adds a POSITIONAL-
+        DELETE entry (a deletion vector: the (file, row-position)
+        identity of each matched row, captured from the scan's
+        ``_metadata`` columns) — at 100 TB, deleting a sparse 0.01%
+        of rows writes kilobytes and rewrites nothing. Readers mask
+        DV rows with one broadcast anti-join on (file, pos); the
+        read-side debt is repaid by :meth:`compact`, which
+        materializes the deletes away. Sparse-delete contract: the DV
+        is sized by the matched row count, so bulk deletes belong on
+        the default copy-on-write path."""
+        if strategy == "mor":
+            return self._dml_mor(table, predicate, eq, where, None, "delete", lineage)
+        if strategy != "cow":
+            raise ValueError(f"strategy must be cow or mor, got {strategy!r}")
         return self._dml_rewrite(table, predicate, eq, where, None, "delete", lineage)
 
     def update_where(
@@ -2183,6 +2200,7 @@ class SnapshotCatalog(Catalog):
         eq: tuple | None = None,
         where=None,
         lineage: dict | None = None,
+        strategy: str = "cow",
     ) -> Snapshot:
         """Row-level ``UPDATE table SET ... WHERE ...`` — the
         copy-on-write twin of :meth:`delete_where`, same two-phase
@@ -2195,9 +2213,22 @@ class SnapshotCatalog(Catalog):
         row to its new partition directory; updating a hidden
         transform's SOURCE column re-derives the hidden value, so
         partition pruning stays correct. Assigning to a hidden
-        partition NAME is rejected (derived, never stored)."""
+        partition NAME is rejected (derived, never stored).
+
+        ``strategy="mor"`` is the merge-on-read UPDATE (Iceberg v3):
+        one commit adds a deletion vector masking the matched rows'
+        old images PLUS a data entry holding their new images — no
+        target file rewrites; the new images land (and prune) under
+        the current partition layout. Same sparse-update contract and
+        :meth:`compact` repayment as the MoR delete."""
         if not assignments:
             raise ValueError("update_where requires at least one assignment")
+        if strategy == "mor":
+            return self._dml_mor(
+                table, predicate, eq, where, dict(assignments), "update", lineage
+            )
+        if strategy != "cow":
+            raise ValueError(f"strategy must be cow or mor, got {strategy!r}")
         return self._dml_rewrite(
             table, predicate, eq, where, dict(assignments), "update", lineage
         )
@@ -2251,11 +2282,12 @@ class SnapshotCatalog(Catalog):
 
         # phase 1: plan — metadata-pruned candidates, then one scan
         # (projected to the file name) finds files with real matches
+        dv_entries = [e for e in prev.state if e.get("kind") == "pos_deletes"]
         cands: dict[int, tuple[str, list[str]]] = {}
         probe = None
         for i, e in enumerate(prev.state):
-            if e.get("kind") == "eq_deletes":
-                continue
+            if e.get("kind"):
+                continue  # delete sidecars (eq keys / DVs) are masks
             files = self._pruned_files(e, predicate, eq)
             if not files:
                 continue
@@ -2306,11 +2338,15 @@ class SnapshotCatalog(Catalog):
                     **e["bloom"],
                     "cols": [to_logical.get(c, c) for c in e["bloom"]["cols"]],
                 }
-            d = _open(absdir, hit, e).withColumn(
-                "__entry_seq", F.lit(int(e.get("seq", 0)))
-            )
+            d = _open(absdir, hit, e)
+            if dv_entries:
+                # rewritten survivors must not resurrect DV-masked rows
+                d = d.select("*", *self._pos_exprs())
+            d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
             rewrite = d if rewrite is None else rewrite.unionByName(d)
 
+        if dv_entries:
+            rewrite = self._apply_pos_deletes(rewrite, dv_entries)
         del_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
         if del_entries:
             rewrite = self._apply_eq_deletes(rewrite, del_entries)
@@ -2374,6 +2410,156 @@ class SnapshotCatalog(Catalog):
             schema_json=prev.schema_json,
             partition_spec=list(prev.partition_spec or []),
             summary=self._dir_summary([abs_dir], row_count, len(new_state) + 1),
+        )
+        return self._commit(table, snap)
+
+    def _dml_mor(
+        self, table, predicate, eq, where, assignments, op_name, lineage
+    ) -> Snapshot:
+        """Merge-on-read row-level DML — Iceberg v3's deletion
+        vectors. ONE commit that adds a positional-delete entry
+        (``kind="pos_deletes"``: the warehouse-relative ``__file`` and
+        row ``__pos`` of every matched row) and, for UPDATE, a data
+        entry holding the matched rows' new images. No target file is
+        rewritten or masked — at 100 TB a sparse delete writes
+        kilobytes where copy-on-write rewrites every hit file.
+
+        Matching scans under the SAME metadata pruning as the CoW path
+        (stats/bloom via ``_pruned_files`` inside ``_entry_df``), and
+        applies the parent's pending delete sidecars first — an UPDATE
+        must not re-insert the new image of a row an earlier delete
+        already masked (that would resurrect it). New images land (and
+        prune) under the current partition layout, with hidden
+        transform values re-derived when their source column is
+        assigned. The DV needs no sequence rule: it pins exact rows of
+        exact files, and files are never reused across commits."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cond = self._dml_condition(predicate, eq, where)
+        prev = self.snapshot(table)
+        if prev is None or not prev.state:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        schema = (
+            StructType.fromJson(json.loads(prev.schema_json))
+            if prev.schema_json else None
+        )
+        hidden = self._hidden_of(prev.partition_spec or [])
+        if assignments:
+            bad = [c for c in assignments if c in {s["name"] for s in hidden}]
+            if bad:
+                raise ValueError(
+                    f"cannot assign hidden partition columns {bad}; "
+                    "assign their source columns instead"
+                )
+            if schema is not None:
+                unknown = [c for c in assignments if c not in schema.fieldNames()]
+                if unknown:
+                    raise ValueError(f"unknown update columns {unknown}")
+        scan_schema = schema
+        if hidden and schema is not None:
+            present = {f.name for f in schema.fields}
+            scan_schema = StructType(
+                list(schema.fields)
+                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
+            )
+        dv_entries = [e for e in prev.state if e.get("kind") == "pos_deletes"]
+        eq_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
+        scan = None
+        for e in prev.state:
+            if e.get("kind"):
+                continue  # delete sidecars are masks, not rows
+            d = self._entry_df(e, scan_schema, predicate, eq)
+            if d is None:
+                continue
+            # row identity selected per entry, pre-union (_metadata
+            # resolves against one scan)
+            d = d.select("*", *self._pos_exprs())
+            d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
+            scan = d if scan is None else scan.unionByName(d)
+        if scan is None:
+            return prev
+        if dv_entries:
+            scan = self._apply_pos_deletes(scan, dv_entries, drop=False)
+        if eq_entries:
+            scan = self._apply_eq_deletes(scan, eq_entries)
+        else:
+            scan = scan.drop("__entry_seq")
+        matched = scan.where(F.coalesce(cond, F.lit(False)))
+        if assignments:
+            # the DV write and the new-image write both consume this
+            # frame; pin it so the scan runs once (sparse by contract)
+            matched = matched.persist()
+
+        try:
+            seq = prev.sequence + 1
+            snap_id = uuid.uuid4().hex[:16]
+            rel_dv = f"{table}/snap-{seq:05d}-{snap_id}-posdel"
+            abs_dv = os.path.join(self.warehouse, rel_dv)
+            # coalesce(1): a DV file is identity-only and sized by the
+            # matched row count, like the eq-delete sidecar
+            matched.select("__file", "__pos").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(abs_dv)
+            n_masked = self._dir_row_count(abs_dv)
+            if not n_masked:
+                import shutil
+
+                shutil.rmtree(abs_dv, ignore_errors=True)
+                return prev
+            entries: list[dict] = [
+                {"dir": rel_dv, "exclude": [], "kind": "pos_deletes", "seq": seq}
+            ]
+            dirs = [abs_dv]
+            row_count = 0
+            if assignments:
+                # matched-only frame: assign directly (withColumns
+                # evaluates every expression against the OLD row image)
+                out = matched.withColumns({
+                    c: F.expr(v) if isinstance(v, str) else v
+                    for c, v in assignments.items()
+                })
+                redo = {
+                    s["name"]: self._transform_col(s)
+                    for s in hidden if s["source"] in assignments
+                }
+                if redo:
+                    out = out.withColumns(redo)
+                out = out.drop("__file", "__pos")
+                rel_ins = f"{table}/snap-{seq:05d}-{snap_id}"
+                abs_ins = os.path.join(self.warehouse, rel_ins)
+                part_names = self._current_partitioning(prev)
+                writer = out.write.mode("overwrite")
+                if part_names:
+                    writer = writer.partitionBy(*part_names)
+                writer.parquet(abs_ins)
+                row_count = self._dir_row_count(abs_ins)
+                entries.append({"dir": rel_ins, "exclude": [], "seq": seq})
+                dirs.append(abs_ins)
+        finally:
+            if assignments:
+                matched.unpersist()
+
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            table=table,
+            row_count=row_count,
+            committed_at_unix=time.time(),
+            lineage={
+                "stage": op_name, "strategy": "mor",
+                "masked_rows": n_masked,
+                **({"set": sorted(assignments)} if assignments else {}),
+                **(lineage or {}),
+            },
+            parent_id=prev.snapshot_id,
+            op=f"{op_name}-mor",
+            state=list(prev.state) + entries,
+            sequence=seq,
+            schema_json=prev.schema_json,
+            partition_spec=list(prev.partition_spec or []),
+            summary=self._dir_summary(
+                dirs, row_count, len(prev.state) + len(entries)
+            ),
         )
         return self._commit(table, snap)
 
@@ -2574,20 +2760,28 @@ class SnapshotCatalog(Catalog):
             before = self._resolve(table, since)
             seen = {e["dir"] for e in before.state}
             entries = [e for e in snap.state if e["dir"] not in seen]
-        # merge-on-read equality deletes: applied on full reads; the
-        # ``since`` incremental scan stays append-deltas-only by
-        # contract (row-accurate CDC is :meth:`changes`)
+        # merge-on-read deletes (equality keys AND positional deletion
+        # vectors): applied on full reads; the ``since`` incremental
+        # scan stays append-deltas-only by contract (row-accurate CDC
+        # is :meth:`changes`)
         deletes = (
             [] if since is not None
             else [e for e in entries if e.get("kind") == "eq_deletes"]
         )
+        dvs = (
+            [] if since is not None
+            else [e for e in entries if e.get("kind") == "pos_deletes"]
+        )
         dfs = []
         for e in entries:
-            if e.get("kind") == "eq_deletes":
-                continue
+            if e.get("kind"):
+                continue  # delete sidecars are masks, not rows
             d = self._entry_df(e, scan_schema, predicate, eq)
             if d is None:
                 continue
+            if dvs:
+                # row identity must be selected per entry, pre-union
+                d = d.select("*", *self._pos_exprs())
             if deletes:
                 from pyspark.sql import functions as F
 
@@ -2600,6 +2794,8 @@ class SnapshotCatalog(Catalog):
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if dvs:
+            out = self._apply_pos_deletes(out, dvs)
         if deletes:
             out = self._apply_eq_deletes(out, deletes)
         if hidden:
@@ -2639,6 +2835,52 @@ class SnapshotCatalog(Catalog):
                     (name == self._transform_col(s, F.lit(eq[1]))) | guard
                 )
         return out
+
+    def _pos_exprs(self) -> list:
+        """``(__file, __pos)`` row-identity expressions — Spark's
+        parquet ``_metadata`` hidden struct, with the file path made
+        warehouse-RELATIVE so deletion-vector files stay valid if the
+        warehouse moves. Must be selected per entry (before any union;
+        ``_metadata`` resolves against one scan). The prefix check
+        raises rather than silently mis-keying: a DV row whose file
+        never matches would un-delete the row."""
+        from pyspark.sql import functions as F
+
+        prefix = "file:" + os.path.abspath(self.warehouse) + os.sep
+        fp = F.col("_metadata.file_path")
+        rel = F.when(
+            fp.startswith(prefix), F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"
+            )
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("file outside warehouse in deletion-vector scan: "), fp
+        )))
+        return [rel.alias("__file"),
+                F.col("_metadata.row_index").alias("__pos")]
+
+    def _apply_pos_deletes(
+        self, out: DataFrame, dvs: list[dict], drop: bool = True
+    ) -> DataFrame:
+        """Mask rows named by positional-delete entries (Iceberg v3's
+        deletion vectors): one BROADCAST anti-join on the (file,
+        position) identity. No sequence rule is needed — a DV pins
+        exact rows of exact files, and files are never reused across
+        commits (uuid dirs), so later-appended rows can't collide.
+        ``out`` must carry the ``__file``/``__pos`` columns selected
+        per entry via :meth:`_pos_exprs`. DV files are bounded by the
+        deleted row count (sparse-delete contract — bulk deletes
+        belong on the copy-on-write path), so the broadcast holds."""
+        from pyspark.sql import functions as F
+
+        dv = None
+        for e in dvs:
+            one = self.spark.read.parquet(
+                os.path.join(self.warehouse, e["dir"])
+            ).select("__file", "__pos")
+            dv = one if dv is None else dv.unionByName(one)
+        cond = (out["__file"] == dv["__file"]) & (out["__pos"] == dv["__pos"])
+        out = out.join(F.broadcast(dv), cond, "left_anti")
+        return out.drop("__file", "__pos") if drop else out
 
     def _apply_eq_deletes(self, out: DataFrame, deletes: list[dict]) -> DataFrame:
         """Mask rows matched by equality-delete entries: one BROADCAST
@@ -2753,7 +2995,7 @@ class SnapshotCatalog(Catalog):
             # state-diff path below instead.
             out: dict[str, dict] = {}
             for e in snap.state:
-                if e.get("kind") == "eq_deletes":
+                if e.get("kind"):
                     continue
                 absdir = os.path.join(self.warehouse, e["dir"])
                 for p in self._entry_files(absdir, e["exclude"]):
@@ -2761,7 +3003,7 @@ class SnapshotCatalog(Catalog):
             return out
 
         def _has_deletes(snap: Snapshot) -> bool:
-            return any(e.get("kind") == "eq_deletes" for e in snap.state)
+            return any(e.get("kind") for e in snap.state)
 
         def _schema_of(snap: Snapshot | None):
             if snap is None or not snap.schema_json:
@@ -2933,7 +3175,7 @@ class SnapshotCatalog(Catalog):
         # (the new overwrite state carries no delete entries)
         roots = (
             [(os.path.join(self.warehouse, e["dir"]), e["exclude"])
-             for e in snap.state if e.get("kind") != "eq_deletes"]
+             for e in snap.state if not e.get("kind")]
             if snap.state
             else [(self.path(table), [])]
         )
@@ -2979,8 +3221,8 @@ class SnapshotCatalog(Catalog):
         manifest entry's first live data file (hive-style ``col=value``
         path segments). Empty for flat layouts."""
         for e in reversed(snap.state):
-            if e.get("kind") == "eq_deletes":
-                continue  # keys-only sidecar, never partitioned
+            if e.get("kind"):
+                continue  # keys-only / DV sidecar, never partitioned
             absdir = os.path.join(self.warehouse, e["dir"])
             files = self._entry_files(absdir, e["exclude"])
             if not files:
@@ -3202,7 +3444,7 @@ class SnapshotCatalog(Catalog):
         rows = []
         for e in snap.state:
             absdir = os.path.join(self.warehouse, e["dir"])
-            content = "eq_deletes" if e.get("kind") == "eq_deletes" else "data"
+            content = e.get("kind") or "data"
             for p in self._entry_files(absdir, e["exclude"]):
                 relroot = os.path.relpath(os.path.dirname(p), absdir)
                 rows.append((

@@ -1879,6 +1879,141 @@ def test_dml_masked_files_survive_sweeps_then_compact_reclaims(spark, cat):
     assert all(not e["exclude"] for e in cat.snapshot("t").state)
 
 
+# --------------------- merge-on-read DML: positional deletion vectors
+# Iceberg v3 deletes: a sparse DELETE/UPDATE adds a (file, row-position)
+# sidecar instead of rewriting any file; readers mask with one broadcast
+# anti-join; compact() materializes the debt away.
+
+
+def test_mor_delete_writes_dv_and_rewrites_nothing(spark, cat):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    s1 = cat.write_table(df.repartitionByRange(8, "k"), "t", stats_cols=["k"])
+    before = set(cat.read_table("t").inputFiles())
+    s2 = cat.delete_where("t", predicate=("k", 100, 150), strategy="mor")
+    assert s2.op == "delete-mor" and s2.lineage["masked_rows"] == 51
+    out = cat.read_table("t")
+    assert out.count() == 1000 - 51
+    assert out.filter(F.col("k").between(100, 150)).count() == 0
+    # zero data files rewritten or masked: same files still planned
+    assert before <= set(out.inputFiles())
+    assert all(not e["exclude"] for e in s2.state if not e.get("kind"))
+    dv = [e for e in s2.state if e.get("kind") == "pos_deletes"]
+    assert len(dv) == 1 and dv[0]["seq"] == s2.sequence
+    # pre-delete snapshot time-travels intact
+    assert cat.read_table("t", as_of=s1.snapshot_id).count() == 1000
+
+
+def test_mor_update_one_commit_dv_plus_new_images(spark, cat):
+    rows = [(k, "r" + str(k % 2), "v" + str(k)) for k in range(20)]
+    cat.write_table(_df(spark, rows), "t", partition_by=["route"])
+    s2 = cat.update_where("t", {"v": "upper(v)"}, eq=("route", "r1"), strategy="mor")
+    assert s2.op == "update-mor" and s2.lineage["masked_rows"] == 10
+    kinds = [e.get("kind") for e in s2.state[len(s2.state) - 2:]]
+    assert kinds == ["pos_deletes", None], "one commit: DV + data entry"
+    out = _vals(cat.read_table("t"))
+    assert out == sorted(
+        (k, f"r{k % 2}", f"v{k}".upper() if k % 2 else f"v{k}") for k in range(20)
+    )
+    # new images land under the current partition layout
+    parts = {r.partition for r in cat.files_metadata("t").collect()
+             if r.content == "data"}
+    assert parts == {"route=r0", "route=r1"}
+
+
+def test_mor_update_does_not_resurrect_dv_deleted_rows(spark, cat):
+    rows = [(k, "a", "v") for k in range(10)]
+    cat.write_table(_df(spark, rows), "t")
+    cat.delete_where("t", eq=("k", 3), strategy="mor")
+    cat.update_where("t", {"v": "'up'"}, where="route = 'a'", strategy="mor")
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+    assert {r.v for r in cat.read_table("t").collect()} == {"up"}
+
+
+def test_mor_delete_empty_match_commits_nothing(spark, cat):
+    rows = [(1, "a", "x"), (2, "b", "y")]
+    s1 = cat.write_table(_df(spark, rows), "t")
+    assert cat.delete_where("t", eq=("k", 99), strategy="mor").snapshot_id == s1.snapshot_id
+    # the probe's empty DV dir is cleaned up, not left as an orphan
+    snap_dirs = [d for d in os.listdir(cat.path("t")) if d.startswith("snap-")]
+    assert len(snap_dirs) == 1
+
+
+def test_mor_then_cow_rewrite_does_not_resurrect(spark, cat):
+    """A later copy-on-write DML rewriting a DV-masked file must apply
+    the DV to the survivors it rewrites."""
+    rows = [(k, "a", "v" + str(k)) for k in range(10)]
+    cat.write_table(_df(spark, rows), "t")
+    cat.delete_where("t", eq=("k", 3), strategy="mor")
+    cat.delete_where("t", eq=("k", 7))  # CoW rewrite of the same file
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_mor_compact_materializes_dvs_away(spark, cat):
+    rows = [(k, "a", "v") for k in range(100)]
+    cat.write_table(_df(spark, rows), "t")
+    cat.delete_where("t", predicate=("k", 0, 9), strategy="mor")
+    s = cat.compact("t")
+    assert not any(e.get("kind") for e in s.state)
+    assert cat.read_table("t").count() == 90
+
+
+def test_mor_changelog_is_exact(spark, cat):
+    rows = [(k, "r" + str(k % 2), "v") for k in range(10)]
+    s1 = cat.write_table(_df(spark, rows), "t")
+    s2 = cat.delete_where("t", eq=("route", "r1"), strategy="mor")
+    ch = cat.changes("t", from_snapshot=s1.snapshot_id)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [(k, "delete") for k in range(10) if k % 2]
+    assert {r._commit_snapshot_id for r in ch.collect()} == {s2.snapshot_id}
+
+
+def test_mor_dv_survives_schema_evolution(spark, cat):
+    """Rename/add around a DV: positional sidecars are column-free, so
+    metadata-only evolution carries them verbatim and the mask holds."""
+    rows = [(k, "a", "v" + str(k)) for k in range(6)]
+    cat.write_table(_df(spark, rows), "t")
+    cat.delete_where("t", eq=("k", 2), strategy="mor")
+    cat.rename_column("t", "v", "val")
+    cat.add_column("t", "extra", "int")
+    out = cat.read_table("t")
+    assert out.columns == ["k", "route", "val", "extra"]
+    assert sorted(r.k for r in out.collect()) == [0, 1, 3, 4, 5]
+
+
+def test_mor_update_rederives_hidden_partition_value(spark, cat):
+    import datetime as dt
+
+    rows = [
+        (1, "a", dt.datetime(2026, 1, 1, 5)),
+        (2, "b", dt.datetime(2026, 1, 2, 6)),
+    ]
+    cat.write_table(_tsdf(spark, rows), "t", partition_by=["day(ts)"])
+    cat.update_where(
+        "t", {"ts": "ts + interval 10 days"}, eq=("k", 2), strategy="mor"
+    )
+    parts = {r.partition for r in cat.files_metadata("t").collect()
+             if r.content == "data"}
+    assert "ts_day=2026-01-12" in parts
+    got = cat.read_table(
+        "t", predicate=("ts", dt.datetime(2026, 1, 12), dt.datetime(2026, 1, 13))
+    )
+    assert [r.k for r in got.collect()] == [2]
+    assert cat.read_table("t").columns == ["k", "route", "ts"]
+
+
+def test_dml_strategy_validation(spark, cat):
+    rows = [(1, "a", "x")]
+    cat.write_table(_df(spark, rows), "t")
+    with pytest.raises(ValueError, match="strategy"):
+        cat.delete_where("t", eq=("k", 1), strategy="bogus")
+    with pytest.raises(ValueError, match="strategy"):
+        cat.update_where("t", {"v": "'y'"}, eq=("k", 1), strategy="bogus")
+
+
 # ----------------------------------------------------- optimistic concurrency
 # Iceberg's commit model: snapshots are computed against the parent the
 # writer read; _commit re-validates the pointer inside the table lock.
