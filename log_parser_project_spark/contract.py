@@ -129,7 +129,7 @@ WINDOW: tuple[str, ...] = (
     "q_cdc_changelog",        # K1 changelog read (CDC)
     "q_mor_upsert",           # K1 merge-on-read equality deletes
     "q_hp_pruned_scan",       # S3 hidden partitioning + derived pruning
-    "q_dml_rowlevel",         # K1 row-level DELETE/UPDATE (copy-on-write)
+    "q_dml_rowlevel",         # K1 row-level DELETE/UPDATE (CoW + MoR DVs)
 )
 
 

@@ -1943,6 +1943,15 @@ def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN k % 10 = 0 THEN 'U:' || ptype ELSE ptype END AS ptype,
              CASE WHEN k % 10 = 0 THEN cents + 999 ELSE cents END AS cents
       FROM survivors
+    ),
+    mor_survivors AS (
+      SELECT * FROM updated
+      WHERE NOT (k BETWEEN 200 AND 400 AND ptype LIKE '%BRASS%')
+    ),
+    mor_updated AS (
+      SELECT k, brand, ptype,
+             CASE WHEN k % 7 = 0 THEN cents * 2 ELSE cents END AS cents
+      FROM mor_survivors
     )
     SELECT brand,
            COUNT(*) AS n,
@@ -1950,7 +1959,7 @@ def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN ptype LIKE 'U:%' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_updated,
            MIN(k) AS min_k, MAX(k) AS max_k
-    FROM updated
+    FROM mor_updated
     GROUP BY brand
     ORDER BY brand
     """,
@@ -1962,11 +1971,16 @@ def q_dml_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     a k-range restricted by a residual brand predicate — stats bound
     the rewrite set, the residual forces the actual-match scan to
     matter — and (2) ``update_where`` applies simultaneous assignments
-    to every k%10 row. The final ``read_table()`` rollup is recomputed
-    by the oracle as NOT-deleted → CASE-updated SQL over the same
-    source, so carryover-by-reference, survivor rewrite, and update
-    semantics are all value-checked. Cites Iceberg copy-on-write
-    row-level DELETE/UPDATE; the reference mutates SQLite in place
+    to every k%10 row. Then the MERGE-ON-READ twin runs on top: (3) a
+    ``strategy="mor"`` delete adds a positional deletion vector (no
+    file rewrites) and (4) a ``strategy="mor"`` update adds a DV plus
+    the new row images in one commit — so the final ``read_table()``
+    rollup exercises DV masking stacked on the CoW state. The oracle
+    recomputes all four steps as NOT-deleted → CASE-updated SQL over
+    the same source, so carryover-by-reference, survivor rewrite,
+    update semantics, and deletion-vector reads are all value-checked.
+    Cites Iceberg copy-on-write and v3 merge-on-read row-level
+    DELETE/UPDATE; the reference mutates SQLite in place
     (src/datastore.py:148-212) with no history."""
     import tempfile
 
@@ -1989,6 +2003,12 @@ def q_dml_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"ptype": "concat('U:', ptype)", "cents": "cents + 999"},
         where="k % 10 = 0",
     )
+    cat.delete_where(
+        "t", predicate=("k", 200, 400), where="ptype LIKE '%BRASS%'",
+        strategy="mor",
+    )
+    cat.update_where("t", {"cents": "cents * 2"}, where="k % 7 = 0",
+                     strategy="mor")
     return (
         cat.read_table("t")
         .groupBy("brand")
