@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     p_mt.add_argument("--zorder", metavar="COL[,COL...]",
                       help="sort-clustered compaction on the Morton key of these "
                            "columns (implies --compact)")
+    p_mt.add_argument("--compact-partition", metavar="COL=VALUE",
+                      action="append",
+                      help="compact only the partitions matching this "
+                           "col=value (repeatable; conjunctive); the rest "
+                           "of the table carries by reference")
     p_mt.add_argument("--expire-keep", type=int, metavar="N",
                       help="expire all but the last N snapshots")
     p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
@@ -172,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
                 zorder_by=args.zorder.split(",") if args.zorder else None,
             )
             out["compacted_snapshot"] = snap.snapshot_id
+        if args.compact_partition:
+            flt = dict(kv.split("=", 1) for kv in args.compact_partition)
+            snap = cat.compact_partitions(
+                args.table, flt,
+                target_file_bytes=args.target_file_mb * 2**20,
+            )
+            out["compacted_partitions_snapshot"] = snap.snapshot_id
         if args.create_tag:
             out["tagged"] = {
                 args.create_tag:

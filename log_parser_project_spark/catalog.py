@@ -3216,6 +3216,166 @@ class SnapshotCatalog(Catalog):
             row_count=None,
         )
 
+    def compact_partitions(
+        self,
+        table: str,
+        partition_filter: dict,
+        target_file_bytes: int = 128 * 2**20,
+        lineage: dict | None = None,
+    ) -> Snapshot:
+        """Partition-scoped compaction — Iceberg's ``rewrite_data_files``
+        with a filter. :meth:`compact` rewrites the WHOLE table; at
+        100 TB that is never what maintenance does — a streaming sink
+        accretes small files only in the partitions it recently wrote,
+        so the nightly job compacts ``{"day": <yesterday>}`` and leaves
+        the other 10,000 partitions untouched (carried by reference,
+        zero read or write amplification on them).
+
+        ``partition_filter`` maps PHYSICAL partition-directory names
+        (for hidden transforms, the derived name, e.g. ``ts_day``) to
+        values; a live file is in scope iff every ``col=value`` segment
+        appears on its path. The scoped rows are read under the current
+        logical schema (per-entry colmap/cast projection), pending
+        delete sidecars are applied — so the rewrite MATERIALIZES
+        merge-on-read debt for the scoped partitions only — and land
+        as ONE new entry sized from the scoped bytes; the old files
+        are masked file-granularly on their entries, exactly the
+        :meth:`delete_where` carry-forward shape. Rewritten rows
+        escape re-masking by construction: deletion vectors pin old
+        (file, pos) identities, and the new entry's sequence number
+        postdates every pending equality delete."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if not partition_filter:
+            raise ValueError(
+                "partition_filter is required; use compact() for the whole table"
+            )
+        prev = self.snapshot(table)
+        if prev is None or not prev.state:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        part_names = self._current_partitioning(prev)
+        unknown = [c for c in partition_filter if c not in part_names]
+        if unknown:
+            raise ValueError(
+                f"{unknown} are not partition columns of {table!r}; "
+                f"live layout is {part_names or 'flat'}"
+            )
+        need = {
+            self._leaf_path([c], (v,)) for c, v in partition_filter.items()
+        }
+        schema = (
+            StructType.fromJson(json.loads(prev.schema_json))
+            if prev.schema_json else None
+        )
+        hidden = self._hidden_of(prev.partition_spec or [])
+        scan_schema = schema
+        if hidden and schema is not None:
+            present = {f.name for f in schema.fields}
+            scan_schema = StructType(
+                list(schema.fields)
+                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
+            )
+        dv_entries = [e for e in prev.state if e.get("kind") == "pos_deletes"]
+        eq_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
+
+        seq = prev.sequence + 1
+        new_state: list[dict] = []
+        rewrite = None
+        scoped_bytes = 0
+        stats_cols: set[str] = set()
+        bloom_meta: dict | None = None
+        for e in prev.state:
+            if e.get("kind"):
+                new_state.append(e)
+                continue
+            absdir = os.path.join(self.warehouse, e["dir"])
+            hit = [
+                f for f in self._entry_files(absdir, e["exclude"])
+                if need <= set(os.path.relpath(f, absdir).split(os.sep))
+            ]
+            if not hit:
+                new_state.append(e)
+                continue
+            scoped_bytes += sum(os.path.getsize(f) for f in hit)
+            rels = sorted(os.path.relpath(f, absdir) for f in hit)
+            new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
+            to_logical = {v: k for k, v in (e.get("colmap") or {}).items()}
+            stats_cols |= {
+                to_logical.get(c, c)
+                for fd in (e.get("files") or {}).values() for c in fd
+            }
+            if e.get("bloom"):
+                bloom_meta = {
+                    **e["bloom"],
+                    "cols": [to_logical.get(c, c) for c in e["bloom"]["cols"]],
+                }
+            proj = (
+                self._entry_projection(e, scan_schema)
+                if scan_schema is not None else None
+            )
+            r = self.spark.read.option("basePath", absdir)
+            rs = proj[0] if proj else scan_schema
+            if rs is not None:
+                r = r.schema(rs)
+            d = r.parquet(*hit)
+            if proj:
+                d = d.select(*proj[1])
+            if dv_entries:
+                d = d.select("*", *self._pos_exprs())
+            d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
+            rewrite = d if rewrite is None else rewrite.unionByName(d)
+        if rewrite is None:
+            return prev
+        if dv_entries:
+            rewrite = self._apply_pos_deletes(rewrite, dv_entries)
+        if eq_entries:
+            rewrite = self._apply_eq_deletes(rewrite, eq_entries)
+        else:
+            rewrite = rewrite.drop("__entry_seq")
+
+        n_files = max(1, -(-scoped_bytes // target_file_bytes))  # ceil
+        rewrite = rewrite.repartition(n_files, *[F.col(c) for c in part_names])
+
+        snap_id = uuid.uuid4().hex[:16]
+        rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
+        abs_dir = os.path.join(self.warehouse, rel_dir)
+        writer = rewrite.write.mode("overwrite")
+        if part_names:
+            writer = writer.partitionBy(*part_names)
+        writer.parquet(abs_dir)
+        row_count = self._dir_row_count(abs_dir)
+
+        new_entry: dict = {"dir": rel_dir, "exclude": [], "seq": seq}
+        if row_count:
+            if stats_cols:
+                new_entry["files"] = self._file_stats(abs_dir, sorted(stats_cols))
+            if bloom_meta:
+                self._write_blooms(
+                    abs_dir, bloom_meta["cols"], bloom_meta["m"], bloom_meta["k"]
+                )
+                new_entry["bloom"] = dict(bloom_meta)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            table=table,
+            row_count=row_count,
+            committed_at_unix=time.time(),
+            lineage={
+                "stage": "compact_partitions",
+                "partition_filter": {k: str(v) for k, v in partition_filter.items()},
+                "target_file_bytes": target_file_bytes,
+                **(lineage or {}),
+            },
+            parent_id=prev.snapshot_id,
+            op="compact-partitions",
+            state=new_state + [new_entry],
+            sequence=seq,
+            schema_json=prev.schema_json,
+            partition_spec=list(prev.partition_spec or []),
+            summary=self._dir_summary([abs_dir], row_count, len(new_state) + 1),
+        )
+        return self._commit(table, snap)
+
     def _current_partitioning(self, snap: Snapshot) -> list[str]:
         """The table's live partition columns, sniffed from the newest
         manifest entry's first live data file (hive-style ``col=value``

@@ -2014,6 +2014,84 @@ def test_dml_strategy_validation(spark, cat):
         cat.update_where("t", {"v": "'y'"}, eq=("k", 1), strategy="bogus")
 
 
+# ---------------------------------------- partition-scoped compaction
+# rewrite_data_files with a filter: the nightly job compacts only the
+# partitions the sink recently wrote; the other 10,000 carry by
+# reference with zero read/write amplification.
+
+
+def test_compact_partitions_rewrites_only_scope(spark, cat):
+    rows = [(k, "r" + str(k % 3), "v" + str(k)) for k in range(90)]
+    for i in range(4):  # accrete small files per partition
+        cat.write_table(
+            _df(spark, [r for r in rows if r[0] % 4 == i]).repartition(3),
+            "t", mode="append" if i else "overwrite", partition_by=["route"],
+        )
+    fm = cat.files_metadata("t")
+    before = {r.file_path for r in fm.collect() if "route=r2" not in r.partition}
+    n_r1_before = fm.filter(F.col("partition").contains("route=r1")).count()
+    assert n_r1_before > 3
+    s = cat.compact_partitions("t", {"route": "r1"})
+    assert s.op == "compact-partitions"
+    fm2 = cat.files_metadata("t")
+    # scope collapsed; out-of-scope files are the SAME physical paths
+    assert fm2.filter(F.col("partition").contains("route=r1")).count() <= 2
+    after = {r.file_path for r in fm2.collect() if "route=r2" not in r.partition
+             and "route=r1" not in r.partition}
+    assert after == {p for p in before if "route=r1" not in p}
+    assert _vals(cat.read_table("t")) == sorted(
+        (k, f"r{k % 3}", f"v{k}") for k in range(90)
+    )
+
+
+def test_compact_partitions_materializes_scoped_mor_debt(spark, cat):
+    rows = [(k, "r" + str(k % 2), "v") for k in range(40)]
+    cat.write_table(_df(spark, rows), "t", partition_by=["route"])
+    cat.delete_where("t", where="k in (1, 3, 5)", strategy="mor")  # route r1
+    s = cat.compact_partitions("t", {"route": "r1"})
+    # DV entry stays (it may mask other partitions in general), but the
+    # rewritten rows already dropped the masked ones — and re-reads
+    # must not double-apply or resurrect
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [k for k in range(40) if k not in (1, 3, 5)]
+    # rewritten entry postdates the eq/dv sidecars
+    data_seqs = [e["seq"] for e in s.state if not e.get("kind")]
+    assert max(data_seqs) == s.sequence
+
+
+def test_compact_partitions_validation_and_noop(spark, cat):
+    rows = [(1, "a", "x"), (2, "b", "y")]
+    s1 = cat.write_table(_df(spark, rows), "t", partition_by=["route"])
+    with pytest.raises(ValueError, match="not partition columns"):
+        cat.compact_partitions("t", {"bogus": 1})
+    with pytest.raises(ValueError, match="partition_filter is required"):
+        cat.compact_partitions("t", {})
+    assert cat.compact_partitions("t", {"route": "zz"}).snapshot_id == s1.snapshot_id
+
+
+def test_compact_partitions_hidden_layout(spark, cat):
+    import datetime as dt
+
+    rows = [
+        (k, "a", dt.datetime(2026, 1, 1 + (k % 3), 8)) for k in range(30)
+    ]
+    for half in (0, 1):  # two appends → two files per day
+        cat.write_table(
+            _tsdf(spark, [r for r in rows if r[0] % 2 == half]), "t",
+            mode="append" if half else "overwrite", partition_by=["day(ts)"],
+        )
+    s = cat.compact_partitions("t", {"ts_day": "2026-01-02"})
+    fm = cat.files_metadata("t")
+    assert fm.filter(F.col("partition").contains("ts_day=2026-01-02")).count() == 1
+    out = cat.read_table("t")
+    assert out.count() == 30 and out.columns == ["k", "route", "ts"]
+    # predicate is a pruning hint (caller refilters by contract)
+    got = cat.read_table(
+        "t", predicate=("ts", dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 3))
+    ).filter(F.to_date("ts") == "2026-01-02")
+    assert sorted(r.k for r in got.collect()) == [k for k in range(30) if k % 3 == 1]
+
+
 # ----------------------------------------------------- optimistic concurrency
 # Iceberg's commit model: snapshots are computed against the parent the
 # writer read; _commit re-validates the pointer inside the table lock.
