@@ -1882,6 +1882,7 @@ class SnapshotCatalog(Catalog):
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
         strategy: str = "cow",
+        when_not_matched_by_source: str | None = None,
     ) -> Snapshot:
         """``MERGE INTO`` analog (Iceberg's copy-on-write merge): rows of
         ``source`` whose ``on`` keys match a target row update (or
@@ -1920,6 +1921,19 @@ class SnapshotCatalog(Catalog):
         is repaid by :meth:`compact`, which materializes deletes away.
         Merge keys must be non-null under ``mor`` (equality deletes
         can't match nulls — same restriction as Iceberg's).
+
+        ``when_not_matched_by_source="delete"`` completes the ANSI/
+        Delta MERGE surface: target rows whose key does NOT appear in
+        ``source`` are dropped — with update+insert this is full
+        source-sync (the target becomes exactly the source's image),
+        the SCD-1 mirror shape. The clause is GLOBAL over the target
+        (a row in a partition the source never touched is still
+        not-matched-by-source), so it forces the full-rewrite path
+        rather than the partition-pruned one, and an EMPTY source
+        legitimately deletes every row. Rejected under
+        ``strategy="mor"``: the equality-delete file would have to
+        carry every absent target key — the anti-sparse shape; use
+        copy-on-write for mirror syncs.
         """
         from pyspark.sql import functions as F
 
@@ -1929,8 +1943,20 @@ class SnapshotCatalog(Catalog):
             raise ValueError(f"when_matched must be update/delete/None, got {when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched must be insert/None, got {when_not_matched!r}")
-        if when_matched is None and when_not_matched is None:
+        if when_not_matched_by_source not in ("delete", None):
+            raise ValueError(
+                "when_not_matched_by_source must be delete/None, "
+                f"got {when_not_matched_by_source!r}"
+            )
+        if when_matched is None and when_not_matched is None \
+                and when_not_matched_by_source is None:
             raise ValueError("merge with no matched and no not-matched clause is a no-op")
+        if when_not_matched_by_source and strategy == "mor":
+            raise ValueError(
+                "when_not_matched_by_source requires strategy='cow': the "
+                "equality-delete file would carry every target key absent "
+                "from the source (anti-sparse)"
+            )
         if not on:
             raise ValueError("merge requires at least one key column")
         prev = self.snapshot(table)
@@ -1942,7 +1968,7 @@ class SnapshotCatalog(Catalog):
                 f"source columns {sorted(source.columns)} != target columns "
                 f"{sorted(target.columns)}"
             )
-        if not source.head(1):
+        if not source.head(1) and when_not_matched_by_source is None:
             return prev  # empty source: nothing to commit
         if (
             source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
@@ -1956,7 +1982,12 @@ class SnapshotCatalog(Catalog):
                 partition_by, lineage, prev, target,
             )
 
-        pruned = bool(partition_by) and set(partition_by) <= set(on)
+        # not-matched-by-source is global over the target, so it must
+        # see (and rewrite) every partition — never the pruned path
+        pruned = (
+            bool(partition_by) and set(partition_by) <= set(on)
+            and when_not_matched_by_source is None
+        )
         leaves: list[str] | None = None
         if pruned:
             # touched partitions: driver-sized (one tuple per partition)
@@ -1969,19 +2000,35 @@ class SnapshotCatalog(Catalog):
             tpart = target
 
         keys = source.select(*on).distinct()
-        kept = tpart.join(keys, on, "left_anti") if when_matched in ("update", "delete") else tpart
-        out = kept.select(*target.columns)
+        pieces = []
+        # target rows whose key is absent from the source
+        if when_not_matched_by_source is None:
+            pieces.append(tpart.join(keys, on, "left_anti"))
+        # target rows whose key matches: kept verbatim only with no
+        # matched clause (update re-adds the source image; delete drops)
+        if when_matched is None:
+            pieces.append(tpart.join(keys, on, "left_semi"))
         tkeys = tpart.select(*on).distinct()
         if when_matched == "update":
-            out = out.unionByName(source.join(tkeys, on, "left_semi").select(*target.columns))
+            pieces.append(source.join(tkeys, on, "left_semi"))
         if when_not_matched == "insert":
-            out = out.unionByName(source.join(tkeys, on, "left_anti").select(*target.columns))
+            pieces.append(source.join(tkeys, on, "left_anti"))
+        if pieces:
+            out = pieces[0].select(*target.columns)
+            for p in pieces[1:]:
+                out = out.unionByName(p.select(*target.columns))
+        else:  # delete-everything shapes (e.g. matched delete + nmbs delete)
+            out = target.select(*target.columns).limit(0)
 
         merge_lineage = {
             "stage": "merge",
             "on": list(on),
             "when_matched": when_matched,
             "when_not_matched": when_not_matched,
+            **(
+                {"when_not_matched_by_source": when_not_matched_by_source}
+                if when_not_matched_by_source else {}
+            ),
             **(lineage or {}),
         }
         if pruned:

@@ -287,6 +287,55 @@ def test_merge_guards(spark, cat):
     assert after.snapshot_id == before.snapshot_id
 
 
+def test_merge_not_matched_by_source_full_sync(spark, cat):
+    """update + insert + not-matched-by-source delete = mirror sync:
+    the target becomes exactly the source's image."""
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]), "t")
+    src = _df(spark, [(2, "b", "Y2"), (4, "d", "w")])
+    s = cat.merge(src, "t", on=["k"], when_not_matched_by_source="delete")
+    assert _vals(cat.read_table("t")) == [(2, "b", "Y2"), (4, "d", "w")]
+    assert s.lineage["when_not_matched_by_source"] == "delete"
+
+
+def test_merge_not_matched_by_source_keeps_matched_without_clause(spark, cat):
+    """nmbs=delete with NO matched clause: prune the target to the
+    source's key set, keeping the target's own row images."""
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]), "t")
+    src = _df(spark, [(1, "zz", "ignored"), (3, "zz", "ignored")])
+    cat.merge(src, "t", on=["k"], when_matched=None, when_not_matched=None,
+              when_not_matched_by_source="delete")
+    assert _vals(cat.read_table("t")) == [(1, "a", "x"), (3, "c", "z")]
+
+
+def test_merge_not_matched_by_source_is_global_over_partitions(spark, cat):
+    """The clause sees partitions the source never touched — it must
+    force the full-rewrite path, not the partition-pruned one."""
+    cat.write_table(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), "t", partition_by=["route"]
+    )
+    src = _df(spark, [(1, "a", "X2")])  # touches only route=a
+    cat.merge(src, "t", on=["route", "k"], partition_by=["route"],
+              when_not_matched_by_source="delete")
+    # (2, b) lives in an untouched partition and is still deleted
+    assert _vals(cat.read_table("t")) == [(1, "a", "X2")]
+
+
+def test_merge_not_matched_by_source_empty_source_deletes_all(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x"), (2, "b", "y")]), "t")
+    cat.merge(_df(spark, []), "t", on=["k"], when_not_matched_by_source="delete")
+    assert cat.read_table("t", schema="k int, route string, v string").count() == 0
+
+
+def test_merge_not_matched_by_source_guards(spark, cat):
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    with pytest.raises(ValueError, match="delete/None"):
+        cat.merge(_df(spark, [(1, "a", "x")]), "t", on=["k"],
+                  when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="strategy='cow'"):
+        cat.merge(_df(spark, [(1, "a", "x")]), "t", on=["k"],
+                  strategy="mor", when_not_matched_by_source="delete")
+
+
 def test_merge_partition_pruned_rewrites_only_touched_partitions(spark, cat):
     cat.write_table(
         _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "y2"), (4, "c", "w")]),
