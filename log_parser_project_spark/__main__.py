@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                            "of the table carries by reference")
     p_mt.add_argument("--expire-keep", type=int, metavar="N",
                       help="expire all but the last N snapshots")
+    p_mt.add_argument("--expire-older-than", metavar="INSTANT",
+                      help="with --expire-keep: also retain every snapshot "
+                           "committed at/after this instant (epoch seconds, "
+                           "ISO-8601, or a snapshot id)")
     p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
                       help="sweep unreferenced snap-* dirs older than this")
     p_mt.add_argument("--create-tag", metavar="NAME",
@@ -206,7 +210,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.remove_branch: cat.remove_branch(args.table, args.remove_branch)
             }
         if args.expire_keep is not None:
-            out["expired_dirs"] = cat.expire_snapshots(args.table, keep_last=args.expire_keep)
+            out["expired_dirs"] = cat.expire_snapshots(
+                args.table, keep_last=args.expire_keep,
+                older_than=args.expire_older_than,
+            )
         if args.orphans_older_than is not None:
             out["removed_orphans"] = cat.remove_orphan_files(
                 args.table, older_than_s=args.orphans_older_than

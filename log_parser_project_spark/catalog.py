@@ -3441,19 +3441,47 @@ class SnapshotCatalog(Catalog):
         return []
 
     # --------------------------------------------------------------- expire
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
-        """Drop all but the last ``keep_last`` snapshots; delete data
-        directories no live snapshot references. Returns removed dirs."""
+    def expire_snapshots(
+        self, table: str, keep_last: int = 1, older_than=None
+    ) -> list[str]:
+        """Drop old snapshots; delete data directories no live snapshot
+        references. Returns removed dirs. ``keep_last`` always retains
+        the newest N regardless of age (Iceberg's ``retain_last``);
+        ``older_than`` (snapshot id / epoch / ISO-8601 / datetime, like
+        ``as_of``) additionally retains EVERY snapshot committed at or
+        after that instant — the time-based retention policy a 100 TB
+        store actually runs ("expire anything older than 7 days, keep
+        at least the last 1"). With ``older_than`` alone, recent
+        history stays time-travelable no matter how many commits
+        landed."""
         import shutil
 
         with self._log_lock(table):
-            return self._expire_locked(table, keep_last, shutil)
+            return self._expire_locked(table, keep_last, shutil, older_than)
 
-    def _expire_locked(self, table: str, keep_last: int, shutil) -> list[str]:
+    def _expire_locked(
+        self, table: str, keep_last: int, shutil, older_than=None
+    ) -> list[str]:
         hist = self.history(table)
         if len(hist) <= keep_last:
             return []
         keep, drop = hist[-keep_last:], hist[:-keep_last]
+        if older_than is not None:
+            cutoff = self._as_epoch(older_than)
+            if cutoff is None:  # a snapshot id: expire strictly before it
+                ref = self._resolve(table, older_than)
+                ids = [s.snapshot_id for s in hist]
+                if ref is None or ref.snapshot_id not in ids:
+                    raise LookupError(
+                        f"older_than {older_than!r} is not a snapshot or "
+                        f"instant of table {table!r}"
+                    )
+                cutoff = ref.committed_at_unix
+            young = [s for s in drop if s.committed_at_unix >= cutoff]
+            keep = young + keep
+            drop = [s for s in drop if s.committed_at_unix < cutoff]
+            if not drop:
+                return []
         # Belt-and-braces vs history()/pointer divergence: the pointer
         # snapshot's directories must survive expiry no matter what.
         pointer = self.snapshot(table)

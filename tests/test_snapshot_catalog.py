@@ -2063,6 +2063,35 @@ def test_dml_strategy_validation(spark, cat):
         cat.update_where("t", {"v": "'y'"}, eq=("k", 1), strategy="bogus")
 
 
+def test_expire_snapshots_older_than_keeps_recent_history(spark, cat):
+    """Age-based retention: keep_last=1 alone would drop s1 AND s2;
+    older_than set between s1 and s2 retains s2 (young) and expires
+    only s1's unshared dirs."""
+    import time as _time
+
+    s1 = cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    _time.sleep(0.05)
+    cut = _time.time()
+    _time.sleep(0.05)
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")  # overwrite
+    s3 = cat.write_table(_df(spark, [(3, "c", "z")]), "t", mode="append")
+    removed = cat.expire_snapshots("t", keep_last=1, older_than=cut)
+    ids = {s.snapshot_id for s in cat.history("t")}
+    assert s1.snapshot_id not in ids and {s2.snapshot_id, s3.snapshot_id} <= ids
+    assert removed  # s1's dir was unshared
+    # s2 still time-travels
+    assert _vals(cat.read_table("t", as_of=s2.snapshot_id)) == [(2, "b", "y")]
+    # a second call with everything young is a no-op
+    assert cat.expire_snapshots("t", keep_last=1, older_than=cut) == []
+    # a snapshot id works as the bound: expire strictly before s3
+    cat.write_table(_df(spark, [(4, "d", "w")]), "t", mode="append")
+    cat.expire_snapshots("t", keep_last=1, older_than=s3.snapshot_id)
+    ids = {s.snapshot_id for s in cat.history("t")}
+    assert s2.snapshot_id not in ids and s3.snapshot_id in ids
+    with pytest.raises(LookupError):
+        cat.expire_snapshots("t", keep_last=1, older_than="not-a-snapshot")
+
+
 # ---------------------------------------- partition-scoped compaction
 # rewrite_data_files with a filter: the nightly job compacts only the
 # partitions the sink recently wrote; the other 10,000 carry by
@@ -2156,6 +2185,73 @@ def _stale(snap, **over):
     from dataclasses import replace
 
     return replace(snap, snapshot_id=uuid.uuid4().hex[:16], **over)
+
+
+def test_threaded_appenders_lose_no_commits(spark, cat):
+    """REAL concurrency, not a staged stale snapshot: 6 threads race
+    append commits through the flock'd commit protocol. Every commit
+    must land (rebase, never lost-update), history must stay linear,
+    and every thread's rows must be readable at the end."""
+    import threading
+
+    cat.write_table(_df(spark, [(0, "seed", "s")]), "t")
+    errs: list[Exception] = []
+
+    def appender(tid: int) -> None:
+        try:
+            for j in range(3):
+                cat.write_table(
+                    _df(spark, [(100 * tid + j, f"w{tid}", f"v{j}")]),
+                    "t", mode="append",
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errs.append(ex)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    out = cat.read_table("t")
+    assert out.count() == 1 + 6 * 3
+    assert out.select("route").distinct().count() == 7
+    hist = cat.history("t")
+    assert len(hist) == 1 + 6 * 3
+    # linear history: each commit parents the previous one
+    for prev, nxt in zip(hist, hist[1:]):
+        assert nxt.parent_id == prev.snapshot_id
+
+
+def test_threaded_overwrite_vs_append_conflict_is_detected(spark, cat):
+    """A non-append racing an append must either win cleanly or raise
+    CommitConflict — never silently drop the other writer."""
+    import threading
+
+    from log_parser_project_spark.catalog import CommitConflict
+
+    cat.write_table(_df(spark, [(0, "seed", "s")]), "t")
+    conflicts: list[str] = []
+    barrier = threading.Barrier(2)
+
+    def do(mode: str) -> None:
+        barrier.wait()
+        for _ in range(10):
+            try:
+                cat.write_table(_df(spark, [(1, mode, "x")]), "t", mode=mode)
+                return
+            except CommitConflict:
+                conflicts.append(mode)  # re-read & retry, Iceberg-style
+    t1 = threading.Thread(target=do, args=("append",))
+    t2 = threading.Thread(target=do, args=("overwrite",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    routes = {r.route for r in cat.read_table("t").collect()}
+    # the overwrite landed (possibly after retries); if the append
+    # committed after it, its row survives on top
+    assert "overwrite" in routes
+    hist = cat.history("t")
+    for prev, nxt in zip(hist, hist[1:]):
+        assert nxt.parent_id == prev.snapshot_id
 
 
 def test_concurrent_append_rebases_onto_new_head(spark, cat):
