@@ -1900,9 +1900,13 @@ def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned at scan planning via the derived PartitionFilter — feeds a
     per-day/type rollup. The oracle recomputes from the raw parquet
     with the same row filter, so the result proves the
-    write-transform → prune → drop path is lossless. Cites Iceberg
-    hidden partitioning; the reference has no partitioning at all
-    (single SQLite file, src/datastore.py)."""
+    write-transform → prune → drop path is lossless. A PARTITION-
+    SCOPED compaction of one in-range day runs between write and
+    read: it must preserve every row and keep the scoped day pruning
+    under the evolved file set — the oracle is unchanged, so any
+    compaction defect turns this row red. Cites Iceberg hidden
+    partitioning + rewrite_data_files(filter); the reference has no
+    partitioning at all (single SQLite file, src/datastore.py)."""
     import datetime as dt
     import tempfile
 
@@ -1913,6 +1917,7 @@ def q_hp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "ev",
         partition_by=["day(ts)", "bucket(4,user_id)"],
     )
+    cat.compact_partitions("ev", {"ts_day": "2024-01-15"})
     lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
     return (
         cat.read_table("ev", predicate=("ts", lo, hi))
