@@ -822,6 +822,7 @@ class SnapshotCatalog(Catalog):
         bloom_hashes: int = 4,
         staged: bool = False,
         branch: str | None = None,
+        distribution: str | None = None,
     ) -> Snapshot:
         """Commit one snapshot. ``staged=True`` is Iceberg's
         write-audit-publish: the data and the manifest log line are
@@ -868,9 +869,33 @@ class SnapshotCatalog(Catalog):
         every file whose bloom misses any probe bit. Sizing: default
         8192 bits / 4 hashes ≈ 2% false-positive at 1k distinct keys
         per file; false positives only cost an un-skipped file, never
-        correctness."""
+        correctness.
+
+        ``distribution`` is Iceberg's ``write.distribution-mode`` — the
+        small-file guard that matters most at scale. Without it, every
+        task holding rows of a partition writes its own file there:
+        T tasks × P partitions = T×P files per commit, the classic
+        small-file explosion. ``"hash"`` shuffles rows to their
+        partition VALUE first (for hidden transforms, the derived
+        expression), so each partition is written by one task — P
+        files. ``"range"`` range-shuffles on the partition values,
+        preserving value locality across tasks — use it when partitions
+        are few but huge and one task per partition would bottleneck.
+        ``None`` (default) writes with the incoming distribution, like
+        ``write.distribution-mode=none`` — correct when the caller
+        already clustered (the staging fan-out repartitions by
+        (route, day) itself)."""
         if mode not in ("overwrite", "append", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
+        if distribution not in ("hash", "range", None):
+            raise ValueError(
+                f"distribution must be hash/range/None, got {distribution!r}"
+            )
+        if distribution and sort_by:
+            raise ValueError(
+                "distribution and sort_by are mutually exclusive: sort_by "
+                "already imposes a range distribution on the sort columns"
+            )
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
         if replace_leaves and mode != "replace_partitions":
@@ -930,6 +955,18 @@ class SnapshotCatalog(Catalog):
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
         abs_dir = os.path.join(self.warehouse, rel_dir)
 
+        if distribution:
+            # after hidden derivation, so transforms distribute by the
+            # DERIVED value (one task per ts_day, not per raw ts)
+            if not part_names:
+                raise ValueError(
+                    "distribution requires a partitioned layout (pass "
+                    "partition_by or append to a hidden-partitioned table)"
+                )
+            if distribution == "hash":
+                df = df.repartition(*part_names)
+            else:  # range
+                df = df.repartitionByRange(*part_names)
         if sort_by:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         writer = df.write.mode("overwrite")

@@ -2063,6 +2063,51 @@ def test_dml_strategy_validation(spark, cat):
         cat.update_where("t", {"v": "'y'"}, eq=("k", 1), strategy="bogus")
 
 
+def test_write_distribution_hash_bounds_files_per_partition(spark, cat):
+    """write.distribution-mode=hash: each partition is written by one
+    task (P files), where the incoming distribution would write
+    T tasks × P partitions files — the small-file guard at scale."""
+    rows = [(k, "r" + str(k % 3), "v") for k in range(300)]
+    df = _df(spark, rows).repartition(8)  # rows of every route in all 8 tasks
+    cat.write_table(df, "t", partition_by=["route"], distribution="hash")
+    fm = cat.files_metadata("t")
+    per_part = {r["partition"]: r["count"]
+                for r in fm.groupBy("partition").count().collect()}
+    assert set(per_part) == {"route=r0", "route=r1", "route=r2"}
+    assert all(n == 1 for n in per_part.values()), per_part
+    assert cat.read_table("t").count() == 300
+    # none (default): the same write fans out to many files
+    cat.write_table(df, "t2", partition_by=["route"])
+    assert cat.files_metadata("t2").count() > 3
+
+
+def test_write_distribution_hash_on_hidden_transform(spark, cat):
+    import datetime as dt
+
+    rows = [(k, "a", dt.datetime(2026, 1, 1 + k % 2, 6)) for k in range(40)]
+    df = _tsdf(spark, rows).repartition(8)
+    cat.write_table(df, "t", partition_by=["day(ts)"], distribution="hash")
+    fm = cat.files_metadata("t")
+    per_part = {r["partition"]: r["count"]
+                for r in fm.groupBy("partition").count().collect()}
+    assert all(n == 1 for n in per_part.values()), per_part
+    # inherited spec on append still accepts distribution
+    cat.write_table(_tsdf(spark, rows).repartition(4), "t", mode="append",
+                    distribution="hash")
+    assert cat.read_table("t").count() == 80
+
+
+def test_write_distribution_validation(spark, cat):
+    df = _df(spark, [(1, "a", "x")])
+    with pytest.raises(ValueError, match="hash/range/None"):
+        cat.write_table(df, "t", partition_by=["route"], distribution="bogus")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cat.write_table(df, "t", partition_by=["route"], distribution="hash",
+                        sort_by=["k"])
+    with pytest.raises(ValueError, match="partitioned layout"):
+        cat.write_table(df, "t", distribution="hash")
+
+
 def test_expire_snapshots_older_than_keeps_recent_history(spark, cat):
     """Age-based retention: keep_last=1 alone would drop s1 AND s2;
     older_than set between s1 and s2 retains s2 (young) and expires
