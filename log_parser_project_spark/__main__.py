@@ -128,6 +128,22 @@ def main(argv: list[str] | None = None) -> int:
                       help="raw file-level churn: rewritten-but-unchanged rows too")
     p_ch.add_argument("--limit", type=int, default=1000)
 
+    p_au = sub.add_parser(
+        "audit",
+        help="evaluate a declarative expectations suite (JSON list of "
+             "specs; see expectations.py) against a table — one "
+             "aggregate pass; exit 1 on violations",
+    )
+    p_au.add_argument("--warehouse", required=True)
+    p_au.add_argument("--table", required=True)
+    p_au.add_argument("--suite", required=True,
+                      help="JSON file: list of expectation specs; a "
+                           "referential spec's 'dim' names another table "
+                           "in the same warehouse")
+    p_au.add_argument("--as-of", dest="as_of", default=None,
+                      help="audit a past or STAGED snapshot (id or instant) "
+                           "instead of the current one")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -156,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(out)
         return 0
+
+    if args.cmd == "audit":
+        from . import expectations as ex
+        from .catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        with open(args.suite) as f:
+            specs = json.load(f)
+        for s in specs:
+            if s.get("expect") == "referential" and isinstance(s.get("dim"), str):
+                s["dim"] = cat.read_table(s["dim"])
+        report = ex.evaluate(cat.read_table(args.table, as_of=args.as_of), specs)
+        print(json.dumps(report, indent=2, default=str))
+        return 0 if all(r["passed"] for r in report) else 1
 
     if args.cmd == "maintain":
         from .catalog import SnapshotCatalog
