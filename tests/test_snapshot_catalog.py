@@ -1113,10 +1113,10 @@ def test_log_lock_serializes_append_against_rewrite(spark, cat):
     release = threading.Event()
     orig = type(cat)._expire_locked
 
-    def slow_expire(self, table, keep_last, shutil):
+    def slow_expire(self, table, keep_last, shutil, older_than=None):
         entered.set()
         release.wait(timeout=10)
-        return orig(self, table, keep_last, shutil)
+        return orig(self, table, keep_last, shutil, older_than)
 
     results = {}
 
