@@ -3306,6 +3306,7 @@ class SnapshotCatalog(Catalog):
         partition_filter: dict,
         target_file_bytes: int = 128 * 2**20,
         lineage: dict | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Partition-scoped compaction — Iceberg's ``rewrite_data_files``
         with a filter. :meth:`compact` rewrites the WHOLE table; at
@@ -3327,7 +3328,10 @@ class SnapshotCatalog(Catalog):
         :meth:`delete_where` carry-forward shape. Rewritten rows
         escape re-masking by construction: deletion vectors pin old
         (file, pos) identities, and the new entry's sequence number
-        postdates every pending equality delete."""
+        postdates every pending equality delete. ``zorder_by``
+        Morton-clusters just the scoped rewrite (min/max stats
+        recorded on those columns) — the nightly job that z-orders
+        yesterday's partition without touching the archive."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -3419,7 +3423,17 @@ class SnapshotCatalog(Catalog):
             rewrite = rewrite.drop("__entry_seq")
 
         n_files = max(1, -(-scoped_bytes // target_file_bytes))  # ceil
-        rewrite = rewrite.repartition(n_files, *[F.col(c) for c in part_names])
+        if zorder_by:
+            # scoped z-order: cluster ONLY the rewritten partitions on
+            # the Morton key (the nightly shape — yesterday's partition
+            # gets point-lookup clustering, the rest stays untouched);
+            # record those columns' stats so skipping fires on them
+            from .operators.zorder import cluster_zorder
+
+            rewrite = cluster_zorder(rewrite, zorder_by, n_partitions=n_files)
+            stats_cols |= set(zorder_by)
+        else:
+            rewrite = rewrite.repartition(n_files, *[F.col(c) for c in part_names])
 
         snap_id = uuid.uuid4().hex[:16]
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
@@ -3448,6 +3462,7 @@ class SnapshotCatalog(Catalog):
                 "stage": "compact_partitions",
                 "partition_filter": {k: str(v) for k, v in partition_filter.items()},
                 "target_file_bytes": target_file_bytes,
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
                 **(lineage or {}),
             },
             parent_id=prev.snapshot_id,

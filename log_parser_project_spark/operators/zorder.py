@@ -52,6 +52,25 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
     whole-stage-codegen friendly, no python in the hot path."""
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+    # fail fast driver-side: the Morton bucket is an equi-width cut of
+    # a NUMERIC domain; a string key would die executor-side in the
+    # cast with an opaque CAST_INVALID_INPUT (numbers, timestamps, and
+    # dates all cast to double meaningfully — strings do not)
+    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    numeric_ok = {
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+        "timestamp", "timestamp_ntz", "date", "boolean",
+    }
+    bad = [
+        c for c in cols
+        if by_name.get(c, "").split("(")[0] not in numeric_ok and c in by_name
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder columns must have numeric/temporal types; "
+            f"{[(c, by_name[c]) for c in bad]} do not (hash or dictionary-"
+            "encode string keys into a numeric column first)"
+        )
     # keep every interleaved bit inside the 63 value bits of a long:
     # position (bits-1)*d + (d-1) = bits*d - 1 must stay < 63, else the
     # top bucket bit lands in the sign bit (max-bucket rows sort FIRST)

@@ -2192,6 +2192,29 @@ def test_compact_partitions_validation_and_noop(spark, cat):
     assert cat.compact_partitions("t", {"route": "zz"}).snapshot_id == s1.snapshot_id
 
 
+def test_compact_partitions_zorder_scoped_clustering(spark, cat):
+    """zorder_by clusters only the scoped partitions on the Morton key
+    and records skipping stats for those columns."""
+    rows = [(k, "r" + str(k % 2), k * 7 % 400) for k in range(400)]
+    df = spark.createDataFrame(rows, "k int, route string, m int")
+    cat.write_table(df.repartition(6), "t", partition_by=["route"])
+    s = cat.compact_partitions(
+        "t", {"route": "r1"}, target_file_bytes=2_000, zorder_by=["k", "m"],
+    )
+    assert s.lineage["zorder_by"] == ["k", "m"]
+    new_entry = s.state[-1]
+    assert new_entry.get("files"), "zorder stats must be recorded"
+    assert all({"k", "m"} <= set(fd) for fd in new_entry["files"].values())
+    # a point-range read plans fewer scope files than the scope holds
+    n_scope = len(new_entry["files"])
+    assert n_scope > 1
+    got = cat.read_table("t", predicate=("k", 1, 9))
+    rel = [f for f in got.inputFiles() if new_entry["dir"] in f]
+    assert 0 < len(rel) < n_scope
+    assert sorted((r.k, r.route, r.m) for r in cat.read_table("t").collect()) \
+        == sorted(rows)
+
+
 def test_compact_partitions_hidden_layout(spark, cat):
     import datetime as dt
 
