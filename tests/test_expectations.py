@@ -91,6 +91,43 @@ def test_violations_strings_and_validation(spark):
             ex.evaluate(df, bad)
 
 
+def test_property_observed_counts_match_python(spark):
+    """Property: evaluate()'s observed counts equal a pure-Python
+    recount for every row-shaped check, on arbitrary small frames."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.sampled_from(["a", "b", "c", None]),
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(row, min_size=1, max_size=30))
+    def run(rows):
+        df = spark.createDataFrame(rows, "n int, s string")
+        rep = ex.evaluate(df, [
+            {"expect": "not_null", "col": "n"},
+            {"expect": "between", "col": "n", "lo": -2, "hi": 3},
+            {"expect": "accepted_values", "col": "s", "values": ["a", "b"]},
+            {"expect": "unique", "cols": ["n", "s"]},
+            {"expect": "row_count_between", "min": 1},
+        ])
+        by = {r["expect"]: r["observed"] for r in rep}
+        assert by["not_null"] == sum(1 for n, _ in rows if n is None)
+        assert by["between"] == sum(
+            1 for n, _ in rows if n is None or not (-2 <= n <= 3)
+        )
+        assert by["accepted_values"] == sum(
+            1 for _, s in rows if s not in ("a", "b")
+        )
+        assert by["unique"] == len(rows) - len(set(rows))
+        assert by["row_count_between"] == len(rows)
+
+    run()
+
+
 def test_wap_gate_blocks_and_publishes(spark, transcripts_small, tmp_path):
     """End to end: a declared suite gates the staged fan-out commit —
     a satisfiable suite publishes, an impossible one abandons."""
