@@ -1598,13 +1598,21 @@ class SnapshotCatalog(Catalog):
                     continue  # torn append from a crash
         return out
 
-    def publish(self, table: str, snapshot_id: str) -> Snapshot:
+    def publish(
+        self, table: str, snapshot_id: str, audit_note: dict | None = None
+    ) -> Snapshot:
         """Write-audit-publish, step 3: make a staged snapshot the
         committed table state (atomic pointer flip). Refuses when the
         table advanced since the stage (the staged snapshot's parent is
         no longer the pointer) — the WAP analog of Iceberg's commit
         validation; re-stage on top of the new state instead, since the
-        staged manifest was computed against the old parent's state."""
+        staged manifest was computed against the old parent's state.
+
+        ``audit_note`` (JSON-serializable) merges into the PUBLISHED
+        line's lineage — the forensic record of which gate this
+        snapshot passed to become visible (the staged line is
+        untouched). ``snapshots_metadata`` surfaces it with the rest
+        of the lineage."""
         staged = [
             s for s in self._log_entries(table)
             if s.snapshot_id == snapshot_id and s.staged
@@ -1626,6 +1634,8 @@ class SnapshotCatalog(Catalog):
         # resolve against when data became visible, not when it was
         # staged. The staged line keeps the stage time for forensics.
         snap.committed_at_unix = time.time()
+        if audit_note:
+            snap.lineage = {**(snap.lineage or {}), "audit": dict(audit_note)}
         # a published line so history()'s by-id map resolves the final
         # (unstaged) version; the old staged line becomes inert
         return self._commit(table, snap)

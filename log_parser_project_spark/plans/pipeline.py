@@ -230,7 +230,12 @@ def run_pipeline(
         if violations:
             catalog.abandon_stage(STAGING_TABLE, snap.snapshot_id)
             raise AuditError(violations)
-        snap = catalog.publish(STAGING_TABLE, snap.snapshot_id)
+        snap = catalog.publish(
+            STAGING_TABLE, snap.snapshot_id,
+            # forensics: the published line records which gate it passed
+            audit_note={"gate": getattr(check, "__name__", "audit"),
+                        "violations": 0},
+        )
     metrics = get_safe(obs)
 
     staging = catalog.read_table(STAGING_TABLE, schema=staged.schema)

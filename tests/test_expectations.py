@@ -142,6 +142,10 @@ def test_wap_gate_blocks_and_publishes(spark, transcripts_small, tmp_path):
     ])
     res = run_pipeline(spark, transcripts_small, cat, audit=good)
     assert res.sink_counts and cat.snapshot("sink_staging") is not None
+    # the published line records which gate it passed (WAP forensics)
+    assert cat.snapshot("sink_staging").lineage["audit"] == {
+        "gate": "_audit", "violations": 0,
+    }
 
     cat2 = SnapshotCatalog(spark, str(tmp_path / "wh2"))
     bad = ex.audit([{"expect": "row_count_between", "max": 0}])
