@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
+def _suite_audit(path: str):
+    """A write-audit-publish gate from a declared expectations-suite
+    JSON file (list of specs; see ``expectations.py``)."""
+    from log_parser_project_spark import expectations as ex
+
+    with open(path) as f:
+        return ex.audit(json.load(f))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
@@ -70,12 +79,20 @@ def main() -> None:
              "last good snapshot if the batch is bad)",
     )
     ap.add_argument(
+        "--audit-suite", default=None, metavar="SUITE_JSON",
+        help="write-audit-publish with a DECLARED expectations suite "
+             "(JSON list of specs; see expectations.py) instead of the "
+             "built-in gate — implies --audit",
+    )
+    ap.add_argument(
         "--keep-snapshots", type=int, default=3,
         help="retain this many snapshots per rewritten table after a "
              "successful run (0 = never expire; repeated runs then grow "
              "the warehouse without bound)",
     )
     args = ap.parse_args()
+    if args.audit_suite:
+        args.audit = True
     if args.checkpointed and args.audit:
         # the checkpointed path commits per-group via replace_partitions
         # (idempotent resume), which has no staged variant — refuse
@@ -168,7 +185,8 @@ def main() -> None:
             metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
             extractor=args.extractor,
             patterns=patterns,
-            audit=True if args.audit else None,
+            audit=_suite_audit(args.audit_suite) if args.audit_suite
+            else (True if args.audit else None),
         )
         print(json.dumps({
             "mode": "batch",

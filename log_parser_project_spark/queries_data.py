@@ -2281,3 +2281,86 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "seg")
     )
+
+
+@_register(
+    "q_dq_expectations",
+    """
+    WITH d AS (SELECT * FROM documents)
+    SELECT * FROM (
+      SELECT 'row_count_between' AS expect, '[1, None]' AS detail,
+             COUNT(*) >= 1 AS passed, COUNT(*) AS observed FROM d
+      UNION ALL
+      SELECT 'not_null', 'text',
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM d
+      UNION ALL
+      SELECT 'unique', 'doc_id',
+             COUNT(*) - COUNT(DISTINCT doc_id) = 0,
+             COUNT(*) - COUNT(DISTINCT doc_id) FROM d
+      UNION ALL
+      SELECT 'accepted_values', 'lang',
+             SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr')
+                 THEN 1 ELSE 0 END) = 0,
+             SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr')
+                 THEN 1 ELSE 0 END) FROM d
+      UNION ALL
+      SELECT 'between', 'n_chars',
+             SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 300
+                 THEN 1 ELSE 0 END) = 0,
+             SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 300
+                 THEN 1 ELSE 0 END) FROM d
+      UNION ALL
+      SELECT 'matches_regex', 'source ~ /^src[0-9]+$/',
+             SUM(CASE WHEN source IS NULL
+                      OR NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) = 0,
+             SUM(CASE WHEN source IS NULL
+                      OR NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) FROM d
+      UNION ALL
+      SELECT 'referential', 'lang in dim.lang',
+             SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                 (SELECT DISTINCT lang FROM d WHERE lang <> 'zh')
+                 THEN 1 ELSE 0 END) = 0,
+             SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                 (SELECT DISTINCT lang FROM d WHERE lang <> 'zh')
+                 THEN 1 ELSE 0 END) FROM d
+    )
+    ORDER BY expect, detail
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations ENGINE pinned to an oracle: a seven-check
+    declarative suite (row count, not-null, key uniqueness, enum
+    membership, numeric bounds, regex shape, referential integrity)
+    runs over ``documents`` through ``expectations.evaluate`` — all
+    aggregate-expressible checks share ONE pass, the referential check
+    is one broadcast anti-join — and the per-check (passed, observed)
+    report is recomputed by DuckDB as plain SQL. Mixed pass/fail by
+    construction: the enum excludes 'zh' and the bound clips long
+    docs, so the oracle also pins the VIOLATION counts, not just
+    zeros. The dbt-tests/Great-Expectations analog; the reference's
+    quality checks are ad-hoc per-row ifs in its parse loop
+    (src/app.py)."""
+    from . import expectations as ex
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = docs.where(F.col("lang") != "zh").select("lang")
+    report = ex.evaluate(docs, [
+        {"expect": "row_count_between", "min": 1},
+        {"expect": "not_null", "col": "text"},
+        {"expect": "unique", "cols": ["doc_id"]},
+        {"expect": "accepted_values", "col": "lang",
+         "values": ["en", "de", "es", "fr"]},
+        {"expect": "between", "col": "n_chars", "lo": 0, "hi": 300},
+        {"expect": "matches_regex", "col": "source",
+         "pattern": "^src[0-9]+$"},
+        {"expect": "referential", "col": "lang", "dim": dim,
+         "dim_col": "lang"},
+    ])
+    rows = [(r["expect"], r["detail"], bool(r["passed"]), int(r["observed"]))
+            for r in report]
+    return spark.createDataFrame(
+        rows, "expect string, detail string, passed boolean, observed long"
+    ).orderBy("expect", "detail")
