@@ -30,13 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
-def _suite_audit(path: str):
+def _suite_audit(path: str, catalog):
     """A write-audit-publish gate from a declared expectations-suite
-    JSON file (list of specs; see ``expectations.py``)."""
+    JSON file (list of specs; see ``expectations.py``). A referential
+    spec's ``dim`` may name another warehouse table — resolved lazily
+    at audit time (the table may be committed by the same run)."""
     from log_parser_project_spark import expectations as ex
 
     with open(path) as f:
-        return ex.audit(json.load(f))
+        specs = json.load(f)
+
+    def _gate(df):
+        resolved = [
+            {**sp, "dim": catalog.read_table(sp["dim"])}
+            if sp.get("expect") == "referential" and isinstance(sp.get("dim"), str)
+            else sp
+            for sp in specs
+        ]
+        return ex.violations(df, resolved)
+
+    return _gate
 
 
 def main() -> None:
@@ -185,7 +198,7 @@ def main() -> None:
             metrics_path=f"{args.warehouse}/_metrics/{args.job_id}.json",
             extractor=args.extractor,
             patterns=patterns,
-            audit=_suite_audit(args.audit_suite) if args.audit_suite
+            audit=_suite_audit(args.audit_suite, catalog) if args.audit_suite
             else (True if args.audit else None),
         )
         print(json.dumps({

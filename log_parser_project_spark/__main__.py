@@ -89,9 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     p_mt.add_argument("--expire-keep", type=int, metavar="N",
                       help="expire all but the last N snapshots")
     p_mt.add_argument("--expire-older-than", metavar="INSTANT",
-                      help="with --expire-keep: also retain every snapshot "
-                           "committed at/after this instant (epoch seconds, "
-                           "ISO-8601, or a snapshot id)")
+                      help="expire snapshots committed before this instant "
+                           "(epoch seconds, ISO-8601, or a snapshot id); "
+                           "younger ones are all retained — combine with "
+                           "--expire-keep N (default 1) for the newest-N floor")
     p_mt.add_argument("--orphans-older-than", type=float, metavar="SECONDS",
                       help="sweep unreferenced snap-* dirs older than this")
     p_mt.add_argument("--create-tag", metavar="NAME",
@@ -212,7 +213,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["compacted_snapshot"] = snap.snapshot_id
         if args.compact_partition:
-            flt = dict(kv.split("=", 1) for kv in args.compact_partition)
+            bad = [kv for kv in args.compact_partition if "=" not in kv]
+            if bad:
+                ap.error(f"--compact-partition needs COL=VALUE, got {bad}")
+            pairs = [kv.split("=", 1) for kv in args.compact_partition]
+            dup = {c for c, _ in pairs if sum(1 for c2, _ in pairs if c2 == c) > 1}
+            if dup:
+                ap.error(f"--compact-partition repeated for columns {sorted(dup)}; "
+                         "filters are conjunctive, one value per column")
+            flt = dict(pairs)
             snap = cat.compact_partitions(
                 args.table, flt,
                 target_file_bytes=args.target_file_mb * 2**20,
@@ -239,9 +248,10 @@ def main(argv: list[str] | None = None) -> int:
             out["branch_removed"] = {
                 args.remove_branch: cat.remove_branch(args.table, args.remove_branch)
             }
-        if args.expire_keep is not None:
+        if args.expire_keep is not None or args.expire_older_than is not None:
             out["expired_dirs"] = cat.expire_snapshots(
-                args.table, keep_last=args.expire_keep,
+                args.table,
+                keep_last=1 if args.expire_keep is None else args.expire_keep,
                 older_than=args.expire_older_than,
             )
         if args.orphans_older_than is not None:

@@ -2048,13 +2048,19 @@ class SnapshotCatalog(Catalog):
 
         keys = source.select(*on).distinct()
         pieces = []
-        # target rows whose key is absent from the source
-        if when_not_matched_by_source is None:
-            pieces.append(tpart.join(keys, on, "left_anti"))
-        # target rows whose key matches: kept verbatim only with no
-        # matched clause (update re-adds the source image; delete drops)
-        if when_matched is None:
-            pieces.append(tpart.join(keys, on, "left_semi"))
+        if when_matched is None and when_not_matched_by_source is None:
+            # insert-only merge keeps the whole target verbatim — no
+            # reason to split it into anti ∪ semi (two full-target
+            # joins whose union is provably tpart)
+            pieces.append(tpart)
+        else:
+            # target rows whose key is absent from the source
+            if when_not_matched_by_source is None:
+                pieces.append(tpart.join(keys, on, "left_anti"))
+            # matched target rows: kept verbatim only with no matched
+            # clause (update re-adds the source image; delete drops)
+            if when_matched is None:
+                pieces.append(tpart.join(keys, on, "left_semi"))
         tkeys = tpart.select(*on).distinct()
         if when_matched == "update":
             pieces.append(source.join(tkeys, on, "left_semi"))
@@ -2327,33 +2333,18 @@ class SnapshotCatalog(Catalog):
             table, predicate, eq, where, dict(assignments), "update", lineage
         )
 
-    def _dml_rewrite(
-        self, table, predicate, eq, where, assignments, op_name, lineage
-    ) -> Snapshot:
-        from pyspark.sql import functions as F
+    def _scan_schema_of(self, prev: Snapshot):
+        """(logical schema, hidden spec, scan schema incl. hidden
+        partition fields) for a snapshot — the read shape every
+        masked-rewrite path (row-level DML, scoped compaction) scans
+        under."""
         from pyspark.sql.types import StructType
 
-        cond = self._dml_condition(predicate, eq, where)
-        matched = F.coalesce(cond, F.lit(False))
-        prev = self.snapshot(table)
-        if prev is None or not prev.state:
-            raise LookupError(f"no committed snapshot table {table!r}")
         schema = (
             StructType.fromJson(json.loads(prev.schema_json))
             if prev.schema_json else None
         )
         hidden = self._hidden_of(prev.partition_spec or [])
-        if assignments:
-            bad = [c for c in assignments if c in {s["name"] for s in hidden}]
-            if bad:
-                raise ValueError(
-                    f"cannot assign hidden partition columns {bad}; "
-                    "assign their source columns instead"
-                )
-            if schema is not None:
-                unknown = [c for c in assignments if c not in schema.fieldNames()]
-                if unknown:
-                    raise ValueError(f"unknown update columns {unknown}")
         scan_schema = schema
         if hidden and schema is not None:
             present = {f.name for f in schema.fields}
@@ -2361,18 +2352,107 @@ class SnapshotCatalog(Catalog):
                 list(schema.fields)
                 + [self._hidden_field(s) for s in hidden if s["name"] not in present]
             )
+        return schema, hidden, scan_schema
+
+    @staticmethod
+    def _validate_assignments(assignments, hidden, schema) -> None:
+        """UPDATE assignment guards shared by both DML strategies."""
+        bad = [c for c in assignments if c in {s["name"] for s in hidden}]
+        if bad:
+            raise ValueError(
+                f"cannot assign hidden partition columns {bad}; "
+                "assign their source columns instead"
+            )
+        if schema is not None:
+            unknown = [c for c in assignments if c not in schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"unknown update columns {unknown}")
+
+    def _open_entry_files(self, absdir: str, files: list[str], entry: dict,
+                          scan_schema) -> DataFrame:
+        """Open specific files of one manifest entry under the scan
+        schema, through the entry's colmap/cast projection and with
+        ``basePath`` so partition-dir columns survive."""
+        proj = (
+            self._entry_projection(entry, scan_schema)
+            if scan_schema is not None else None
+        )
+        r = self.spark.read.option("basePath", absdir)
+        rs = proj[0] if proj else scan_schema
+        if rs is not None:
+            r = r.schema(rs)
+        d = r.parquet(*files)
+        return d.select(*proj[1]) if proj else d
+
+    @staticmethod
+    def _accumulate_skip_meta(e: dict, stats_cols: set,
+                              bloom_meta: dict | None) -> dict | None:
+        """Fold one rewritten entry's skipping metadata into the
+        accumulators, translating the entry's PHYSICAL column names to
+        the LOGICAL names the rewrite will write. Bloom columns UNION
+        across entries (last-wins would silently drop skipping for the
+        other entries' probe columns); m/k take the max."""
+        to_logical = {v: k for k, v in (e.get("colmap") or {}).items()}
+        stats_cols |= {
+            to_logical.get(c, c)
+            for fd in (e.get("files") or {}).values() for c in fd
+        }
+        if e.get("bloom"):
+            cols = {to_logical.get(c, c) for c in e["bloom"]["cols"]}
+            if bloom_meta is None:
+                bloom_meta = {"m": e["bloom"]["m"], "k": e["bloom"]["k"],
+                              "cols": cols}
+            else:
+                bloom_meta = {
+                    "m": max(bloom_meta["m"], e["bloom"]["m"]),
+                    "k": max(bloom_meta["k"], e["bloom"]["k"]),
+                    "cols": set(bloom_meta["cols"]) | cols,
+                }
+        return bloom_meta
+
+    def _apply_delete_sidecars(self, rewrite: DataFrame, dv_entries: list,
+                               eq_entries: list) -> DataFrame:
+        """Materialize pending merge-on-read debt on a rewrite frame
+        (which carries per-entry ``__entry_seq`` and, when DVs are
+        pending, ``__file``/``__pos``)."""
+        if dv_entries:
+            rewrite = self._apply_pos_deletes(rewrite, dv_entries)
+        if eq_entries:
+            rewrite = self._apply_eq_deletes(rewrite, eq_entries)
+        else:
+            rewrite = rewrite.drop("__entry_seq")
+        return rewrite
+
+    def _skip_meta_entry(self, new_entry: dict, abs_dir: str, row_count: int,
+                         stats_cols: set, bloom_meta: dict | None) -> dict:
+        """Re-harvest skipping metadata for a rewrite's new entry so a
+        predicate that pruned before the rewrite prunes after it."""
+        if row_count:
+            if stats_cols:
+                new_entry["files"] = self._file_stats(abs_dir, sorted(stats_cols))
+            if bloom_meta:
+                cols = sorted(bloom_meta["cols"])
+                self._write_blooms(abs_dir, cols, bloom_meta["m"], bloom_meta["k"])
+                new_entry["bloom"] = {"m": bloom_meta["m"], "k": bloom_meta["k"],
+                                      "cols": cols}
+        return new_entry
+
+    def _dml_rewrite(
+        self, table, predicate, eq, where, assignments, op_name, lineage
+    ) -> Snapshot:
+        from pyspark.sql import functions as F
+
+        cond = self._dml_condition(predicate, eq, where)
+        matched = F.coalesce(cond, F.lit(False))
+        prev = self.snapshot(table)
+        if prev is None or not prev.state:
+            raise LookupError(f"no committed snapshot table {table!r}")
+        schema, hidden, scan_schema = self._scan_schema_of(prev)
+        if assignments:
+            self._validate_assignments(assignments, hidden, schema)
 
         def _open(absdir, files, entry):
-            proj = (
-                self._entry_projection(entry, scan_schema)
-                if scan_schema is not None else None
-            )
-            r = self.spark.read.option("basePath", absdir)
-            rs = proj[0] if proj else scan_schema
-            if rs is not None:
-                r = r.schema(rs)
-            d = r.parquet(*files)
-            return d.select(*proj[1]) if proj else d
+            return self._open_entry_files(absdir, files, entry, scan_schema)
 
         # phase 1: plan — metadata-pruned candidates, then one scan
         # (projected to the file name) finds files with real matches
@@ -2419,19 +2499,7 @@ class SnapshotCatalog(Catalog):
                 continue
             rels = sorted(os.path.relpath(f, absdir) for f in hit)
             new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
-            # stats/bloom column names are the old entry's PHYSICAL
-            # names; the rewrite writes LOGICAL columns, so translate
-            # through the entry's rename history before re-harvesting
-            to_logical = {v: k for k, v in (e.get("colmap") or {}).items()}
-            stats_cols |= {
-                to_logical.get(c, c)
-                for fd in (e.get("files") or {}).values() for c in fd
-            }
-            if e.get("bloom"):
-                bloom_meta = {
-                    **e["bloom"],
-                    "cols": [to_logical.get(c, c) for c in e["bloom"]["cols"]],
-                }
+            bloom_meta = self._accumulate_skip_meta(e, stats_cols, bloom_meta)
             d = _open(absdir, hit, e)
             if dv_entries:
                 # rewritten survivors must not resurrect DV-masked rows
@@ -2439,13 +2507,8 @@ class SnapshotCatalog(Catalog):
             d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
             rewrite = d if rewrite is None else rewrite.unionByName(d)
 
-        if dv_entries:
-            rewrite = self._apply_pos_deletes(rewrite, dv_entries)
         del_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
-        if del_entries:
-            rewrite = self._apply_eq_deletes(rewrite, del_entries)
-        else:
-            rewrite = rewrite.drop("__entry_seq")
+        rewrite = self._apply_delete_sidecars(rewrite, dv_entries, del_entries)
         if assignments:
             out = rewrite.withColumns({
                 c: F.when(matched, F.expr(v) if isinstance(v, str) else v)
@@ -2474,19 +2537,10 @@ class SnapshotCatalog(Catalog):
         writer.parquet(abs_dir)
         row_count = self._dir_row_count(abs_dir)
 
-        new_entry: dict = {"dir": rel_dir, "exclude": [], "seq": seq}
-        if row_count:
-            # skipping metadata carries across the rewrite: recompute
-            # the union of the touched entries' stats columns / bloom
-            # config for the survivors, so a predicate that pruned
-            # before the DML prunes after it too
-            if stats_cols:
-                new_entry["files"] = self._file_stats(abs_dir, sorted(stats_cols))
-            if bloom_meta:
-                self._write_blooms(
-                    abs_dir, bloom_meta["cols"], bloom_meta["m"], bloom_meta["k"]
-                )
-                new_entry["bloom"] = dict(bloom_meta)
+        new_entry = self._skip_meta_entry(
+            {"dir": rel_dir, "exclude": [], "seq": seq},
+            abs_dir, row_count, stats_cols, bloom_meta,
+        )
         snap = Snapshot(
             snapshot_id=snap_id,
             table=table,
@@ -2528,35 +2582,14 @@ class SnapshotCatalog(Catalog):
         assigned. The DV needs no sequence rule: it pins exact rows of
         exact files, and files are never reused across commits."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
 
         cond = self._dml_condition(predicate, eq, where)
         prev = self.snapshot(table)
         if prev is None or not prev.state:
             raise LookupError(f"no committed snapshot table {table!r}")
-        schema = (
-            StructType.fromJson(json.loads(prev.schema_json))
-            if prev.schema_json else None
-        )
-        hidden = self._hidden_of(prev.partition_spec or [])
+        schema, hidden, scan_schema = self._scan_schema_of(prev)
         if assignments:
-            bad = [c for c in assignments if c in {s["name"] for s in hidden}]
-            if bad:
-                raise ValueError(
-                    f"cannot assign hidden partition columns {bad}; "
-                    "assign their source columns instead"
-                )
-            if schema is not None:
-                unknown = [c for c in assignments if c not in schema.fieldNames()]
-                if unknown:
-                    raise ValueError(f"unknown update columns {unknown}")
-        scan_schema = schema
-        if hidden and schema is not None:
-            present = {f.name for f in schema.fields}
-            scan_schema = StructType(
-                list(schema.fields)
-                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
-            )
+            self._validate_assignments(assignments, hidden, schema)
         dv_entries = [e for e in prev.state if e.get("kind") == "pos_deletes"]
         eq_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
         scan = None
@@ -3343,7 +3376,6 @@ class SnapshotCatalog(Catalog):
         recorded on those columns) — the nightly job that z-orders
         yesterday's partition without touching the archive."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
 
         if not partition_filter:
             raise ValueError(
@@ -3362,18 +3394,7 @@ class SnapshotCatalog(Catalog):
         need = {
             self._leaf_path([c], (v,)) for c, v in partition_filter.items()
         }
-        schema = (
-            StructType.fromJson(json.loads(prev.schema_json))
-            if prev.schema_json else None
-        )
-        hidden = self._hidden_of(prev.partition_spec or [])
-        scan_schema = schema
-        if hidden and schema is not None:
-            present = {f.name for f in schema.fields}
-            scan_schema = StructType(
-                list(schema.fields)
-                + [self._hidden_field(s) for s in hidden if s["name"] not in present]
-            )
+        _schema, _hidden, scan_schema = self._scan_schema_of(prev)
         dv_entries = [e for e in prev.state if e.get("kind") == "pos_deletes"]
         eq_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
 
@@ -3398,39 +3419,15 @@ class SnapshotCatalog(Catalog):
             scoped_bytes += sum(os.path.getsize(f) for f in hit)
             rels = sorted(os.path.relpath(f, absdir) for f in hit)
             new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
-            to_logical = {v: k for k, v in (e.get("colmap") or {}).items()}
-            stats_cols |= {
-                to_logical.get(c, c)
-                for fd in (e.get("files") or {}).values() for c in fd
-            }
-            if e.get("bloom"):
-                bloom_meta = {
-                    **e["bloom"],
-                    "cols": [to_logical.get(c, c) for c in e["bloom"]["cols"]],
-                }
-            proj = (
-                self._entry_projection(e, scan_schema)
-                if scan_schema is not None else None
-            )
-            r = self.spark.read.option("basePath", absdir)
-            rs = proj[0] if proj else scan_schema
-            if rs is not None:
-                r = r.schema(rs)
-            d = r.parquet(*hit)
-            if proj:
-                d = d.select(*proj[1])
+            bloom_meta = self._accumulate_skip_meta(e, stats_cols, bloom_meta)
+            d = self._open_entry_files(absdir, hit, e, scan_schema)
             if dv_entries:
                 d = d.select("*", *self._pos_exprs())
             d = d.withColumn("__entry_seq", F.lit(int(e.get("seq", 0))))
             rewrite = d if rewrite is None else rewrite.unionByName(d)
         if rewrite is None:
             return prev
-        if dv_entries:
-            rewrite = self._apply_pos_deletes(rewrite, dv_entries)
-        if eq_entries:
-            rewrite = self._apply_eq_deletes(rewrite, eq_entries)
-        else:
-            rewrite = rewrite.drop("__entry_seq")
+        rewrite = self._apply_delete_sidecars(rewrite, dv_entries, eq_entries)
 
         n_files = max(1, -(-scoped_bytes // target_file_bytes))  # ceil
         if zorder_by:
@@ -3454,15 +3451,10 @@ class SnapshotCatalog(Catalog):
         writer.parquet(abs_dir)
         row_count = self._dir_row_count(abs_dir)
 
-        new_entry: dict = {"dir": rel_dir, "exclude": [], "seq": seq}
-        if row_count:
-            if stats_cols:
-                new_entry["files"] = self._file_stats(abs_dir, sorted(stats_cols))
-            if bloom_meta:
-                self._write_blooms(
-                    abs_dir, bloom_meta["cols"], bloom_meta["m"], bloom_meta["k"]
-                )
-                new_entry["bloom"] = dict(bloom_meta)
+        new_entry = self._skip_meta_entry(
+            {"dir": rel_dir, "exclude": [], "seq": seq},
+            abs_dir, row_count, stats_cols, bloom_meta,
+        )
         snap = Snapshot(
             snapshot_id=snap_id,
             table=table,

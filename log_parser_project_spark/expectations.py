@@ -57,8 +57,8 @@ def _check(spec: dict, i: int) -> None:
         if spec.get("min") is None and spec.get("max") is None:
             raise ValueError(f"spec {i}: row_count_between needs min and/or max")
     elif kind == "unique":
-        if not spec.get("cols"):
-            raise ValueError(f"spec {i}: unique needs cols")
+        if not spec.get("cols") or not isinstance(spec["cols"], (list, tuple)):
+            raise ValueError(f"spec {i}: unique needs cols as a list")
     elif kind == "referential":
         if not all(k in spec for k in ("col", "dim", "dim_col")):
             raise ValueError(f"spec {i}: referential needs col, dim, dim_col")
@@ -66,8 +66,11 @@ def _check(spec: dict, i: int) -> None:
         raise ValueError(f"spec {i}: {kind} needs col")
     if kind == "between" and spec.get("lo") is None and spec.get("hi") is None:
         raise ValueError(f"spec {i}: between needs lo and/or hi")
-    if kind == "accepted_values" and not spec.get("values"):
-        raise ValueError(f"spec {i}: accepted_values needs values")
+    if kind == "accepted_values" and (
+        not spec.get("values") or not isinstance(spec["values"], (list, tuple))
+    ):
+        # a bare string would silently become per-character membership
+        raise ValueError(f"spec {i}: accepted_values needs values as a list")
     if kind == "matches_regex" and not spec.get("pattern"):
         raise ValueError(f"spec {i}: matches_regex needs pattern")
 
@@ -150,7 +153,9 @@ def evaluate(df: DataFrame, specs: list[dict]) -> list[dict]:
             bad = row[f"__v{i}"] or 0
             tol_key = "max_null_ratio" if kind == "not_null" else "max_violation_ratio"
             tol = float(s.get(tol_key, 0.0))
-            passed = bad <= tol * n
+            # compare as a ratio so bad/n == tol passes exactly
+            # (bad <= tol*n fails at the boundary: 0.29*100 < 29.0)
+            passed = bad == 0 or (n > 0 and bad / n <= tol)
             report.append({
                 "expect": kind,
                 "detail": s.get("col", "") + (

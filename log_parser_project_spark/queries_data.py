@@ -2289,43 +2289,47 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT * FROM documents)
     SELECT * FROM (
       SELECT 'row_count_between' AS expect, '[1, None]' AS detail,
-             COUNT(*) >= 1 AS passed, COUNT(*) AS observed FROM d
+             COUNT(*) >= 1 AS passed,
+             CAST(COUNT(*) AS BIGINT) AS observed FROM d
       UNION ALL
       SELECT 'not_null', 'text',
              SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0,
-             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM d
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM d
       UNION ALL
       SELECT 'unique', 'doc_id',
              COUNT(*) - COUNT(DISTINCT doc_id) = 0,
-             COUNT(*) - COUNT(DISTINCT doc_id) FROM d
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM d
       UNION ALL
       SELECT 'accepted_values', 'lang',
              SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr')
                  THEN 1 ELSE 0 END) = 0,
-             SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr')
-                 THEN 1 ELSE 0 END) FROM d
+             CAST(SUM(CASE WHEN lang IS NULL
+                           OR lang NOT IN ('en','de','es','fr')
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM d
       UNION ALL
       SELECT 'between', 'n_chars',
              SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 300
                  THEN 1 ELSE 0 END) = 0,
-             SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 300
-                 THEN 1 ELSE 0 END) FROM d
+             CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                           OR n_chars > 300
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM d
       UNION ALL
       SELECT 'matches_regex', 'source ~ /^src[0-9]+$/',
              SUM(CASE WHEN source IS NULL
                       OR NOT regexp_matches(source, '^src[0-9]+$')
                  THEN 1 ELSE 0 END) = 0,
-             SUM(CASE WHEN source IS NULL
+             CAST(SUM(CASE WHEN source IS NULL
                       OR NOT regexp_matches(source, '^src[0-9]+$')
-                 THEN 1 ELSE 0 END) FROM d
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM d
       UNION ALL
       SELECT 'referential', 'lang in dim.lang',
              SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
                  (SELECT DISTINCT lang FROM d WHERE lang <> 'zh')
                  THEN 1 ELSE 0 END) = 0,
-             SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+             CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
                  (SELECT DISTINCT lang FROM d WHERE lang <> 'zh')
-                 THEN 1 ELSE 0 END) FROM d
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM d
     )
     ORDER BY expect, detail
     """,

@@ -73,6 +73,58 @@ def test_referential_broadcast_anti_join(spark):
     assert not rep[0]["passed"] and rep[0]["observed"] == 1
 
 
+def test_ratio_tolerance_exact_boundary_passes(spark):
+    """A violation ratio EXACTLY equal to the declared tolerance
+    passes (bad <= tol*n fails at the boundary: 0.29*100 < 29.0)."""
+    rows = [(None if i < 29 else i, "a") for i in range(100)]
+    df = spark.createDataFrame(rows, "n int, s string")
+    rep = ex.evaluate(df, [
+        {"expect": "not_null", "col": "n", "max_null_ratio": 0.29},
+    ])
+    assert rep[0]["passed"] and rep[0]["observed"] == 29
+
+
+def test_string_values_and_cols_rejected(spark):
+    """A bare string for values/cols would silently become
+    per-character semantics — rejected at validation."""
+    df = _df(spark)
+    with pytest.raises(ValueError, match="values as a list"):
+        ex.evaluate(df, [{"expect": "accepted_values", "col": "role",
+                          "values": "en"}])
+    with pytest.raises(ValueError, match="cols as a list"):
+        ex.evaluate(df, [{"expect": "unique", "cols": "conv_id"}])
+
+
+def test_job_suite_gate_resolves_table_dims(spark, transcripts_small, tmp_path):
+    """jobs/run_pipeline.py --audit-suite: a referential spec naming a
+    warehouse TABLE as its dim resolves at audit time."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "jobs"))
+    from run_pipeline import _suite_audit
+
+    from log_parser_project_spark.catalog import SnapshotCatalog
+    from log_parser_project_spark.plans.pipeline import run_pipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.write_table(
+        spark.createDataFrame(
+            [("human",), ("model",), ("infra",)], "role string"
+        ),
+        "dim_role_names",
+    )
+    sp = tmp_path / "suite.json"
+    sp.write_text(_json.dumps([
+        {"expect": "not_null", "col": "route"},
+        {"expect": "referential", "col": "role_class", "dim": "dim_role_names",
+         "dim_col": "role"},
+    ]))
+    gate = _suite_audit(str(sp), cat)
+    res = run_pipeline(spark, transcripts_small, cat, audit=gate)
+    assert res.sink_counts  # published: every role_class is in the dim
+
+
 def test_violations_strings_and_validation(spark):
     df = _df(spark)
     v = ex.violations(df, [{"expect": "not_null", "col": "text"}])

@@ -2215,6 +2215,23 @@ def test_compact_partitions_zorder_scoped_clustering(spark, cat):
         == sorted(rows)
 
 
+def test_rewrite_unions_bloom_cols_across_entries(spark, cat):
+    """Two scoped entries with blooms on DIFFERENT columns: the
+    rewritten entry must carry the UNION (last-wins would silently
+    stop skipping on the first entry's probe column)."""
+    rows1 = [(k, "a", "v" + str(k)) for k in range(50)]
+    rows2 = [(k, "a", "v" + str(k)) for k in range(50, 100)]
+    cat.write_table(_df(spark, rows1), "t", partition_by=["route"],
+                    bloom_cols=["k"])
+    cat.write_table(_df(spark, rows2), "t", mode="append",
+                    partition_by=["route"], bloom_cols=["v"])
+    s = cat.compact_partitions("t", {"route": "a"})
+    new_entry = s.state[-1]
+    assert sorted(new_entry["bloom"]["cols"]) == ["k", "v"]
+    assert cat.read_table("t", eq=("k", 7)).filter("k = 7").count() == 1
+    assert cat.read_table("t").count() == 100
+
+
 def test_compact_partitions_hidden_layout(spark, cat):
     import datetime as dt
 
