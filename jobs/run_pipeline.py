@@ -41,13 +41,7 @@ def _suite_audit(path: str, catalog):
         specs = json.load(f)
 
     def _gate(df):
-        resolved = [
-            {**sp, "dim": catalog.read_table(sp["dim"])}
-            if sp.get("expect") == "referential" and isinstance(sp.get("dim"), str)
-            else sp
-            for sp in specs
-        ]
-        return ex.violations(df, resolved)
+        return ex.violations(df, ex.resolve_dims(specs, catalog.read_table))
 
     return _gate
 

@@ -180,10 +180,7 @@ def main(argv: list[str] | None = None) -> int:
 
         cat = SnapshotCatalog(spark, args.warehouse)
         with open(args.suite) as f:
-            specs = json.load(f)
-        for s in specs:
-            if s.get("expect") == "referential" and isinstance(s.get("dim"), str):
-                s["dim"] = cat.read_table(s["dim"])
+            specs = ex.resolve_dims(json.load(f), cat.read_table)
         report = ex.evaluate(cat.read_table(args.table, as_of=args.as_of), specs)
         print(json.dumps(report, indent=2, default=str))
         return 0 if all(r["passed"] for r in report) else 1
@@ -204,7 +201,10 @@ def main(argv: list[str] | None = None) -> int:
             out["published"] = cat.publish(args.table, args.publish).snapshot_id
         if args.abandon:
             out["abandoned_dirs"] = cat.abandon_stage(args.table, args.abandon)
-        if args.compact or args.zorder:
+        # --zorder pairs with --compact-partition when both are given
+        # (z-order yesterday's partition, never the archive); alone or
+        # with --compact it means the whole-table rewrite
+        if args.compact or (args.zorder and not args.compact_partition):
             snap = cat.compact(
                 args.table,
                 target_file_bytes=args.target_file_mb * 2**20,
@@ -225,6 +225,10 @@ def main(argv: list[str] | None = None) -> int:
             snap = cat.compact_partitions(
                 args.table, flt,
                 target_file_bytes=args.target_file_mb * 2**20,
+                zorder_by=(
+                    args.zorder.split(",")
+                    if args.zorder and not args.compact else None
+                ),
             )
             out["compacted_partitions_snapshot"] = snap.snapshot_id
         if args.create_tag:

@@ -2437,6 +2437,40 @@ class SnapshotCatalog(Catalog):
                                       "cols": cols}
         return new_entry
 
+    def _pruned_dv_state(
+        self, state: list[dict], masked_wh: set[str], seq: int, table: str
+    ) -> list[dict]:
+        """After a masked rewrite, positional-delete rows naming files
+        this commit just masked are DEAD — the rows they masked no
+        longer exist in any live entry. Shrink each DV sidecar to its
+        live rows (a new dir; old snapshots keep reading their own)
+        and DROP it when empty, so a scoped compaction that
+        materialized all the debt also retires the read-side
+        anti-join and lets ``changes()`` return to the fast file-diff
+        path. DV files are kilobytes by contract — this costs one
+        driver-cheap read per sidecar."""
+        from pyspark.sql import functions as F
+
+        out: list[dict] = []
+        for e in state:
+            if e.get("kind") != "pos_deletes":
+                out.append(e)
+                continue
+            dv = self.spark.read.parquet(os.path.join(self.warehouse, e["dir"]))
+            live = dv.where(~F.col("__file").isin(sorted(masked_wh)))
+            n_all, n_live = dv.count(), live.count()
+            if n_live == n_all:
+                out.append(e)
+                continue
+            if n_live == 0:
+                continue  # fully materialized: retire the sidecar
+            rel_new = f"{table}/snap-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel"
+            live.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.warehouse, rel_new)
+            )
+            out.append({**e, "dir": rel_new})
+        return out
+
     def _dml_rewrite(
         self, table, predicate, eq, where, assignments, op_name, lineage
     ) -> Snapshot:
@@ -2487,6 +2521,7 @@ class SnapshotCatalog(Catalog):
         new_state: list[dict] = []
         rewrite = None
         stats_cols: set[str] = set()
+        masked_wh: set[str] = set()
         bloom_meta: dict | None = None
         for i, e in enumerate(prev.state):
             if i not in cands:
@@ -2498,6 +2533,7 @@ class SnapshotCatalog(Catalog):
                 new_state.append(e)
                 continue
             rels = sorted(os.path.relpath(f, absdir) for f in hit)
+            masked_wh |= {os.path.join(e["dir"], r) for r in rels}
             new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
             bloom_meta = self._accumulate_skip_meta(e, stats_cols, bloom_meta)
             d = _open(absdir, hit, e)
@@ -2509,6 +2545,9 @@ class SnapshotCatalog(Catalog):
 
         del_entries = [e for e in prev.state if e.get("kind") == "eq_deletes"]
         rewrite = self._apply_delete_sidecars(rewrite, dv_entries, del_entries)
+        if dv_entries:
+            # DV rows naming just-masked files are dead; shrink/retire
+            new_state = self._pruned_dv_state(new_state, masked_wh, seq, table)
         if assignments:
             out = rewrite.withColumns({
                 c: F.when(matched, F.expr(v) if isinstance(v, str) else v)
@@ -2973,15 +3012,23 @@ class SnapshotCatalog(Catalog):
         never matches would un-delete the row."""
         from pyspark.sql import functions as F
 
-        prefix = "file:" + os.path.abspath(self.warehouse) + os.sep
+        # the scan may report the path as given OR symlink-resolved,
+        # so accept both prefixes; anything else raises loudly (a DV
+        # row whose file never matches would un-delete the row)
+        prefixes = list(dict.fromkeys(
+            "file:" + q + os.sep
+            for q in (os.path.abspath(self.warehouse),
+                      os.path.realpath(self.warehouse))
+        ))
         fp = F.col("_metadata.file_path")
-        rel = F.when(
-            fp.startswith(prefix), F.expr(
-                f"substring(_metadata.file_path, {len(prefix) + 1})"
-            )
-        ).otherwise(F.raise_error(F.concat(
+        rel = F.raise_error(F.concat(
             F.lit("file outside warehouse in deletion-vector scan: "), fp
-        )))
+        ))
+        for pre in reversed(prefixes):
+            rel = F.when(
+                fp.startswith(pre),
+                F.expr(f"substring(_metadata.file_path, {len(pre) + 1})"),
+            ).otherwise(rel)
         return [rel.alias("__file"),
                 F.col("_metadata.row_index").alias("__pos")]
 
@@ -3403,6 +3450,8 @@ class SnapshotCatalog(Catalog):
         rewrite = None
         scoped_bytes = 0
         stats_cols: set[str] = set()
+        masked_wh: set[str] = set()
+        leaves: set[str] = set()
         bloom_meta: dict | None = None
         for e in prev.state:
             if e.get("kind"):
@@ -3418,6 +3467,8 @@ class SnapshotCatalog(Catalog):
                 continue
             scoped_bytes += sum(os.path.getsize(f) for f in hit)
             rels = sorted(os.path.relpath(f, absdir) for f in hit)
+            masked_wh |= {os.path.join(e["dir"], r) for r in rels}
+            leaves |= {os.path.dirname(r) for r in rels}
             new_state.append({**e, "exclude": sorted(set(e["exclude"]) | set(rels))})
             bloom_meta = self._accumulate_skip_meta(e, stats_cols, bloom_meta)
             d = self._open_entry_files(absdir, hit, e, scan_schema)
@@ -3428,6 +3479,9 @@ class SnapshotCatalog(Catalog):
         if rewrite is None:
             return prev
         rewrite = self._apply_delete_sidecars(rewrite, dv_entries, eq_entries)
+        if dv_entries:
+            # the rewrite materialized the scoped debt; retire dead DV rows
+            new_state = self._pruned_dv_state(new_state, masked_wh, seq, table)
 
         n_files = max(1, -(-scoped_bytes // target_file_bytes))  # ceil
         if zorder_by:
@@ -3440,7 +3494,25 @@ class SnapshotCatalog(Catalog):
             rewrite = cluster_zorder(rewrite, zorder_by, n_partitions=n_files)
             stats_cols |= set(zorder_by)
         else:
-            rewrite = rewrite.repartition(n_files, *[F.col(c) for c in part_names])
+            # the scope usually pins the partition key to ONE value, so
+            # hashing on part_names alone would collapse to one task ⇒
+            # one giant file; spread each leaf over ceil(n_files/leaves)
+            # deterministic content-hash buckets so target_file_bytes
+            # is honored INSIDE the scoped partitions too
+            per_leaf = max(1, -(-n_files // max(1, len(leaves))))
+            if per_leaf > 1:
+                spread = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in rewrite.columns]),
+                    F.lit(per_leaf),
+                )
+                rewrite = rewrite.repartition(
+                    n_files, *[F.col(c) for c in part_names], spread
+                )
+            else:
+                rewrite = rewrite.repartition(
+                    min(n_files, max(1, len(leaves))),
+                    *[F.col(c) for c in part_names],
+                )
 
         snap_id = uuid.uuid4().hex[:16]
         rel_dir = f"{table}/snap-{seq:05d}-{snap_id}"
@@ -3519,7 +3591,11 @@ class SnapshotCatalog(Catalog):
         hist = self.history(table)
         if len(hist) <= keep_last:
             return []
-        keep, drop = hist[-keep_last:], hist[:-keep_last]
+        # keep_last=0 means "no newest-N floor" (pure age-based
+        # retention with older_than; the pointer snapshot is always
+        # re-added below) — hist[-0:] would silently keep EVERYTHING
+        keep = hist[len(hist) - keep_last:] if keep_last > 0 else []
+        drop = hist[:len(hist) - keep_last] if keep_last > 0 else list(hist)
         if older_than is not None:
             cutoff = self._as_epoch(older_than)
             if cutoff is None:  # a snapshot id: expire strictly before it

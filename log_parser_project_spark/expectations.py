@@ -62,6 +62,12 @@ def _check(spec: dict, i: int) -> None:
     elif kind == "referential":
         if not all(k in spec for k in ("col", "dim", "dim_col")):
             raise ValueError(f"spec {i}: referential needs col, dim, dim_col")
+        if isinstance(spec["dim"], str):
+            raise ValueError(
+                f"spec {i}: referential dim is the string {spec['dim']!r} — "
+                "resolve table names to DataFrames first via "
+                "resolve_dims(specs, catalog.read_table)"
+            )
     elif "col" not in spec:
         raise ValueError(f"spec {i}: {kind} needs col")
     if kind == "between" and spec.get("lo") is None and spec.get("hi") is None:
@@ -164,6 +170,20 @@ def evaluate(df: DataFrame, specs: list[dict]) -> list[dict]:
                 "passed": passed, "observed": bad,
             })
     return report
+
+
+def resolve_dims(specs: list[dict], lookup) -> list[dict]:
+    """Resolve referential specs whose ``dim`` is a TABLE NAME (the
+    only JSON-expressible form) into DataFrames via ``lookup`` (e.g.
+    ``catalog.read_table``). The one place every entry point — CLI
+    ``audit``, the spark-submit ``--audit-suite`` gate, notebooks —
+    shares, so dim-resolution semantics can't silently diverge."""
+    return [
+        {**sp, "dim": lookup(sp["dim"])}
+        if sp.get("expect") == "referential" and isinstance(sp.get("dim"), str)
+        else sp
+        for sp in specs
+    ]
 
 
 def violations(df: DataFrame, specs: list[dict]) -> list[str]:

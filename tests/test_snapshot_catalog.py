@@ -2215,6 +2215,69 @@ def test_compact_partitions_zorder_scoped_clustering(spark, cat):
         == sorted(rows)
 
 
+def test_compact_partitions_honors_target_bytes_inside_scope(spark, cat):
+    """A scope pinning the partition key must still split into
+    ~target-size files (hashing on part_names alone would collapse to
+    one task ⇒ one giant file)."""
+    rows = [(k, "a", f"v{k}-{k * 2654435761 % 10**9}" * 8) for k in range(4000)]
+    cat.write_table(_df(spark, rows).repartition(4), "t", partition_by=["route"])
+    s = cat.compact_partitions("t", {"route": "a"}, target_file_bytes=20_000)
+    fm = cat.files_metadata("t", as_of=s.snapshot_id)
+    live = fm.filter(F.col("snapshot_dir").contains(s.state[-1]["dir"]))
+    assert live.count() >= 2, live.count()  # split, not one giant file
+    assert cat.read_table("t").count() == 4000
+
+
+def test_compact_partitions_retires_materialized_dvs(spark, cat):
+    """A scoped compaction that materializes ALL of a DV's rows drops
+    the sidecar, so reads stop paying the anti-join and changes()
+    returns to the fast file-diff path."""
+    rows = [(k, "r" + str(k % 2), "v") for k in range(40)]
+    cat.write_table(_df(spark, rows), "t", partition_by=["route"])
+    cat.delete_where("t", where="k in (1, 3)", strategy="mor")  # route r1 only
+    s = cat.compact_partitions("t", {"route": "r1"})
+    assert not any(e.get("kind") for e in s.state), "DV fully retired"
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [k for k in range(40) if k not in (1, 3)]
+    # partial materialization SHRINKS the sidecar instead
+    cat.delete_where("t", where="k in (5, 6)", strategy="mor")  # r1 and r0
+    s2 = cat.compact_partitions("t", {"route": "r1"})
+    dvs = [e for e in s2.state if e.get("kind") == "pos_deletes"]
+    assert len(dvs) == 1
+    import os as _os
+    left = spark.read.parquet(
+        _os.path.join(cat.warehouse, dvs[0]["dir"])
+    ).count()
+    assert left == 1  # k=6 (route r0) still masked-on-read; k=5 materialized
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [k for k in range(40) if k not in (1, 3, 5, 6)]
+
+
+def test_cow_dml_prunes_dead_dv_rows(spark, cat):
+    """A CoW rewrite over DV-masked files retires the dead DV rows."""
+    rows = [(k, "a", "v" + str(k)) for k in range(10)]
+    cat.write_table(_df(spark, rows).coalesce(1), "t")  # ONE data file
+    cat.delete_where("t", eq=("k", 3), strategy="mor")
+    s = cat.delete_where("t", eq=("k", 7))  # CoW rewrite of that file
+    assert not any(e.get("kind") for e in s.state)
+    got = sorted(r.k for r in cat.read_table("t").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_expire_keep_zero_age_only_retention(spark, cat):
+    """keep_last=0 + older_than = pure age-based retention (the
+    pointer snapshot always survives); was a silent hist[-0:] no-op."""
+    import time as _time
+
+    cat.write_table(_df(spark, [(1, "a", "x")]), "t")
+    s2 = cat.write_table(_df(spark, [(2, "b", "y")]), "t")
+    _time.sleep(0.02)
+    removed = cat.expire_snapshots("t", keep_last=0, older_than=_time.time())
+    hist = cat.history("t")
+    assert [h.snapshot_id for h in hist] == [s2.snapshot_id]
+    assert removed  # s1's dir went
+
+
 def test_rewrite_unions_bloom_cols_across_entries(spark, cat):
     """Two scoped entries with blooms on DIFFERENT columns: the
     rewritten entry must carry the UNION (last-wins would silently
