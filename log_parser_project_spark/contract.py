@@ -63,7 +63,13 @@ def _import_all() -> None:
 #: j6-in-suite), A9 (error_ratio → pricing_summary), skew
 #: (salted_counts → q_skew_hot_join), SCD ×2 → latest_per_class,
 #: td ×3 / tx ×2 / dd ×2 / sim ×2 → the round-3 family queries now
-#: entering the window.
+#: entering the window. Late-r04: the five catalog feature queries
+#: registered after the window (q_br_branch_publish,
+#: q_schema_evolution, q_spec_evolution, q_txn_multitable,
+#: q_dq_expectations — all parity-green, never driver-checked) fold
+#: into the merged ``q_catalog_suite`` in place of q_j7_fact_join,
+#: whose J7 pin moves to the suite's txn constituent (a plain
+#: fact ⋈ dim USING join) on top of its r03 ledger green.
 WINDOW: tuple[str, ...] = (
     # flagships: the full parse→enrich→route pipeline under the strong gate
     "q_pl_routed_events",
@@ -71,7 +77,13 @@ WINDOW: tuple[str, ...] = (
     # retained §2 pins (multi-operator queries)
     "q_a9_pricing_summary",   # A9 F8 S4
     "q_j1_broadcast_enrich",  # J1 S7
-    "q_j7_fact_join",         # J7
+    # five round-4 catalog/quality pins in one slot (see
+    # queries_data.q_catalog_suite): branches, schema evolution,
+    # partition-spec evolution, multi-table transactions, expectations
+    # engine — plus J7 via the txn constituent's plain fact ⋈ dim join
+    # (q_j7_fact_join keeps its r03 driver green on the ledger and
+    # stays green in pytest parity).
+    "q_catalog_suite",        # K1 refs/evolution/txn/DQ + J7
     "q_w1_event_features",    # W1 W4 W5
     "q_s5_packet_decode",     # S5 P3 K3 P6 P8-reasons R6
     "q_j4_struct_flatten",    # J4

@@ -2368,3 +2368,180 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "expect string, detail string, passed boolean, observed long"
     ).orderBy("expect", "detail")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 catalog feature surface as one kind-tagged window slot
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_catalog_suite",
+    """
+    SELECT 'br' AS kind,
+           stage || ':' || CAST(k AS VARCHAR) AS key,
+           CAST(k AS BIGINT) AS n,
+           CAST(nk AS BIGINT) AS metric,
+           v AS detail
+    FROM (
+      WITH base AS (
+        SELECT s_suppkey AS k, s_nationkey AS nk, s_name AS v FROM supplier
+      )
+      SELECT 'main_before' AS stage, k, nk, v FROM base WHERE k % 2 = 0
+      UNION ALL
+      SELECT 'branch_audit' AS stage, k, nk, v FROM base
+      UNION ALL
+      SELECT 'main_after' AS stage, k, nk, v FROM base
+    )
+    UNION ALL
+    SELECT 'se', brand_name, CAST(n AS BIGINT), CAST(sum_sz AS BIGINT),
+           CAST(n_labeled AS VARCHAR)
+    FROM (
+      WITH base AS (
+        SELECT p_partkey AS k, p_brand AS brand_name, p_size AS sz FROM part
+      )
+      SELECT brand_name,
+             COUNT(*) AS n,
+             CAST(SUM(sz) AS BIGINT) AS sum_sz,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_labeled
+      FROM base GROUP BY brand_name
+    )
+    UNION ALL
+    SELECT 'pse', etype, CAST(n AS BIGINT), sum_cents,
+           CAST(min_k AS VARCHAR) || ':' || CAST(max_k AS VARCHAR)
+    FROM (
+      WITH base AS (
+        SELECT event_id AS k, ts, event_type AS etype,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+      )
+      SELECT etype,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             MIN(k) AS min_k,
+             MAX(k) AS max_k
+      FROM base
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+      GROUP BY etype
+    )
+    UNION ALL
+    SELECT 'txn', status || ':' || seg, CAST(n AS BIGINT), sum_cents, ''
+    FROM (
+      WITH f AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+      ),
+      d AS (
+        SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer
+      )
+      SELECT status, seg,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM f JOIN d USING (ck)
+      GROUP BY status, seg
+    )
+    UNION ALL
+    SELECT 'dq', expect || ':' || detail, observed,
+           CAST(CASE WHEN passed THEN 1 ELSE 0 END AS BIGINT), ''
+    FROM (
+      WITH docs AS (SELECT * FROM documents)
+      SELECT 'row_count_between' AS expect, '[1, None]' AS detail,
+             COUNT(*) >= 1 AS passed,
+             CAST(COUNT(*) AS BIGINT) AS observed FROM docs
+      UNION ALL
+      SELECT 'not_null', 'text',
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'unique', 'doc_id',
+             COUNT(*) - COUNT(DISTINCT doc_id) = 0,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'accepted_values', 'lang',
+             SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr')
+                 THEN 1 ELSE 0 END) = 0,
+             CAST(SUM(CASE WHEN lang IS NULL
+                           OR lang NOT IN ('en','de','es','fr')
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'between', 'n_chars',
+             SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 300
+                 THEN 1 ELSE 0 END) = 0,
+             CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                           OR n_chars > 300
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'matches_regex', 'source ~ /^src[0-9]+$/',
+             SUM(CASE WHEN source IS NULL
+                      OR NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) = 0,
+             CAST(SUM(CASE WHEN source IS NULL
+                      OR NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'referential', 'lang in dim.lang',
+             SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                 (SELECT DISTINCT lang FROM docs WHERE lang <> 'zh')
+                 THEN 1 ELSE 0 END) = 0,
+             CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                 (SELECT DISTINCT lang FROM docs WHERE lang <> 'zh')
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+    )
+    ORDER BY kind, key
+    """,
+)
+def q_catalog_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 window compaction: the five catalog/quality feature
+    pins as one kind-tagged union over the SAME proven
+    implementations — branch write→audit→fast_forward (``br``),
+    metadata-only schema evolution read through one logical schema
+    (``se``), hidden partition-spec evolution with mixed-layout range
+    reads (``pse``), multi-table atomic transactions with an aborted
+    second transaction (``txn`` — also a plain fact ⋈ dim USING join,
+    carrying J7's pin), and the declarative expectations engine with
+    value-checked violation counts (``dq``). Every constituent
+    DataFrame comes from its original registered callable
+    (q_br_branch_publish, q_schema_evolution, q_spec_evolution,
+    q_txn_multitable, q_dq_expectations — each parity-green at sf0.01
+    AND sf0.1) re-projected onto the common
+    (kind, key, n, metric, detail) schema, so this slot value-checks
+    the identical catalog workflows the per-feature queries run in
+    pytest parity."""
+    z = F.lit(0).cast("long")
+    e = F.lit("")
+
+    def shape(df: DataFrame, kind: str, key, n=None, metric=None,
+              detail=None) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            key.cast("string").alias("key"),
+            (n if n is not None else z).cast("long").alias("n"),
+            (metric if metric is not None else z).cast("long").alias("metric"),
+            (detail if detail is not None else e).alias("detail"),
+        )
+
+    parts = [
+        shape(q_br_branch_publish(spark, sf_dir), "br",
+              F.concat("stage", F.lit(":"), F.col("k").cast("string")),
+              n=F.col("k"), metric=F.col("nk"), detail=F.col("v")),
+        shape(q_schema_evolution(spark, sf_dir), "se", F.col("brand_name"),
+              n=F.col("n"), metric=F.col("sum_sz"),
+              detail=F.col("n_labeled").cast("string")),
+        shape(q_spec_evolution(spark, sf_dir), "pse", F.col("etype"),
+              n=F.col("n"), metric=F.col("sum_cents"),
+              detail=F.concat(F.col("min_k").cast("string"), F.lit(":"),
+                              F.col("max_k").cast("string"))),
+        shape(q_txn_multitable(spark, sf_dir), "txn",
+              F.concat("status", F.lit(":"), "seg"),
+              n=F.col("n"), metric=F.col("sum_cents")),
+        shape(q_dq_expectations(spark, sf_dir), "dq",
+              F.concat("expect", F.lit(":"), "detail"),
+              n=F.col("observed"), metric=F.col("passed").cast("long")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
