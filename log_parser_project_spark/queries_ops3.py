@@ -587,20 +587,44 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_r4_stream_hourly",
     """
-    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
-           event_type,
-           COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    SELECT 'hourly' AS kind,
+           event_type AS key,
+           CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(0 AS BIGINT) AS metric
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'ssj', CAST(user_id AS VARCHAR), MIN(view_id),
+           COUNT(*), CAST(SUM(lag_sec) AS BIGINT)
+    FROM (
+      SELECT l.event_id AS view_id, l.user_id AS user_id,
+             CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS BIGINT)
+               AS lag_sec
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+      WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    ) GROUP BY user_id
     """,
 )
 def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming (R4) value-checked against a batch oracle:
-    readStream over the events parquet → stateful hourly aggregate →
-    availableNow drain into a memory sink (complete mode). The final
-    streaming state must equal the plain batch GROUP BY — the
-    micro-batch incremental aggregation is exercised for real
-    (maxFilesPerTrigger on a multi-file copy is covered in
-    tests/test_checkpoint_streaming.py; the driver table is one file)."""
+    """Structured Streaming (R4) value-checked against a batch oracle,
+    two constituents kind-tagged onto one frame:
+
+    - ``hourly`` — readStream over the events parquet → stateful
+      hourly aggregate → availableNow drain into a memory sink
+      (complete mode). The final streaming state must equal the plain
+      batch GROUP BY — the micro-batch incremental aggregation is
+      exercised for real (maxFilesPerTrigger on a multi-file copy is
+      covered in tests/test_checkpoint_streaming.py; the driver table
+      is one file).
+    - ``ssj`` — the stream-stream watermarked interval join
+      (q_ss_interval_join's registered callable verbatim: two
+      readStream sources, symmetric stateful hash join on user_id
+      within 1 hour, append-mode drain), aggregated per user so the
+      pair count AND the summed lag pin the row-level pairing against
+      the oracle's batch interval join. The full row-level variant
+      stays registered (q_ss_interval_join) and parity-checked."""
     import os
     import tempfile
     import uuid
@@ -635,6 +659,126 @@ def q_r4_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink — repeated invocations must not accumulate
     # session-lifetime temp views, and the returned frame must not depend
     # on the sink staying registered
+    sink = spark.table(name)
+    rows = sink.collect()
+    hourly = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+
+    pairs = q_ss_interval_join(spark, sf_dir)
+    ssj = pairs.groupBy("user_id").agg(
+        F.min("view_id").alias("bucket"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lag_sec").alias("metric"),
+    )
+    return hourly.select(
+        F.lit("hourly").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("hour_epoch").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("metric"),
+    ).unionByName(
+        ssj.select(
+            F.lit("ssj").alias("kind"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.col("metric").cast("long").alias("metric"),
+        )
+    )
+
+
+@_register(
+    "q_ss_interval_join",
+    """
+    SELECT l.event_id AS view_id, r.event_id AS purchase_id,
+           l.user_id AS user_id,
+           CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS BIGINT)
+             AS lag_sec
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+)
+def q_ss_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (R4 family) under the
+    oracle gate: TWO readStream sources over the events table — the
+    view stream joined to the purchase stream on user_id within 1 hour
+    via ``streaming/stream.py::stream_interval_join`` (symmetric
+    stateful hash join; state bounded by watermark + bound, evicted by
+    event time) — drained availableNow into an append-mode memory
+    sink. The emitted pair set must equal the plain batch interval
+    join the DuckDB oracle runs; cross-micro-batch pairing and
+    left-outer horizon semantics are pinned in
+    tests/test_checkpoint_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stream import stream_interval_join
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dirs: list[str] = []
+
+    def src() -> DataFrame:
+        # the file streaming source requires a DIRECTORY (one per
+        # stream — each side keeps independent source offsets)
+        d = tempfile.mkdtemp(prefix="q_ss_src_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        dirs.append(d)
+        return spark.readStream.schema(schema).parquet(d)
+
+    # watermarks require TIMESTAMP; the table stores TIMESTAMP_NTZ —
+    # the cast is value-stable (session timezone pinned to UTC) and the
+    # output carries only the lag difference, not the instants
+    views = (
+        src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    buys = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("r_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        views, buys, key="user_id", left_ts="ts", right_ts="r_ts",
+        upper="1 hour", watermark="40 days",  # covers the 30-day table
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        # div = integer division on longs; both sides non-negative so
+        # trunc ≡ floor and DuckDB's BIGINT // agrees exactly
+        F.expr("(unix_micros(r_ts) - unix_micros(ts)) div 1000000")
+        .cast("long")
+        .alias("lag_sec"),
+    )
+    name = f"q_ss_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)  # sources fully drained
     sink = spark.table(name)
     rows = sink.collect()
     out = spark.createDataFrame(rows, sink.schema)

@@ -199,3 +199,58 @@ def dedup_within_watermark(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked event-time interval join of two streams — the
+    request→response correlation op (a user turn joined to the
+    assistant/tool turn that answers it within ``upper``), which
+    ``foreachBatch`` per-batch joins cannot express: the two sides of
+    a pair may arrive in different micro-batches.
+
+    Semantics (Spark's symmetric stateful hash join): each side
+    buffers rows in state; a pair emits when its second row arrives;
+    the interval inequalities (``left_ts <= right_ts <= left_ts +
+    upper``) plus the watermarks on BOTH sides let Spark evict state
+    older than ``watermark + upper`` — without the time bound the
+    state grows with the whole stream. Rows within the watermark are
+    guaranteed to match across micro-batches (pinned in the
+    cross-batch pytest); rows trailing the watermark horizon may be
+    dropped — size ``watermark`` to the maximum event-time lag of a
+    late response, not its wall-clock lag. ``how="left_outer"``
+    additionally emits unmatched left rows (null right columns) once
+    the watermark crosses ``left_ts + upper`` — the "request never
+    answered" audit stream — which needs the watermark to keep
+    advancing: an availableNow drain only flushes horizons some LATER
+    batch's watermark has already crossed, so tail-of-stream
+    unanswered requests stay buffered (by design; a final empty batch
+    has no new watermark).
+
+    Scale: state is hash-partitioned on ``key`` (the same conv_id
+    shuffle the batch pipeline uses) and bounded by the event-time
+    horizon × arrival rate, not the stream length. The two event-time
+    columns MUST be named differently (asserted): Spark resolves the
+    interval condition by name across the join.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must differ (both {left_ts!r}): rename "
+            "one side so the interval condition is unambiguous"
+        )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -304,3 +304,155 @@ def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
     )
     spark.catalog.dropTempView("dedup_wm")
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# stream-stream watermarked interval join
+# ---------------------------------------------------------------------------
+
+_REQ_SCHEMA = "req_id long, user_id long, ts timestamp"
+_RSP_SCHEMA = "rsp_id long, user_id long, r_ts timestamp"
+
+
+def _one_file(spark, rows, schema, path, mtime):
+    """One parquet FILE (not dir) with a controlled mtime — the file
+    source orders discovery by modification time, so each (mtime,
+    file) step below is one maxFilesPerTrigger=1 micro-batch."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    df.write.mode("overwrite").parquet(path + ".tmp")
+    part = glob.glob(path + ".tmp/part-*.parquet")[0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(path + ".tmp")
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_interval_join_matches_batch_across_batches(spark, tmp_path):
+    """Pairs whose two sides arrive in DIFFERENT micro-batches must
+    still join via the symmetric state — the capability foreachBatch
+    per-batch joins lack."""
+    import datetime as dt
+
+    from log_parser_project_spark.streaming.stream import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ldir, rdir = str(tmp_path / "req"), str(tmp_path / "rsp")
+    # batch 1: requests 1..3 (left) + one keyless response (right);
+    # batch 2: request 4 and ALL the real responses — users 10/12/13
+    # pair inside the 1-hour bound, user 11's response at +89min is out
+    _one_file(spark, [(1, 10, at(0)), (2, 11, at(1)), (3, 12, at(2))],
+              _REQ_SCHEMA, f"{ldir}/f1.parquet", 1_000_000)
+    _one_file(spark, [(90, 99, at(0))],
+              _RSP_SCHEMA, f"{rdir}/f1.parquet", 1_000_000)
+    _one_file(spark, [(4, 13, at(3))],
+              _REQ_SCHEMA, f"{ldir}/f2.parquet", 1_000_100)
+    _one_file(spark, [(101, 10, at(30)), (102, 11, at(90)),
+                      (103, 12, at(59)), (104, 13, at(4))],
+              _RSP_SCHEMA, f"{rdir}/f2.parquet", 1_000_100)
+
+    left = (spark.readStream.schema(_REQ_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(ldir))
+    right = (spark.readStream.schema(_RSP_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(rdir))
+    joined = stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="r_ts",
+        upper="1 hour", watermark="1 day",
+    ).select("req_id", "rsp_id")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_xbatch").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.req_id, r.rsp_id) for r in spark.table("ssj_xbatch").collect()}
+    spark.catalog.dropTempView("ssj_xbatch")
+
+    assert got == {(1, 101), (3, 103), (4, 104)}
+
+
+def test_stream_interval_join_left_outer_emits_unanswered(spark, tmp_path):
+    """left_outer: a request with no response inside [ts, ts+upper]
+    emits (req, null) once a later batch's watermark crosses its
+    horizon — the 'request never answered' audit stream."""
+    import datetime as dt
+
+    from log_parser_project_spark.streaming.stream import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    ldir, rdir = str(tmp_path / "req"), str(tmp_path / "rsp")
+    # batch 1: the unanswered request (1) + an answered pair (2/201)
+    _one_file(spark, [(1, 10, at()), (2, 11, at(minutes=1))],
+              _REQ_SCHEMA, f"{ldir}/f1.parquet", 1_000_000)
+    _one_file(spark, [(201, 11, at(minutes=5))],
+              _RSP_SCHEMA, f"{rdir}/f1.parquet", 1_000_000)
+    # batch 2: both sides jump 3 days ahead → after this batch commits
+    # the (min-of-sources) watermark sits far past req 1's horizon
+    _one_file(spark, [(8, 77, at(days=3))],
+              _REQ_SCHEMA, f"{ldir}/f2.parquet", 1_000_100)
+    _one_file(spark, [(208, 77, at(days=3, minutes=1))],
+              _RSP_SCHEMA, f"{rdir}/f2.parquet", 1_000_100)
+    # batch 3: one more batch so state eviction RUNS with that watermark
+    _one_file(spark, [(9, 78, at(days=3, minutes=2))],
+              _REQ_SCHEMA, f"{ldir}/f3.parquet", 1_000_200)
+    _one_file(spark, [(209, 78, at(days=3, minutes=3))],
+              _RSP_SCHEMA, f"{rdir}/f3.parquet", 1_000_200)
+
+    left = (spark.readStream.schema(_REQ_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(ldir))
+    right = (spark.readStream.schema(_RSP_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(rdir))
+    joined = stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="r_ts",
+        upper="1 hour", watermark="10 minutes", how="left_outer",
+    ).select("req_id", "rsp_id")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_outer").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.req_id, r.rsp_id) for r in spark.table("ssj_outer").collect()}
+    spark.catalog.dropTempView("ssj_outer")
+
+    assert {(2, 201), (8, 208), (9, 209)} <= got
+    assert (1, None) in got          # null-extended after the horizon
+    assert not any(a == 1 and b is not None for a, b in got)
+
+
+def test_stream_interval_join_rejects_same_ts_name(spark):
+    from log_parser_project_spark.streaming.stream import stream_interval_join
+
+    df = spark.createDataFrame([], _REQ_SCHEMA)
+    with pytest.raises(ValueError, match="must differ"):
+        stream_interval_join(df, df, key="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_q_ss_interval_join_streaming_equals_batch(spark, sf_dir):
+    """The registered query's streaming pair set equals the plain batch
+    interval join over the same table (the DuckDB oracle's shape)."""
+    from log_parser_project_spark.contract import ordered_queries
+
+    fn, _sql = ordered_queries()["q_ss_interval_join"]
+    out = fn(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("lts"))
+    r = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("rts"))
+    batch = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    exp = {(x.view_id, x.purchase_id)
+           for x in batch.select("view_id", "purchase_id").collect()}
+    assert {(x.view_id, x.purchase_id) for x in out.collect()} == exp
