@@ -2545,3 +2545,64 @@ def q_catalog_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "q_mv_incremental",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT k, g,
+             CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM base
+      WHERE k % 7 <> 0
+    )
+    SELECT g, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+    FROM final GROUP BY g ORDER BY g
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance pinned to an oracle:
+    ``orders`` becomes a snapshot table grown in four commits —
+    initial write (k%3 != 0), append (k%3 == 0), a copy-on-write
+    UPDATE (+7 cents on every k%10 == 0), and a row-level DELETE
+    (k%7 == 0) — with a materialized aggregate
+    (GROUP BY o_orderpriority → COUNT + SUM cents) created after the
+    first commit and REFRESHED after each mutation. Every refresh is
+    an O(delta) signed-delta append driven by the base changelog
+    (``plans/matview.py``): the base is scanned once at create and
+    never again. The oracle recomputes the final aggregate directly
+    from the source rows, so this query fails if delta folding,
+    update delete+insert pairing, zero-group netting, or the
+    compaction that runs last ever drifts from a full recompute."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+    from .plans.matview import (
+        compact_matview,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="mv_wh_"))
+    cat.write_table(base.filter(F.col("k") % 3 != 0), "t")
+    create_matview(cat, "mv", "t", ["g"], {"sum_cents": "cents"})
+    cat.write_table(base.filter(F.col("k") % 3 == 0), "t", mode="append")
+    refresh_matview(cat, "mv")
+    cat.update_where("t", {"cents": F.col("cents") + 7},
+                     where=F.col("k") % 10 == 0)
+    refresh_matview(cat, "mv")
+    cat.delete_where("t", where=F.col("k") % 7 == 0)
+    refresh_matview(cat, "mv")
+    compact_matview(cat, "mv")
+    return read_matview(cat, "mv").orderBy("g")

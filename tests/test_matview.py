@@ -1,0 +1,179 @@
+"""Incremental materialized-view maintenance (plans/matview.py):
+create = the only base scan; refresh = O(delta) signed-delta append
+driven by the base changelog; read = netted groupBy; compact =
+consolidation that commutes with refresh. Every mutation kind the
+catalog offers (append, merge update, row-level delete, MoR upsert,
+base compaction) must net the view to the same result as a full
+recompute over the base's current state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_parser_project_spark.catalog import Catalog, SnapshotCatalog
+from log_parser_project_spark.plans.matview import (
+    compact_matview,
+    create_matview,
+    matview_status,
+    read_matview,
+    refresh_matview,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+
+def _rows(spark, ks, grp=lambda k: "g%d" % (k % 3), cents=lambda k: 100 * k):
+    return spark.createDataFrame(
+        [(k, grp(k), cents(k)) for k in ks], "k int, g string, cents long"
+    )
+
+
+def _recompute(cat):
+    return (
+        cat.read_table("base")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+def _netted_rows(cat):
+    return {
+        r.g: (r.n_rows, r.sum_cents)
+        for r in read_matview(cat, "mv").collect()
+    }
+
+
+def _expected(cat):
+    return {r.g: (r.n_rows, r.sum_cents) for r in _recompute(cat).collect()}
+
+
+def test_create_equals_direct_aggregate(spark, cat):
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_refresh_after_append_is_delta_sized(spark, cat):
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    # append touches only group g1 (k=31,34 -> g1? 31%3=1, 34%3=1)
+    cat.write_table(_rows(spark, [31, 34]), "base", mode="append")
+    snap = refresh_matview(cat, "mv")
+    assert snap is not None
+    # the delta commit holds rows proportional to touched GROUPS (1),
+    # not the base or the view
+    assert snap.row_count == 1
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_refresh_noop_when_base_unchanged(spark, cat):
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    before = cat.snapshot("mv").snapshot_id
+    assert refresh_matview(cat, "mv") is None
+    assert cat.snapshot("mv").snapshot_id == before
+    assert matview_status(cat, "mv")["fresh"] is True
+
+
+def test_refresh_folds_update_delete_and_upsert(spark, cat):
+    cat.write_table(_rows(spark, range(1, 61)), "base", partition_by=["g"])
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    # CoW update: every k%10==0 gains 7 cents
+    cat.update_where("base", {"cents": F.col("cents") + 7},
+                     where=F.col("k") % 10 == 0)
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+    # row-level delete: k%7==0 leaves
+    cat.delete_where("base", where=F.col("k") % 7 == 0)
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+    # MoR upsert: k%4==0 rewritten with new cents + one new key
+    upsert = _rows(spark, [100], cents=lambda k: 55).unionByName(
+        _rows(spark, [k for k in range(1, 61) if k % 4 == 0 and k % 7 != 0],
+              cents=lambda k: 1)
+    )
+    cat.merge(upsert, "base", on=["k"], strategy="mor")
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_group_netted_to_zero_disappears(spark, cat):
+    cat.write_table(_rows(spark, range(1, 10)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.delete_where("base", where=F.col("g") == "g0")
+    refresh_matview(cat, "mv")
+    netted = _netted_rows(cat)
+    assert "g0" not in netted
+    assert netted == _expected(cat)
+
+
+def test_base_compaction_yields_empty_delta(spark, cat):
+    cat.write_table(_rows(spark, range(1, 21)), "base")
+    cat.write_table(_rows(spark, range(21, 41)), "base", mode="append")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.compact("base")
+    snap = refresh_matview(cat, "mv")
+    # the pin must advance (commit happens) but carryover elimination
+    # makes the delta EMPTY — a pure rewrite changes no group
+    assert snap is not None and snap.row_count == 0
+    assert matview_status(cat, "mv")["fresh"] is True
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_compact_matview_commutes_with_refresh(spark, cat):
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, range(31, 46)), "base", mode="append")
+    refresh_matview(cat, "mv")
+    before = _netted_rows(cat)
+    mv_pin = matview_status(cat, "mv")["pinned_base_snapshot"]
+    compact_matview(cat, "mv")
+    # results identical, one physical row per live group, pin untouched
+    assert _netted_rows(cat) == before
+    assert cat.read_table("mv").count() == len(before)
+    assert matview_status(cat, "mv")["pinned_base_snapshot"] == mv_pin
+    # and refresh keeps working after compaction
+    cat.write_table(_rows(spark, [100, 101]), "base", mode="append")
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_count_only_view_and_reserved_measure(spark, cat):
+    cat.write_table(_rows(spark, range(1, 13)), "base")
+    create_matview(cat, "mv", "base", ["g"])
+    got = {r.g: r.n_rows for r in read_matview(cat, "mv").collect()}
+    assert got == {g: n for g, (n, _) in _expected(cat).items()}
+    with pytest.raises(ValueError, match="reserved"):
+        create_matview(cat, "mv2", "base", ["g"], {"n_rows": "cents"})
+
+
+def test_status_lag_counts_base_commits(spark, cat):
+    cat.write_table(_rows(spark, range(1, 6)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [7]), "base", mode="append")
+    cat.write_table(_rows(spark, [8]), "base", mode="append")
+    st = matview_status(cat, "mv")
+    assert st["lag_commits"] == 2 and st["fresh"] is False
+    refresh_matview(cat, "mv")
+    assert matview_status(cat, "mv")["lag_commits"] == 0
+
+
+def test_plain_catalog_rejected(spark, tmp_path):
+    plain = Catalog(spark, str(tmp_path / "plain"))
+    plain.write_table(_rows(spark, range(1, 4)), "base")
+    with pytest.raises(ValueError, match="SnapshotCatalog"):
+        create_matview(plain, "mv", "base", ["g"])
+
+
+def test_non_matview_table_rejected(spark, cat):
+    cat.write_table(_rows(spark, range(1, 4)), "plain_t")
+    with pytest.raises(LookupError, match="not a materialized view"):
+        refresh_matview(cat, "plain_t")
+    with pytest.raises(LookupError, match="no materialized view"):
+        read_matview(cat, "absent")
