@@ -145,6 +145,38 @@ def main(argv: list[str] | None = None) -> int:
                       help="audit a past or STAGED snapshot (id or instant) "
                            "instead of the current one")
 
+    p_mv = sub.add_parser(
+        "matview",
+        help="incremental materialized views (plans/matview.py): "
+             "create a COUNT/SUM aggregate view over a base table, "
+             "refresh it O(delta) from the base changelog, compact "
+             "its delta rows, report freshness, print contents",
+    )
+    p_mv.add_argument("--warehouse", required=True)
+    p_mv.add_argument("--view", required=True)
+    p_mv.add_argument("--create-over", metavar="BASE_TABLE",
+                      help="create the view over this base table "
+                           "(requires --group-by; the only full base "
+                           "scan the view ever takes)")
+    p_mv.add_argument("--group-by", metavar="COL[,COL...]",
+                      help="grouping keys for --create-over")
+    p_mv.add_argument("--sum", metavar="OUT=SRC", action="append",
+                      help="SUM measure: output column OUT = SUM(base "
+                           "column SRC); repeatable; COUNT(*) n_rows "
+                           "is always included")
+    p_mv.add_argument("--refresh", action="store_true",
+                      help="fold base commits since the view's pin "
+                           "into one signed-delta append (no-op when "
+                           "the base hasn't advanced)")
+    p_mv.add_argument("--compact", action="store_true",
+                      help="consolidate delta rows to one per group "
+                           "(the pin stays put)")
+    p_mv.add_argument("--status", action="store_true",
+                      help="freshness: pinned vs current base "
+                           "snapshot and commit lag, metadata-only")
+    p_mv.add_argument("--print", dest="show_rows", action="store_true",
+                      help="print the netted view contents")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -184,6 +216,47 @@ def main(argv: list[str] | None = None) -> int:
         report = ex.evaluate(cat.read_table(args.table, as_of=args.as_of), specs)
         print(json.dumps(report, indent=2, default=str))
         return 0 if all(r["passed"] for r in report) else 1
+
+    if args.cmd == "matview":
+        from .catalog import SnapshotCatalog
+        from .plans import matview as mv
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        out = {}
+        if args.create_over:
+            if not args.group_by:
+                ap.error("--create-over requires --group-by")
+            sums = {}
+            for kv in args.sum or []:
+                if "=" not in kv:
+                    ap.error(f"--sum needs OUT=SRC, got {kv!r}")
+                k, v = kv.split("=", 1)
+                sums[k] = v
+            snap = mv.create_matview(
+                cat, args.view, args.create_over,
+                args.group_by.split(","), sums,
+            )
+            out["created"] = snap.snapshot_id
+        elif args.sum or args.group_by:
+            ap.error("--group-by/--sum only apply with --create-over")
+        if args.refresh:
+            snap = mv.refresh_matview(cat, args.view)
+            out["refreshed"] = (
+                {"snapshot": snap.snapshot_id, "delta_rows": snap.row_count}
+                if snap is not None else None
+            )
+        if args.compact:
+            out["compacted"] = mv.compact_matview(cat, args.view).snapshot_id
+        if args.status:
+            out["status"] = mv.matview_status(cat, args.view)
+        if args.show_rows:
+            df = mv.read_matview(cat, args.view)
+            out["rows"] = [
+                r.asDict(recursive=True)
+                for r in df.orderBy(*df.columns).collect()
+            ]
+        print(json.dumps(out, indent=2, default=str))
+        return 0
 
     if args.cmd == "maintain":
         from .catalog import SnapshotCatalog

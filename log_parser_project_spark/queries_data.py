@@ -2561,7 +2561,7 @@ def q_catalog_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
       WHERE k % 7 <> 0
     )
-    SELECT g, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+    SELECT g, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM final GROUP BY g ORDER BY g
     """,
 )

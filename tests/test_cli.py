@@ -167,3 +167,44 @@ def test_cli_maintain_branches(spark, tmp_path):
                           "--fast-forward", "wip", "--show", "refs"))
     assert out["fast_forwarded"] == {"wip": b1.snapshot_id}
     assert cat.read_table("t").count() == 2
+
+
+def test_cli_matview_create_refresh_status_print(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    cat.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k int, g string, cents long",
+        ),
+        "base",
+    )
+    out = json.loads(_run(
+        "matview", "--warehouse", wh, "--view", "mv",
+        "--create-over", "base", "--group-by", "g", "--sum", "sum_cents=cents",
+        "--status", "--print",
+    ))
+    assert out["created"] and out["status"]["fresh"] is True
+    assert out["rows"] == [
+        {"g": "a", "n_rows": 2, "sum_cents": 40},
+        {"g": "b", "n_rows": 1, "sum_cents": 20},
+    ]
+    # base advances out-of-process; refresh folds it and reports delta size
+    cat.write_table(
+        spark.createDataFrame([(4, "b", 5)], "k int, g string, cents long"),
+        "base", mode="append",
+    )
+    out = json.loads(_run(
+        "matview", "--warehouse", wh, "--view", "mv",
+        "--refresh", "--compact", "--print",
+    ))
+    assert out["refreshed"]["delta_rows"] == 1
+    assert out["rows"] == [
+        {"g": "a", "n_rows": 2, "sum_cents": 40},
+        {"g": "b", "n_rows": 2, "sum_cents": 25},
+    ]
+    # idle refresh is a no-op commit-wise
+    out = json.loads(_run("matview", "--warehouse", wh, "--view", "mv", "--refresh"))
+    assert out["refreshed"] is None
