@@ -158,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
                       help="create the view over this base table "
                            "(requires --group-by; the only full base "
                            "scan the view ever takes)")
+    p_mv.add_argument("--replace", action="store_true",
+                      help="allow --create-over to rebuild an "
+                           "existing view (refused otherwise)")
     p_mv.add_argument("--group-by", metavar="COL[,COL...]",
                       help="grouping keys for --create-over")
     p_mv.add_argument("--sum", metavar="OUT=SRC", action="append",
@@ -176,6 +179,9 @@ def main(argv: list[str] | None = None) -> int:
                            "snapshot and commit lag, metadata-only")
     p_mv.add_argument("--print", dest="show_rows", action="store_true",
                       help="print the netted view contents")
+    p_mv.add_argument("--limit", type=int, default=1000,
+                      help="row cap for --print (a view grouped by a "
+                           "high-cardinality key can be huge)")
 
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
@@ -231,10 +237,15 @@ def main(argv: list[str] | None = None) -> int:
                 if "=" not in kv:
                     ap.error(f"--sum needs OUT=SRC, got {kv!r}")
                 k, v = kv.split("=", 1)
+                if k in sums:
+                    ap.error(f"--sum output {k!r} given twice")
+                if k == "n_rows":
+                    ap.error("--sum output 'n_rows' is reserved for the "
+                             "always-included COUNT(*) measure")
                 sums[k] = v
             snap = mv.create_matview(
                 cat, args.view, args.create_over,
-                args.group_by.split(","), sums,
+                args.group_by.split(","), sums, replace=args.replace,
             )
             out["created"] = snap.snapshot_id
         elif args.sum or args.group_by:
@@ -251,10 +262,17 @@ def main(argv: list[str] | None = None) -> int:
             out["status"] = mv.matview_status(cat, args.view)
         if args.show_rows:
             df = mv.read_matview(cat, args.view)
-            out["rows"] = [
+            # deterministic page, like the changes command: same
+            # invocation, same rows — never an unbounded collect
+            rows = [
                 r.asDict(recursive=True)
-                for r in df.orderBy(*df.columns).collect()
+                for r in df.orderBy(*df.columns).limit(args.limit + 1).collect()
             ]
+            if len(rows) > args.limit:
+                rows = rows[: args.limit]
+                print(f"(showing first {args.limit} rows; raise --limit "
+                      "for more)", file=sys.stderr)
+            out["rows"] = rows
         print(json.dumps(out, indent=2, default=str))
         return 0
 

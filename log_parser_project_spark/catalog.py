@@ -823,6 +823,7 @@ class SnapshotCatalog(Catalog):
         staged: bool = False,
         branch: str | None = None,
         distribution: str | None = None,
+        expected_parent: str | None = None,
     ) -> Snapshot:
         """Commit one snapshot. ``staged=True`` is Iceberg's
         write-audit-publish: the data and the manifest log line are
@@ -831,6 +832,17 @@ class SnapshotCatalog(Catalog):
         via ``read_table(as_of=staged.snapshot_id)``; :meth:`publish`
         makes it live, an abandoned stage is swept by
         :meth:`remove_orphan_files(sweep_staged=True)`.
+
+        ``expected_parent`` is Iceberg's validate-from-snapshot
+        (serializable isolation for state-DEPENDENT writes): the commit
+        succeeds only if, at lock time, the table's head is exactly
+        that snapshot id — any concurrent advance raises
+        :class:`CommitConflict` instead of the fast-append REBASE an
+        unconditional append would get. Pass the snapshot id the
+        write's content was computed FROM whenever that content stops
+        being a pure delta under a different parent (incremental view
+        deltas, read-modify-write consolidations); leave None for
+        order-independent appends, which keep the cheap rebase.
 
         ``stats_cols`` opts the commit into
         manifest-level file statistics: per-file min/max for those
@@ -1026,7 +1038,7 @@ class SnapshotCatalog(Catalog):
             summary=self._dir_summary([abs_dir], row_count, len(state)),
             staged=staged,
         )
-        return self._commit(table, snap, branch=branch)
+        return self._commit(table, snap, branch=branch, expected_parent=expected_parent)
 
     # --------------------------------------------------- multi-table commit
     @property
@@ -1468,7 +1480,13 @@ class SnapshotCatalog(Catalog):
              "to": new_t.simpleString()},
         )
 
-    def _commit(self, table: str, snap: Snapshot, branch: str | None = None) -> Snapshot:
+    def _commit(
+        self,
+        table: str,
+        snap: Snapshot,
+        branch: str | None = None,
+        expected_parent: str | None = None,
+    ) -> Snapshot:
         """THE commit protocol, shared by every commit path
         (write_table, publish, merge-on-read, DML, branch writes):
         validate, append the snapshot's log line, then atomically flip
@@ -1516,6 +1534,18 @@ class SnapshotCatalog(Catalog):
             if not snap.staged:
                 cur = self.snapshot(table)
                 cur_id = cur.snapshot_id if cur else None
+                if expected_parent is not None and cur_id != expected_parent:
+                    # validate-from-snapshot: the caller's content was
+                    # computed FROM expected_parent, so a rebase onto a
+                    # different head would be semantically wrong even
+                    # for an append (e.g. an incremental-view delta
+                    # applied twice) — conflict, never rebase
+                    raise CommitConflict(
+                        f"table {table!r} advanced concurrently (head is "
+                        f"{cur_id!r}, this commit requires parent "
+                        f"{expected_parent!r}); re-read the table state "
+                        "and retry the operation"
+                    )
                 if cur_id != snap.parent_id:
                     snap = self._rebase_or_conflict(table, snap, cur)
             with open(self._log_path(table), "a") as f:
@@ -3134,7 +3164,20 @@ class SnapshotCatalog(Catalog):
         file-set diff to a full STATE diff of commit vs parent — exact
         but heavier (two snapshot reads per such commit), and always
         netted (``drop_carryovers=False`` raises there). Compaction
-        materializes the deletes away and restores the fast path."""
+        materializes the deletes away and restores the fast path.
+
+        A ``from_snapshot`` that fell OFF the committed chain but is
+        still alive — its log line preserved by a tag/branch ref
+        through :meth:`expire_snapshots`, or stranded on a dead branch
+        by :meth:`rollback` — degrades gracefully to ONE net diff of
+        the two endpoint states instead of per-commit deltas: only
+        files that entered or left between the endpoints are read, and
+        the result is the exact netted row-level change from that
+        state to this one (``_change_ordinal`` collapses to 0;
+        ``drop_carryovers=False`` raises — per-commit churn no longer
+        exists). This is what keeps an incremental consumer (e.g. a
+        materialized-view refresh pinned by a ref) correct across any
+        retention policy or a base rollback."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -3152,8 +3195,53 @@ class SnapshotCatalog(Catalog):
                 )
             return pos[snap.snapshot_id]
 
-        lo = -1 if from_snapshot is None else _locate(from_snapshot, "from")
+        off_chain_from: Snapshot | None = None
+        if from_snapshot is None:
+            lo = -1
+        else:
+            try:
+                lo = _locate(from_snapshot, "from")
+            except LookupError:
+                # off-chain but ALIVE: a ref name resolves through
+                # _resolve; a raw id qualifies only when some tag or
+                # branch pins it (crash phantoms — unpointered,
+                # unstaged, unreffed lines — stay unreachable)
+                fs = None
+                try:
+                    fs = self._resolve(table, from_snapshot)
+                except LookupError:
+                    if isinstance(from_snapshot, str):
+                        refs = self._load_refs(table)
+                        pinned = set(refs["tags"].values()) | set(
+                            refs["branches"].values()
+                        )
+                        if from_snapshot in pinned:
+                            fs = next(
+                                (s for s in self._log_entries(table)
+                                 if s.snapshot_id == from_snapshot
+                                 and not s.staged),
+                                None,
+                            )
+                if fs is None or fs.staged:
+                    raise
+                off_chain_from = fs
         hi = len(hist) - 1 if to_snapshot is None else _locate(to_snapshot, "to")
+        if off_chain_from is not None:
+            if not drop_carryovers:
+                raise ValueError(
+                    "drop_carryovers=False is undefined from an off-chain "
+                    f"from_snapshot {from_snapshot!r} (the per-commit churn "
+                    "between the endpoints no longer exists); use the "
+                    "default netted changelog"
+                )
+            if off_chain_from.snapshot_id == hist[hi].snapshot_id:
+                hist = [off_chain_from]
+                lo = hi = 0  # same endpoint: empty changelog
+            else:
+                # net endpoint diff: pseudo-history of exactly the two
+                # resolvable states, the normal loop diffs them once
+                hist = [off_chain_from, hist[hi]]
+                lo, hi = 0, 1
         if hi < lo:
             raise ValueError(
                 f"to_snapshot {to_snapshot!r} precedes from_snapshot "

@@ -29,6 +29,30 @@ Storage model — append-only signed deltas, netted on read:
   overwrite commit that does NOT advance the pin) — run it on the
   maintenance cadence, like any small-file compaction.
 
+Concurrency & durability guarantees:
+
+* A refresh's delta is only valid against the exact view state it was
+  computed from, so its commit carries ``expected_parent`` —
+  validate-from-snapshot: a concurrent refresh (or any other view
+  commit) makes the loser raise :class:`CommitConflict` with NOTHING
+  committed, never the silent fast-append rebase that would apply the
+  same delta twice. Retry re-reads the advanced pin and folds only
+  what is still missing (usually nothing). ``compact`` guards its
+  read-consolidate-overwrite the same way.
+* The pinned base snapshot is protected from ``expire_snapshots`` /
+  ``remove_orphan_files`` by a TAG on the base table
+  (``mv_pin_<view>``), moved forward by each refresh. If retention
+  expires the commits BETWEEN the pin and the head (or a rollback
+  strands the pin on a dead branch), the changelog read degrades to
+  ``changes()``'s net endpoint diff — one file-set diff of pin state
+  vs head state, still O(churned files) — so refresh stays correct
+  under any retention policy; only removing the tag itself and
+  expiring the pin forces a recreate.
+* The view's definition rides in commit lineage, but reads walk the
+  HISTORY for the newest mv-bearing commit — so a content-preserving
+  maintenance commit on the view table (``maintain --compact``,
+  z-order) doesn't orphan the definition.
+
 Updates need no special case: a copy-on-write or MoR update surfaces
 in the changelog as delete(old)+insert(new), which the signed fold
 turns into the exact measure adjustment; a base-table compaction nets
@@ -36,7 +60,9 @@ to an EMPTY changelog (carryover elimination) and refresh appends
 nothing. Measures are restricted to what signed deltas can maintain —
 COUNT and SUM (AVG = sum/count at read time); MIN/MAX are not
 delta-maintainable under deletes without a recompute, so they are
-deliberately not offered.
+deliberately not offered. Delta sums are cast back to the view's
+committed column types (a widened DECIMAL sum would otherwise fail
+the append's schema check).
 
 The reference has no analog: it recomputes its summary tables from
 SQLite on every request (``src/datastore.py:214-268``); this module is
@@ -45,25 +71,43 @@ the 100 TB replacement where recomputing the base is not an option.
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..catalog import Snapshot, SnapshotCatalog
 
 _COUNT = "n_rows"
 
 
-def _definition(catalog: SnapshotCatalog, view: str) -> dict:
-    snap = catalog.snapshot(view)
-    if snap is None:
+def _pin_tag(view: str) -> str:
+    """The base-table tag that anchors this view's pinned snapshot
+    through retention sweeps (leading letter + ref-safe charset)."""
+    return ("mv_pin_" + re.sub(r"[^A-Za-z0-9_.\-]", "-", view))[:64]
+
+
+def _definition(catalog: SnapshotCatalog, view: str) -> tuple[dict, Snapshot]:
+    """The view's definition and its committed HEAD, from one
+    consistent history read. The definition is the NEWEST mv-bearing
+    snapshot — tolerant of content-preserving interlopers (a generic
+    ``maintain --compact`` on the view table commits without mv
+    lineage but keeps the rows); the returned snapshot is the head
+    itself, which is what a serializable commit must expect as its
+    parent."""
+    if not catalog.exists(view):
         raise LookupError(f"no materialized view {view!r}")
-    mv = (snap.lineage or {}).get("mv")
-    if not mv:
-        raise LookupError(
-            f"table {view!r} is not a materialized view (no mv lineage); "
-            "create it with create_matview"
-        )
-    return mv
+    hist = catalog.history(view)
+    for snap in reversed(hist):
+        mv = (snap.lineage or {}).get("mv")
+        if mv:
+            return mv, hist[-1]
+    raise LookupError(
+        f"table {view!r} is not a materialized view (no mv lineage in "
+        "its history); create it with create_matview"
+    )
 
 
 def _require_snapshot_catalog(catalog) -> None:
@@ -74,12 +118,34 @@ def _require_snapshot_catalog(catalog) -> None:
         )
 
 
-def _delta(changes: DataFrame, group_by: list[str], sums: dict[str, str]) -> DataFrame:
-    """Fold a changelog into signed per-group delta rows."""
+def _move_pin_tag(
+    catalog: SnapshotCatalog, view: str, base_table: str, pin: str
+) -> None:
+    tag = _pin_tag(view)
+    try:
+        catalog.remove_tag(base_table, tag)
+    except (KeyError, LookupError):
+        pass
+    catalog.create_tag(base_table, tag, as_of=pin)
+
+
+def _delta(
+    changes: DataFrame,
+    group_by: list[str],
+    sums: dict[str, str],
+    cast_to: dict[str, str],
+) -> DataFrame:
+    """Fold a changelog into signed per-group delta rows, each measure
+    cast back to the view's committed column type (Spark widens a
+    summed DECIMAL's precision, which would otherwise fail the
+    append's schema-evolution check)."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     aggs = [F.sum(sign).cast("long").alias(_COUNT)]
     for out, src in sums.items():
-        aggs.append(F.sum(sign * F.col(src)).alias(out))
+        agg = F.sum(sign * F.col(src))
+        if out in cast_to:
+            agg = agg.cast(cast_to[out])
+        aggs.append(agg.alias(out))
     folded = changes.groupBy(*group_by).agg(*aggs)
     # drop no-op groups (equal inserts and deletes of identical values)
     touched = F.col(_COUNT) != 0
@@ -94,17 +160,40 @@ def create_matview(
     base_table: str,
     group_by: list[str],
     sums: dict[str, str] | None = None,
+    replace: bool = False,
 ) -> Snapshot:
     """Create ``view`` = SELECT group_by, COUNT(*) AS n_rows,
     SUM(src) AS out... FROM base_table GROUP BY group_by — the one and
     only full scan of the base this view will ever take. ``sums`` maps
     output column name → base column name (integer/long measures
     recommended: signed folding is then exact and order-independent).
-    """
+    Refuses to overwrite an existing table unless ``replace=True``
+    (and never the base table itself)."""
     _require_snapshot_catalog(catalog)
     sums = dict(sums or {})
-    if _COUNT in sums:
+    if view == base_table:
+        raise ValueError(
+            f"view and base table are both {view!r}: creating the view "
+            "would overwrite the base it aggregates"
+        )
+    if _COUNT in sums or _COUNT in group_by:
         raise ValueError(f"{_COUNT!r} is the reserved count measure")
+    clash = set(sums) & set(group_by)
+    if clash:
+        raise ValueError(
+            f"sum output name(s) {sorted(clash)} collide with group_by columns"
+        )
+    old_def = None
+    if catalog.exists(view):
+        if not replace:
+            raise ValueError(
+                f"table {view!r} already exists; pass replace=True to "
+                "rebuild it as this materialized view"
+            )
+        try:
+            old_def, _ = _definition(catalog, view)
+        except LookupError:
+            old_def = None
     base_snap = catalog.snapshot(base_table)
     if base_snap is None:
         raise LookupError(f"no committed base table {base_table!r}")
@@ -113,7 +202,7 @@ def create_matview(
     for out, src in sums.items():
         aggs.append(F.sum(src).alias(out))
     full = df.groupBy(*group_by).agg(*aggs)
-    return catalog.write_table(
+    snap = catalog.write_table(
         full,
         view,
         mode="overwrite",
@@ -127,6 +216,23 @@ def create_matview(
             }
         },
     )
+    if old_def and old_def["base_table"] != base_table:
+        # re-pointed at a different base: release the old base's anchor
+        try:
+            catalog.remove_tag(old_def["base_table"], _pin_tag(view))
+        except (KeyError, LookupError):
+            pass
+    _move_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+    return snap
+
+
+def _view_types(view_snap: Snapshot, sums: dict[str, str]) -> dict[str, str]:
+    if not view_snap.schema_json:
+        return {}
+    schema = StructType.fromJson(json.loads(view_snap.schema_json))
+    return {
+        f.name: f.dataType.simpleString() for f in schema.fields if f.name in sums
+    }
 
 
 def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
@@ -134,33 +240,51 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
     appending signed delta rows — O(changed files + touched groups),
     zero reads of the view or the unchanged base. Returns the delta
     commit, or None when the base has not advanced (no commit at all,
-    so a refresh cron is free on idle tables). Atomic: the delta rows
-    and the new base pin land in one snapshot commit; concurrent
-    refreshes are serialized by the catalog's optimistic-concurrency
-    parent check (one wins, the loser's retry sees the advanced pin).
-    """
+    so a refresh cron is free on idle tables).
+
+    Atomic and serializable: the delta rows and the new base pin land
+    in one snapshot commit that requires the view head to still be the
+    snapshot this refresh planned against (``expected_parent``) — a
+    concurrent refresh makes the loser raise :class:`CommitConflict`
+    with nothing committed (retry folds whatever is still missing),
+    never a double-applied delta. On success the base-table pin tag
+    moves forward so retention sweeps can't expire the changelog
+    window the NEXT refresh needs."""
     _require_snapshot_catalog(catalog)
-    mv = _definition(catalog, view)
+    mv, view_snap = _definition(catalog, view)
     base_table = mv["base_table"]
     base_snap = catalog.snapshot(base_table)
     if base_snap is None:
         raise LookupError(f"base table {base_table!r} of view {view!r} vanished")
     if base_snap.snapshot_id == mv["base_snapshot"]:
         return None
-    changes = catalog.changes(
-        base_table,
-        from_snapshot=mv["base_snapshot"],
-        to_snapshot=base_snap.snapshot_id,
-    )
-    delta = _delta(changes, mv["group_by"], mv["sums"])
-    return catalog.write_table(
+    try:
+        changes = catalog.changes(
+            base_table,
+            from_snapshot=mv["base_snapshot"],
+            to_snapshot=base_snap.snapshot_id,
+        )
+    except (LookupError, ValueError) as e:
+        raise LookupError(
+            f"view {view!r} cannot fold the base changelog from its pin "
+            f"{mv['base_snapshot']!r}: {e}. The pin's tag "
+            f"({_pin_tag(view)!r}) was removed and the snapshot expired "
+            "from the base — recreate the view "
+            "(create_matview(..., replace=True)) to re-baseline"
+        ) from e
+    delta = _delta(changes, mv["group_by"], mv["sums"],
+                   _view_types(view_snap, mv["sums"]))
+    snap = catalog.write_table(
         delta,
         view,
         mode="append",
+        expected_parent=view_snap.snapshot_id,
         lineage={
             "mv": {**mv, "base_snapshot": base_snap.snapshot_id, "stage": "refresh"}
         },
     )
+    _move_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+    return snap
 
 
 def read_matview(catalog: SnapshotCatalog, view: str) -> DataFrame:
@@ -168,11 +292,15 @@ def read_matview(catalog: SnapshotCatalog, view: str) -> DataFrame:
     over the view table (≈ groups + recent delta rows — never the
     base), groups netted to zero rows dropped."""
     _require_snapshot_catalog(catalog)
-    mv = _definition(catalog, view)
+    mv, view_snap = _definition(catalog, view)
     df = catalog.read_table(view)
+    types = _view_types(view_snap, mv["sums"])
     aggs = [F.sum(_COUNT).cast("long").alias(_COUNT)]
     for out in mv["sums"]:
-        aggs.append(F.sum(out).alias(out))
+        agg = F.sum(out)
+        if out in types:
+            agg = agg.cast(types[out])
+        aggs.append(agg.alias(out))
     return (
         df.groupBy(*mv["group_by"])
         .agg(*aggs)
@@ -183,10 +311,13 @@ def read_matview(catalog: SnapshotCatalog, view: str) -> DataFrame:
 def matview_status(catalog: SnapshotCatalog, view: str) -> dict:
     """Freshness probe: the pinned vs current base snapshot and how
     many base commits the view is behind — metadata-only (history
-    walk, no data read). A monitoring loop alerts on ``lag_commits``.
-    """
+    walk, no data read). A monitoring loop alerts on ``lag_commits``;
+    ``pin_in_history=False`` means the pin fell off the base's
+    committed chain (expired intermediates or a rollback) — refresh
+    still works via the changelog's net endpoint diff as long as the
+    pin tag keeps the snapshot alive, but lag can't be counted."""
     _require_snapshot_catalog(catalog)
-    mv = _definition(catalog, view)
+    mv, _ = _definition(catalog, view)
     hist = catalog.history(mv["base_table"])
     pos = {s.snapshot_id: i for i, s in enumerate(hist)}
     pinned = pos.get(mv["base_snapshot"])
@@ -195,6 +326,7 @@ def matview_status(catalog: SnapshotCatalog, view: str) -> dict:
         "base_table": mv["base_table"],
         "pinned_base_snapshot": mv["base_snapshot"],
         "current_base_snapshot": hist[-1].snapshot_id if hist else None,
+        "pin_in_history": pinned is not None,
         "lag_commits": (current - pinned) if pinned is not None else None,
         "fresh": pinned == current,
     }
@@ -204,13 +336,17 @@ def compact_matview(catalog: SnapshotCatalog, view: str) -> Snapshot:
     """Fold the accumulated delta rows back to one row per live group
     (an overwrite commit; the base pin is carried over UNCHANGED, so
     compaction commutes with refresh). Read results are identical
-    before and after — only the netting work at read time shrinks."""
+    before and after — only the netting work at read time shrinks.
+    Serializable: the overwrite requires the view head it consolidated
+    FROM (a refresh landing mid-compact raises :class:`CommitConflict`
+    instead of having its delta silently discarded)."""
     _require_snapshot_catalog(catalog)
-    mv = _definition(catalog, view)
+    mv, view_snap = _definition(catalog, view)
     netted = read_matview(catalog, view)
     return catalog.write_table(
         netted,
         view,
         mode="overwrite",
+        expected_parent=view_snap.snapshot_id,
         lineage={"mv": {**mv, "stage": "compact"}},
     )

@@ -177,3 +177,168 @@ def test_non_matview_table_rejected(spark, cat):
         refresh_matview(cat, "plain_t")
     with pytest.raises(LookupError, match="no materialized view"):
         read_matview(cat, "absent")
+
+
+def test_concurrent_refresh_conflicts_instead_of_double_applying(spark, cat):
+    """Two refreshes racing from the same pin: the loser must raise
+    CommitConflict with NOTHING committed (expected_parent CAS) — the
+    catalog's fast-append rebase would otherwise apply the same delta
+    twice and corrupt the view forever."""
+    from log_parser_project_spark.catalog import CommitConflict
+
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [31, 34]), "base", mode="append")
+
+    orig_changes = cat.changes
+    fired = {}
+
+    def racing_changes(table, **kw):
+        if "winner" not in fired:
+            fired["winner"] = True
+            refresh_matview(cat, "mv")  # the winner commits first
+        return orig_changes(table, **kw)
+
+    cat.changes = racing_changes
+    try:
+        with pytest.raises(CommitConflict):
+            refresh_matview(cat, "mv")
+    finally:
+        cat.changes = orig_changes
+    # winner's single delta stands; loser left no trace; retry is a no-op
+    assert _netted_rows(cat) == _expected(cat)
+    assert refresh_matview(cat, "mv") is None
+
+
+def test_concurrent_refresh_under_compact_conflicts(spark, cat):
+    """compact_matview consolidates from the head it read; a refresh
+    landing mid-compact must conflict, not have its delta overwritten
+    away."""
+    from log_parser_project_spark.catalog import CommitConflict
+
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [31]), "base", mode="append")
+    refresh_matview(cat, "mv")
+    # stage a competing refresh between compact's read and its commit
+    # by advancing the view AFTER compact read its definition/head
+    cat.write_table(_rows(spark, [32]), "base", mode="append")
+    orig_read = cat.read_table
+    fired = {}
+
+    def racing_read(table, **kw):
+        if table == "mv" and "raced" not in fired:
+            fired["raced"] = True
+            df = orig_read(table, **kw)
+            refresh_matview(cat, "mv")  # lands between read and commit
+            return df
+        return orig_read(table, **kw)
+
+    cat.read_table = racing_read
+    try:
+        with pytest.raises(CommitConflict):
+            compact_matview(cat, "mv")
+    finally:
+        cat.read_table = orig_read
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_decimal_sum_measure_refreshes(spark, cat):
+    """Spark widens a summed DECIMAL's precision; the delta fold must
+    cast back to the view's committed type or every refresh fails the
+    append's schema check."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(k, "g%d" % (k % 2), Decimal(k) / 4) for k in range(1, 21)],
+        "k int, g string, amt decimal(15,2)",
+    )
+    cat.write_table(df, "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_amt": "amt"})
+    cat.write_table(
+        spark.createDataFrame([(100, "g0", Decimal("2.25"))],
+                              "k int, g string, amt decimal(15,2)"),
+        "base", mode="append",
+    )
+    assert refresh_matview(cat, "mv") is not None
+    got = {r.g: (r.n_rows, r.sum_amt)
+           for r in read_matview(cat, "mv").collect()}
+    exp = {r.g: (r.n_rows, r.sum_amt)
+           for r in cat.read_table("base").groupBy("g").agg(
+               F.count(F.lit(1)).cast("long").alias("n_rows"),
+               F.sum("amt").alias("sum_amt")).collect()}
+    assert got == exp
+
+
+def test_refresh_survives_base_expiry_between_crons(spark, cat):
+    """expire_snapshots(keep_last=1) between two refreshes drops the
+    chain between the pin and the head; the pin tag keeps the pinned
+    snapshot alive and changes() degrades to the net endpoint diff, so
+    refresh still folds correctly instead of bricking."""
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [31, 34]), "base", mode="append")
+    cat.write_table(_rows(spark, [35]), "base", mode="append")
+    cat.delete_where("base", where=F.col("k") % 9 == 0)
+    cat.expire_snapshots("base", keep_last=1)
+    assert matview_status(cat, "mv")["pin_in_history"] is False
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+    assert matview_status(cat, "mv")["fresh"] is True
+
+
+def test_refresh_survives_base_rollback(spark, cat):
+    """A base rollback strands the pin on a dead branch; the net
+    endpoint diff folds the view BACK to the restored state (the
+    rolled-back rows' contributions are subtracted)."""
+    s1 = cat.write_table(_rows(spark, range(1, 31)), "base")
+    cat.write_table(_rows(spark, [31, 34]), "base", mode="append")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.rollback("base", s1.snapshot_id)
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_create_guards(spark, cat):
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    with pytest.raises(ValueError, match="overwrite the base"):
+        create_matview(cat, "base", "base", ["g"])
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    with pytest.raises(ValueError, match="already exists"):
+        create_matview(cat, "mv", "base", ["g"])
+    with pytest.raises(ValueError, match="collide with group_by"):
+        create_matview(cat, "mv2", "base", ["g"], {"g": "cents"})
+    with pytest.raises(ValueError, match="reserved"):
+        create_matview(cat, "mv2", "base", ["n_rows"], {"s": "cents"})
+    # replace rebuilds in place and the view keeps working
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"},
+                   replace=True)
+    cat.write_table(_rows(spark, [100]), "base", mode="append")
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_definition_survives_generic_view_compact(spark, cat):
+    """A maintenance compact on the VIEW table commits without mv
+    lineage; definition lookup walks history so the view keeps
+    working (the compact preserves the delta rows)."""
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [31]), "base", mode="append")
+    refresh_matview(cat, "mv")
+    cat.compact("mv")  # generic table maintenance, no mv lineage
+    assert _netted_rows(cat) == _expected(cat)
+    cat.write_table(_rows(spark, [32]), "base", mode="append")
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_pin_tag_moves_with_refresh(spark, cat):
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    pin0 = matview_status(cat, "mv")["pinned_base_snapshot"]
+    assert cat.tags("base")["mv_pin_mv"] == pin0
+    cat.write_table(_rows(spark, [20]), "base", mode="append")
+    refresh_matview(cat, "mv")
+    pin1 = matview_status(cat, "mv")["pinned_base_snapshot"]
+    assert pin1 != pin0 and cat.tags("base")["mv_pin_mv"] == pin1
