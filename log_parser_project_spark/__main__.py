@@ -228,6 +228,8 @@ def main(argv: list[str] | None = None) -> int:
         from .plans import matview as mv
 
         cat = SnapshotCatalog(spark, args.warehouse)
+        if args.limit < 1:
+            ap.error("--limit must be >= 1")
         out = {}
         if args.create_over:
             if not args.group_by:

@@ -612,10 +612,17 @@ class SnapshotCatalog(Catalog):
                 if s.snapshot_id == as_of:
                     return s
             # WAP: a staged (unpointered) snapshot is addressable by id
-            # so the audit step can read it. Crash phantoms
-            # (staged=False, also unpointered) stay unreachable.
+            # so the audit step can read it; a REF-PINNED id (some tag
+            # or branch points at it) is addressable even off the
+            # committed chain — the ref is what keeps its log line and
+            # data alive through expiry/rollback, so reading it by
+            # either name or id must work (an incremental consumer
+            # holds the id). Crash phantoms (staged=False, unpointered,
+            # unreffed) stay unreachable.
+            refs = self._load_refs(table)
+            pinned = set(refs["tags"].values()) | set(refs["branches"].values())
             for s in self._log_entries(table):
-                if s.snapshot_id == as_of and s.staged:
+                if s.snapshot_id == as_of and (s.staged or as_of in pinned):
                     return s
         t = self._as_epoch(as_of)
         if t is not None:
@@ -916,6 +923,15 @@ class SnapshotCatalog(Catalog):
             raise ValueError(
                 "staged and branch are mutually exclusive (a branch IS the "
                 "multi-commit staging mechanism; publish it via fast_forward)"
+            )
+        if expected_parent is not None and (staged or branch is not None):
+            # the CAS only guards MAIN-pointer flips; silently accepting
+            # it here would advertise a serializability the commit path
+            # never checks
+            raise ValueError(
+                "expected_parent applies only to main-pointer commits: a "
+                "staged write flips no pointer to validate, and a branch "
+                "commit already CAS-checks the branch head"
             )
         if branch is not None:
             # commit onto the branch lineage: parent = branch head
@@ -3202,26 +3218,10 @@ class SnapshotCatalog(Catalog):
             try:
                 lo = _locate(from_snapshot, "from")
             except LookupError:
-                # off-chain but ALIVE: a ref name resolves through
-                # _resolve; a raw id qualifies only when some tag or
-                # branch pins it (crash phantoms — unpointered,
-                # unstaged, unreffed lines — stay unreachable)
-                fs = None
-                try:
-                    fs = self._resolve(table, from_snapshot)
-                except LookupError:
-                    if isinstance(from_snapshot, str):
-                        refs = self._load_refs(table)
-                        pinned = set(refs["tags"].values()) | set(
-                            refs["branches"].values()
-                        )
-                        if from_snapshot in pinned:
-                            fs = next(
-                                (s for s in self._log_entries(table)
-                                 if s.snapshot_id == from_snapshot
-                                 and not s.staged),
-                                None,
-                            )
+                # off-chain but ALIVE: _resolve finds ref names and
+                # ref-pinned ids whose log lines survive off the chain
+                # (crash phantoms stay unreachable and re-raise)
+                fs = self._resolve(table, from_snapshot)
                 if fs is None or fs.staged:
                     raise
                 off_chain_from = fs
@@ -3234,14 +3234,12 @@ class SnapshotCatalog(Catalog):
                     "between the endpoints no longer exists); use the "
                     "default netted changelog"
                 )
-            if off_chain_from.snapshot_id == hist[hi].snapshot_id:
-                hist = [off_chain_from]
-                lo = hi = 0  # same endpoint: empty changelog
-            else:
-                # net endpoint diff: pseudo-history of exactly the two
-                # resolvable states, the normal loop diffs them once
-                hist = [off_chain_from, hist[hi]]
-                lo, hi = 0, 1
+            # net endpoint diff: pseudo-history of exactly the two
+            # resolvable states, the normal loop diffs them once (the
+            # off-chain snapshot can never BE hist[hi] — an in-chain id
+            # would have located above)
+            hist = [off_chain_from, hist[hi]]
+            lo, hi = 0, 1
         if hi < lo:
             raise ValueError(
                 f"to_snapshot {to_snapshot!r} precedes from_snapshot "

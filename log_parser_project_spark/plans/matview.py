@@ -40,8 +40,11 @@ Concurrency & durability guarantees:
   what is still missing (usually nothing). ``compact`` guards its
   read-consolidate-overwrite the same way.
 * The pinned base snapshot is protected from ``expire_snapshots`` /
-  ``remove_orphan_files`` by a TAG on the base table
-  (``mv_pin_<view>``), moved forward by each refresh. If retention
+  ``remove_orphan_files`` by a TAG on the base table (one generation
+  per pin, ``mv_pin_<view-slug>_<hash>.<snapshot>``): the new pin's
+  tag is created BEFORE the commit that adopts it and stale
+  generations are swept AFTER, so no crash point leaves the window
+  unprotected. If retention
   expires the commits BETWEEN the pin and the head (or a rollback
   strands the pin on a dead branch), the changelog read degrades to
   ``changes()``'s net endpoint diff — one file-set diff of pin state
@@ -83,10 +86,24 @@ from ..catalog import Snapshot, SnapshotCatalog
 _COUNT = "n_rows"
 
 
-def _pin_tag(view: str) -> str:
-    """The base-table tag that anchors this view's pinned snapshot
-    through retention sweeps (leading letter + ref-safe charset)."""
-    return ("mv_pin_" + re.sub(r"[^A-Za-z0-9_.\-]", "-", view))[:64]
+def _pin_prefix(view: str) -> str:
+    """Per-view tag namespace on the base table: a readable slice of
+    the view name plus a hash of the FULL name, so distinct views can
+    never collide into each other's tags (a collision would let one
+    view's tag sweep unpin another's snapshot)."""
+    import hashlib
+
+    safe = re.sub(r"[^A-Za-z0-9_.\-]", "-", view)[:24]
+    return f"mv_pin_{safe}_{hashlib.md5(view.encode()).hexdigest()[:8]}"
+
+
+def _pin_tag(view: str, pin: str) -> str:
+    """One tag PER PIN (generation scheme): the new pin's tag is
+    created BEFORE the refresh commit and stale generations are swept
+    AFTER it, so there is no instant at which the view's changelog
+    window is unprotected — a crash at any point leaves at least one
+    protective tag, cleaned up by the next successful refresh."""
+    return f"{_pin_prefix(view)}.{pin}"
 
 
 def _definition(catalog: SnapshotCatalog, view: str) -> tuple[dict, Snapshot]:
@@ -100,13 +117,22 @@ def _definition(catalog: SnapshotCatalog, view: str) -> tuple[dict, Snapshot]:
     if not catalog.exists(view):
         raise LookupError(f"no materialized view {view!r}")
     hist = catalog.history(view)
+    # content-PRESERVING maintenance commits (rewrites of the same
+    # rows) may sit between the head and the defining commit; anything
+    # else without mv lineage — a foreign overwrite, append, or DML —
+    # REPLACED or mutated the view's contents, so the old definition
+    # must not resurrect over data it no longer describes
+    _preserving = {"compact", "compact_partitions"}
     for snap in reversed(hist):
         mv = (snap.lineage or {}).get("mv")
         if mv:
             return mv, hist[-1]
+        if (snap.lineage or {}).get("stage") not in _preserving:
+            break
     raise LookupError(
-        f"table {view!r} is not a materialized view (no mv lineage in "
-        "its history); create it with create_matview"
+        f"table {view!r} is not a materialized view (no mv lineage at "
+        "its head or behind content-preserving maintenance commits); "
+        "create it with create_matview"
     )
 
 
@@ -118,15 +144,30 @@ def _require_snapshot_catalog(catalog) -> None:
         )
 
 
-def _move_pin_tag(
+def _ensure_pin_tag(
     catalog: SnapshotCatalog, view: str, base_table: str, pin: str
 ) -> None:
-    tag = _pin_tag(view)
-    try:
-        catalog.remove_tag(base_table, tag)
-    except (KeyError, LookupError):
-        pass
-    catalog.create_tag(base_table, tag, as_of=pin)
+    """Idempotently tag ``pin`` on the base (run BEFORE the commit
+    that adopts it — an abandoned tag from a failed commit is swept by
+    the next success, never the other way around)."""
+    tag = _pin_tag(view, pin)
+    if tag not in catalog.tags(base_table):
+        catalog.create_tag(base_table, tag, as_of=pin)
+
+
+def _sweep_pin_tags(
+    catalog: SnapshotCatalog, view: str, base_table: str, keep_pin: str
+) -> None:
+    """Drop this view's stale pin-tag generations (run AFTER the
+    commit that made ``keep_pin`` current)."""
+    prefix = _pin_prefix(view) + "."
+    keep = _pin_tag(view, keep_pin)
+    for name in list(catalog.tags(base_table)):
+        if name.startswith(prefix) and name != keep:
+            try:
+                catalog.remove_tag(base_table, name)
+            except (KeyError, LookupError):
+                pass
 
 
 def _delta(
@@ -197,6 +238,7 @@ def create_matview(
     base_snap = catalog.snapshot(base_table)
     if base_snap is None:
         raise LookupError(f"no committed base table {base_table!r}")
+    _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
     df = catalog.read_table(base_table, as_of=base_snap.snapshot_id)
     aggs = [F.count(F.lit(1)).cast("long").alias(_COUNT)]
     for out, src in sums.items():
@@ -217,12 +259,10 @@ def create_matview(
         },
     )
     if old_def and old_def["base_table"] != base_table:
-        # re-pointed at a different base: release the old base's anchor
-        try:
-            catalog.remove_tag(old_def["base_table"], _pin_tag(view))
-        except (KeyError, LookupError):
-            pass
-    _move_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+        # re-pointed at a different base: release every anchor this
+        # view held on the old base (keep_pin="" matches none)
+        _sweep_pin_tags(catalog, view, old_def["base_table"], "")
+    _sweep_pin_tags(catalog, view, base_table, base_snap.snapshot_id)
     return snap
 
 
@@ -264,16 +304,18 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             from_snapshot=mv["base_snapshot"],
             to_snapshot=base_snap.snapshot_id,
         )
-    except (LookupError, ValueError) as e:
+    except LookupError as e:
         raise LookupError(
             f"view {view!r} cannot fold the base changelog from its pin "
-            f"{mv['base_snapshot']!r}: {e}. The pin's tag "
-            f"({_pin_tag(view)!r}) was removed and the snapshot expired "
-            "from the base — recreate the view "
-            "(create_matview(..., replace=True)) to re-baseline"
+            f"{mv['base_snapshot']!r}: {e}. If the pin's tag "
+            f"({_pin_tag(view, mv['base_snapshot'])!r}) was removed and "
+            "the snapshot expired from the base, recreate the view "
+            "(create_matview(..., replace=True)) to re-baseline; a "
+            "transient read failure just needs a retry"
         ) from e
     delta = _delta(changes, mv["group_by"], mv["sums"],
                    _view_types(view_snap, mv["sums"]))
+    _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
     snap = catalog.write_table(
         delta,
         view,
@@ -283,7 +325,7 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             "mv": {**mv, "base_snapshot": base_snap.snapshot_id, "stage": "refresh"}
         },
     )
-    _move_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+    _sweep_pin_tags(catalog, view, base_table, base_snap.snapshot_id)
     return snap
 
 

@@ -334,11 +334,63 @@ def test_definition_survives_generic_view_compact(spark, cat):
 
 
 def test_pin_tag_moves_with_refresh(spark, cat):
+    from log_parser_project_spark.plans.matview import _pin_prefix, _pin_tag
+
     cat.write_table(_rows(spark, range(1, 11)), "base")
     create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
     pin0 = matview_status(cat, "mv")["pinned_base_snapshot"]
-    assert cat.tags("base")["mv_pin_mv"] == pin0
+    assert cat.tags("base")[_pin_tag("mv", pin0)] == pin0
     cat.write_table(_rows(spark, [20]), "base", mode="append")
     refresh_matview(cat, "mv")
     pin1 = matview_status(cat, "mv")["pinned_base_snapshot"]
-    assert pin1 != pin0 and cat.tags("base")["mv_pin_mv"] == pin1
+    mine = {n: s for n, s in cat.tags("base").items()
+            if n.startswith(_pin_prefix("mv"))}
+    # exactly one generation survives the sweep: the current pin's
+    assert pin1 != pin0 and mine == {_pin_tag("mv", pin1): pin1}
+
+
+def test_pin_tags_are_per_view_namespaced(spark, cat):
+    """Two views over one base must never sweep each other's anchors
+    (the tag name hashes the FULL view name)."""
+    from log_parser_project_spark.plans.matview import _pin_prefix
+
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    create_matview(cat, "mv2", "base", ["g"])
+    assert _pin_prefix("mv") != _pin_prefix("mv2")
+    cat.write_table(_rows(spark, [20]), "base", mode="append")
+    refresh_matview(cat, "mv")  # sweeps only mv's stale generations
+    tags = cat.tags("base")
+    assert any(n.startswith(_pin_prefix("mv2")) for n in tags)
+    assert refresh_matview(cat, "mv2") is not None
+    assert {r.g: r.n_rows for r in read_matview(cat, "mv2").collect()} == {
+        g: n for g, (n, _) in _expected(cat).items()
+    }
+
+
+def test_foreign_overwrite_of_view_is_not_a_matview(spark, cat):
+    """A plain overwrite REPLACES the view's contents; the old
+    definition must not resurrect over data it no longer describes."""
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [99]), "mv", mode="overwrite")
+    with pytest.raises(LookupError, match="not a materialized view"):
+        read_matview(cat, "mv")
+    with pytest.raises(LookupError, match="not a materialized view"):
+        refresh_matview(cat, "mv")
+
+
+def test_refresh_survives_expiry_over_mor_base(spark, cat):
+    """The off-chain net endpoint diff must also work when the base
+    carries merge-on-read delete entries (the state-diff path reads
+    the pinned endpoint BY ID, which only resolves because refs keep
+    it addressable)."""
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.merge(_rows(spark, [3, 6], cents=lambda k: 5), "base", on=["k"],
+              strategy="mor")
+    cat.write_table(_rows(spark, [31]), "base", mode="append")
+    cat.expire_snapshots("base", keep_last=1)
+    assert matview_status(cat, "mv")["pin_in_history"] is False
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
