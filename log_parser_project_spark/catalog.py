@@ -618,8 +618,8 @@ class SnapshotCatalog(Catalog):
             # data alive through expiry/rollback, so reading it by
             # either name or id must work (an incremental consumer
             # holds the id). Crash phantoms (staged=False, unpointered,
-            # unreffed) stay unreachable.
-            refs = self._load_refs(table)
+            # unreffed) stay unreachable. ``refs`` was loaded once by
+            # the named-ref branch above.
             pinned = set(refs["tags"].values()) | set(refs["branches"].values())
             for s in self._log_entries(table):
                 if s.snapshot_id == as_of and (s.staged or as_of in pinned):
@@ -3202,30 +3202,42 @@ class SnapshotCatalog(Catalog):
             raise LookupError(f"no committed table {table!r}")
         pos = {s.snapshot_id: i for i, s in enumerate(hist)}
 
-        def _locate(bound, name: str) -> int:
+        def _locate(bound, name: str) -> tuple[int | None, Snapshot]:
+            # one _resolve per bound: unresolvable ids raise _resolve's
+            # own LookupError; a resolvable snapshot returns with its
+            # chain position (None when alive but OFF the chain —
+            # ref-preserved through expiry, or a rollback dead branch)
             snap = self._resolve(table, bound)
-            if snap is None or snap.snapshot_id not in pos:
+            if snap is None:
                 raise LookupError(
                     f"{name} snapshot {bound!r} is not in table {table!r}'s "
                     "committed history (staged, expired, or foreign)"
                 )
-            return pos[snap.snapshot_id]
+            return pos.get(snap.snapshot_id), snap
 
         off_chain_from: Snapshot | None = None
         if from_snapshot is None:
             lo = -1
         else:
-            try:
-                lo = _locate(from_snapshot, "from")
-            except LookupError:
-                # off-chain but ALIVE: _resolve finds ref names and
-                # ref-pinned ids whose log lines survive off the chain
-                # (crash phantoms stay unreachable and re-raise)
-                fs = self._resolve(table, from_snapshot)
-                if fs is None or fs.staged:
-                    raise
+            lo, fs = _locate(from_snapshot, "from")
+            if lo is None:
+                if fs.staged:
+                    raise LookupError(
+                        f"from snapshot {from_snapshot!r} is not in table "
+                        f"{table!r}'s committed history (staged, expired, "
+                        "or foreign)"
+                    )
                 off_chain_from = fs
-        hi = len(hist) - 1 if to_snapshot is None else _locate(to_snapshot, "to")
+        if to_snapshot is None:
+            hi = len(hist) - 1
+        else:
+            hi, _ = _locate(to_snapshot, "to")
+            if hi is None:
+                raise LookupError(
+                    f"to snapshot {to_snapshot!r} is not in table "
+                    f"{table!r}'s committed history (staged, expired, "
+                    "or foreign)"
+                )
         if off_chain_from is not None:
             if not drop_carryovers:
                 raise ValueError(

@@ -117,12 +117,18 @@ def _definition(catalog: SnapshotCatalog, view: str) -> tuple[dict, Snapshot]:
     if not catalog.exists(view):
         raise LookupError(f"no materialized view {view!r}")
     hist = catalog.history(view)
-    # content-PRESERVING maintenance commits (rewrites of the same
-    # rows) may sit between the head and the defining commit; anything
-    # else without mv lineage — a foreign overwrite, append, or DML —
-    # REPLACED or mutated the view's contents, so the old definition
-    # must not resurrect over data it no longer describes
-    _preserving = {"compact", "compact_partitions"}
+    # content-PRESERVING commits may sit between the head and the
+    # defining commit: maintenance rewrites of the same rows, layout
+    # changes, and additive schema evolution (the netting read selects
+    # only the definition's columns, so an added column is ignored and
+    # a widened measure still sums). Anything else without mv lineage
+    # — a foreign overwrite, append, DML, or a rename/drop that the
+    # definition's column names may reference — REPLACED or mutated
+    # what the definition describes, so it must not resurrect
+    _preserving = {
+        "compact", "compact_partitions",
+        "update-spec", "add-column", "widen-column",
+    }
     for snap in reversed(hist):
         mv = (snap.lineage or {}).get("mv")
         if mv:
@@ -146,24 +152,42 @@ def _require_snapshot_catalog(catalog) -> None:
 
 def _ensure_pin_tag(
     catalog: SnapshotCatalog, view: str, base_table: str, pin: str
-) -> None:
+) -> bool:
     """Idempotently tag ``pin`` on the base (run BEFORE the commit
     that adopts it — an abandoned tag from a failed commit is swept by
-    the next success, never the other way around)."""
+    the next success, never the other way around). Returns True when
+    this call created the tag. A concurrent refresh creating the same
+    tag between the existence check and create_tag is tolerated (it
+    pinned the identical snapshot; the racing COMMIT, not the tag, is
+    what decides the winner)."""
     tag = _pin_tag(view, pin)
-    if tag not in catalog.tags(base_table):
+    if tag in catalog.tags(base_table):
+        return False
+    try:
         catalog.create_tag(base_table, tag, as_of=pin)
+        return True
+    except ValueError:
+        if catalog.tags(base_table).get(tag) == pin:
+            return False
+        raise
 
 
 def _sweep_pin_tags(
     catalog: SnapshotCatalog, view: str, base_table: str, keep_pin: str
 ) -> None:
     """Drop this view's stale pin-tag generations (run AFTER the
-    commit that made ``keep_pin`` current)."""
-    prefix = _pin_prefix(view) + "."
+    commit that made ``keep_pin`` current). The match is exact-
+    structure — ``<prefix>.<16-hex snapshot id>`` — never a bare
+    startswith, so a view whose NAME embeds another view's prefix
+    cannot have its tags swept by that view. The first-generation
+    format (``mv_pin_<slug>`` with no pin suffix) is swept too."""
+    pat = re.compile(re.escape(_pin_prefix(view)) + r"\.[0-9a-f]{16}$")
     keep = _pin_tag(view, keep_pin)
+    legacy = ("mv_pin_" + re.sub(r"[^A-Za-z0-9_.\-]", "-", view))[:64]
     for name in list(catalog.tags(base_table)):
-        if name.startswith(prefix) and name != keep:
+        if name == keep:
+            continue
+        if pat.fullmatch(name) or name == legacy:
             try:
                 catalog.remove_tag(base_table, name)
             except (KeyError, LookupError):
@@ -224,55 +248,89 @@ def create_matview(
         raise ValueError(
             f"sum output name(s) {sorted(clash)} collide with group_by columns"
         )
-    old_def = None
+    old_bases: set[str] = set()
     if catalog.exists(view):
         if not replace:
             raise ValueError(
                 f"table {view!r} already exists; pass replace=True to "
                 "rebuild it as this materialized view"
             )
-        try:
-            old_def, _ = _definition(catalog, view)
-        except LookupError:
-            old_def = None
+        # every base this view EVER pinned (any mv-bearing commit, not
+        # just a currently-valid definition — a foreign overwrite may
+        # have invalidated it without releasing the old base's anchors)
+        old_bases = {
+            (s.lineage or {}).get("mv", {}).get("base_table")
+            for s in catalog.history(view)
+        } - {None}
     base_snap = catalog.snapshot(base_table)
     if base_snap is None:
         raise LookupError(f"no committed base table {base_table!r}")
-    _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
-    df = catalog.read_table(base_table, as_of=base_snap.snapshot_id)
-    aggs = [F.count(F.lit(1)).cast("long").alias(_COUNT)]
-    for out, src in sums.items():
-        aggs.append(F.sum(src).alias(out))
-    full = df.groupBy(*group_by).agg(*aggs)
-    snap = catalog.write_table(
-        full,
-        view,
-        mode="overwrite",
-        lineage={
-            "mv": {
-                "base_table": base_table,
-                "base_snapshot": base_snap.snapshot_id,
-                "group_by": list(group_by),
-                "sums": sums,
-                "stage": "create",
-            }
-        },
-    )
-    if old_def and old_def["base_table"] != base_table:
-        # re-pointed at a different base: release every anchor this
-        # view held on the old base (keep_pin="" matches none)
-        _sweep_pin_tags(catalog, view, old_def["base_table"], "")
+    tagged_here = _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+    try:
+        df = catalog.read_table(base_table, as_of=base_snap.snapshot_id)
+        aggs = [F.count(F.lit(1)).cast("long").alias(_COUNT)]
+        for out, src in sums.items():
+            aggs.append(F.sum(src).alias(out))
+        full = df.groupBy(*group_by).agg(*aggs)
+        snap = catalog.write_table(
+            full,
+            view,
+            mode="overwrite",
+            lineage={
+                "mv": {
+                    "base_table": base_table,
+                    "base_snapshot": base_snap.snapshot_id,
+                    "group_by": list(group_by),
+                    "sums": sums,
+                    "stage": "create",
+                }
+            },
+        )
+    except BaseException:
+        # a failed create must not leave its pre-commit tag pinning a
+        # base snapshot against retention forever (e.g. a typo'd
+        # measure column fails deterministically on every retry)
+        if tagged_here:
+            try:
+                catalog.remove_tag(base_table, _pin_tag(view, base_snap.snapshot_id))
+            except (KeyError, LookupError):
+                pass
+        raise
+    for old in old_bases - {base_table}:
+        # re-pointed away: release every anchor this view held there
+        # (keep_pin="" matches none)
+        _sweep_pin_tags(catalog, view, old, "")
     _sweep_pin_tags(catalog, view, base_table, base_snap.snapshot_id)
     return snap
 
 
-def _view_types(view_snap: Snapshot, sums: dict[str, str]) -> dict[str, str]:
+def _view_schema(view_snap: Snapshot) -> StructType | None:
     if not view_snap.schema_json:
+        return None
+    return StructType.fromJson(json.loads(view_snap.schema_json))
+
+
+def _view_types(view_snap: Snapshot, sums: dict[str, str]) -> dict[str, str]:
+    schema = _view_schema(view_snap)
+    if schema is None:
         return {}
-    schema = StructType.fromJson(json.loads(view_snap.schema_json))
     return {
         f.name: f.dataType.simpleString() for f in schema.fields if f.name in sums
     }
+
+
+def _pad_to_schema(delta: DataFrame, view_snap: Snapshot) -> DataFrame:
+    """Null-pad the delta for view columns the fold doesn't produce —
+    additive schema evolution on the view (add_column) widens the
+    table beyond the definition's columns, and the append requires
+    them all. Null measures net as zero contributions."""
+    schema = _view_schema(view_snap)
+    if schema is None:
+        return delta
+    for f in schema.fields:
+        if f.name not in delta.columns:
+            delta = delta.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return delta
 
 
 def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
@@ -313,8 +371,11 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             "(create_matview(..., replace=True)) to re-baseline; a "
             "transient read failure just needs a retry"
         ) from e
-    delta = _delta(changes, mv["group_by"], mv["sums"],
-                   _view_types(view_snap, mv["sums"]))
+    delta = _pad_to_schema(
+        _delta(changes, mv["group_by"], mv["sums"],
+               _view_types(view_snap, mv["sums"])),
+        view_snap,
+    )
     _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
     snap = catalog.write_table(
         delta,
@@ -384,7 +445,7 @@ def compact_matview(catalog: SnapshotCatalog, view: str) -> Snapshot:
     instead of having its delta silently discarded)."""
     _require_snapshot_catalog(catalog)
     mv, view_snap = _definition(catalog, view)
-    netted = read_matview(catalog, view)
+    netted = _pad_to_schema(read_matview(catalog, view), view_snap)
     return catalog.write_table(
         netted,
         view,

@@ -394,3 +394,76 @@ def test_refresh_survives_expiry_over_mor_base(spark, cat):
     assert matview_status(cat, "mv")["pin_in_history"] is False
     assert refresh_matview(cat, "mv") is not None
     assert _netted_rows(cat) == _expected(cat)
+
+
+def test_view_schema_evolution_is_content_preserving(spark, cat):
+    """Additive schema evolution on the VIEW table (add-column,
+    update-spec) must not brick the definition lookup — the netting
+    read selects only the definition's columns."""
+    cat.write_table(_rows(spark, range(1, 31)), "base")
+    create_matview(cat, "mv", "base", ["g"], {"sum_cents": "cents"})
+    cat.write_table(_rows(spark, [31]), "base", mode="append")
+    refresh_matview(cat, "mv")
+    cat.add_column("mv", "note", "string")
+    assert _netted_rows(cat) == _expected(cat)
+    cat.write_table(_rows(spark, [32]), "base", mode="append")
+    assert refresh_matview(cat, "mv") is not None
+    assert _netted_rows(cat) == _expected(cat)
+
+
+def test_failed_create_leaves_no_pin_tag(spark, cat):
+    """A create that fails (typo'd measure column) must not leave its
+    pre-commit pin tag anchoring a base snapshot against retention."""
+    from log_parser_project_spark.plans.matview import _pin_prefix
+
+    cat.write_table(_rows(spark, range(1, 11)), "base")
+    with pytest.raises(Exception):
+        create_matview(cat, "mv_bad", "base", ["g"], {"s": "no_such_col"})
+    assert not any(
+        n.startswith(_pin_prefix("mv_bad")) for n in cat.tags("base")
+    )
+
+
+def test_ensure_pin_tag_race_tolerated(spark, cat):
+    """A concurrent refresh creating the identical pin tag between the
+    existence check and create_tag must not surface as ValueError —
+    the racing COMMIT decides the winner, not the tag."""
+    from log_parser_project_spark.plans.matview import (
+        _ensure_pin_tag, _pin_tag)
+
+    s1 = cat.write_table(_rows(spark, range(1, 6)), "base")
+    orig_tags = cat.tags
+
+    def racy_tags(table):
+        # first call reports absent, then the "other refresh" lands it
+        cat.tags = orig_tags
+        cat.create_tag("base", _pin_tag("mv", s1.snapshot_id))
+        return {}
+
+    cat.tags = racy_tags
+    try:
+        assert _ensure_pin_tag(cat, "mv", "base", s1.snapshot_id) is False
+    finally:
+        cat.tags = orig_tags
+
+
+def test_sweep_is_structure_exact_and_clears_legacy(spark, cat):
+    """The sweep matches <prefix>.<16-hex> exactly — a view whose NAME
+    embeds another view's prefix keeps its tags — and the
+    first-generation bare-name format is cleaned up."""
+    from log_parser_project_spark.plans.matview import (
+        _pin_prefix, _pin_tag, _sweep_pin_tags)
+
+    s1 = cat.write_table(_rows(spark, range(1, 6)), "base")
+    # legacy-format tag from the first-generation scheme
+    cat.create_tag("base", "mv_pin_mv", as_of=s1.snapshot_id)
+    # another view whose tag NAME starts with view "mv"'s prefix
+    evil = _pin_prefix("mv") + ".x"
+    other = f"{evil}_deadbeef.{s1.snapshot_id}"
+    cat.create_tag("base", other, as_of=s1.snapshot_id)
+    cat.create_tag("base", _pin_tag("mv", s1.snapshot_id), as_of=s1.snapshot_id)
+    _sweep_pin_tags(cat, "mv", "base", "ffffffffffffffff")
+    tags = cat.tags("base")
+    assert "mv_pin_mv" not in tags               # legacy swept
+    assert _pin_tag("mv", s1.snapshot_id) not in tags  # stale gen swept
+    assert other in tags                          # other view untouched
