@@ -880,9 +880,10 @@ class SnapshotCatalog(Catalog):
         min/max is useless: a hash-distributed key's per-file range
         spans the whole domain, so range stats prune nothing, but each
         file only *contains* ~rows/n_files distinct keys and a bloom
-        proves absence. Bits are set by one distributed pass
-        (``xxhash64(key, seed_i) mod m``, k seeds, one groupBy(file)),
-        packed driver-side, and stored in a per-snapshot SIDECAR
+        proves absence. Bits are set AND packed into the b64 bitmap by
+        one distributed pass (``xxhash64(key, seed_i) mod m``, k seeds,
+        one groupBy(file), Arrow-batched pack — the driver collects one
+        bounded string per (file, col)), stored in a per-snapshot SIDECAR
         (``_bloom.json`` inside the data dir — manifests stay small, as
         with Puffin files). ``read_table(eq=(col, value))`` then skips
         every file whose bloom misses any probe bit. Sizing: default
