@@ -90,14 +90,47 @@ def _calibrate_clock(n: int = 30_000_000, reps: int = 3) -> float:
     ratio. The protocol ASSUMES the spinners equalize clocks; this
     measures whether they did (host power policy varies by day on a
     shared VM, and a faster-clocked small-N level deflates raw
-    efficiency with no change in the job's actual scaling)."""
+    efficiency with no change in the job's actual scaling).
+
+    The measurement must reproduce the JOB's package-load state: one
+    busy thread amid a mostly-idle 16-core set reads turbo clocks the
+    all-cores-busy job never saw (measured: 37.2 vs 23.9 Mops between
+    the two levels on identical code, a fictitious 0.64 "clock ratio"
+    that normalized a raw-0.90 run down to 0.58). So sibling spinners
+    are pinned to every OTHER core of this worker's own affinity set
+    while one core calibrates — together with the external complement
+    spinners, all package cores are busy during the loop at BOTH
+    levels, exactly as during the job itself."""
+    import multiprocessing as mp
+
+    cores = sorted(os.sched_getaffinity(0))
+    me, rest = cores[0], cores[1:]
+    stop_path = f"/tmp/.calib_spin_stop_{os.getpid()}"
+    if os.path.exists(stop_path):
+        os.remove(stop_path)
+    procs = [mp.Process(target=_spin, args=(stop_path, c), daemon=True) for c in rest]
+    for p in procs:
+        p.start()
+    old_affinity = os.sched_getaffinity(0)
     best = 0.0
-    for _ in range(reps):
-        x = 0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            x += 1
-        best = max(best, n / (time.perf_counter() - t0))
+    try:
+        os.sched_setaffinity(0, {me})
+        time.sleep(0.5)  # let the sibling spinners settle the clocks
+        for _ in range(reps):
+            x = 0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x += 1
+            best = max(best, n / (time.perf_counter() - t0))
+    finally:
+        os.sched_setaffinity(0, old_affinity)
+        with open(stop_path, "w") as f:
+            f.write("stop")
+        time.sleep(0.2)
+        for p in procs:
+            p.terminate()
+        if os.path.exists(stop_path):
+            os.remove(stop_path)
     return round(best / 1e6, 1)
 
 
@@ -271,8 +304,11 @@ a run raw numbers would pass) and this run
 {"meets" if summary["pass"] else "is BELOW"} the ≥ 0.8 bar.
 
 The clock calibration (a pure register loop run INSIDE each confined
-worker while the spinners hold the complement) measures what the
-iso-frequency spinners are supposed to guarantee. This run's ratio
+worker while the external spinners hold the complement AND sibling
+spinners hold the rest of the worker's own core set — so the
+calibrating core sees the job's all-cores-busy package state at both
+levels) measures what the iso-frequency spinners are supposed to
+guarantee. This run's ratio
 N/4N = {summary["clock_ratio_n_over_4n"]}: a value above 1 means the
 host's power policy still clocked the small-N level faster despite
 the spinners (host behavior varies by day and hour on a shared VM —
