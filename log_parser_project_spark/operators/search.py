@@ -1,0 +1,171 @@
+"""BM25 full-text retrieval over an inverted index of the corpus.
+
+The reference's only text search is a LIKE scan over registry rows
+(``src/app.py`` search command — P7 in SURVEY §2); at 100 TB a scan
+per query is not a search engine. This module adds the classical
+ranked-retrieval pair:
+
+* :func:`build_postings` — ONE explode + groupBy pass over the corpus
+  producing the two index relations (postings ``(term, doc_id, tf)``
+  and doc lengths ``(doc_id, dl)``). Both are plain DataFrames:
+  persist them once as catalog tables (the index build is the only
+  corpus-wide job) and every query after that touches postings for its
+  own terms only.
+* :func:`bm25_topk` — Okapi BM25 (k1/b, the Robertson/Sparck-Jones
+  idf in its always-positive Lucene form ``ln(1 + (N-df+0.5)/(df+0.5))``)
+  for a small batch of queries against the index.
+
+Scale shape (the part that must survive 1000 executors):
+
+* postings are **denormalized with the doc length** (``dl`` rides on
+  every posting row — the standard Lucene layout) so scoring never
+  joins back to a corpus-wide doc table: the per-doc length a score
+  needs is already on the candidate row;
+* the query-term table is a handful of rows → **broadcast**; pruning
+  postings to candidate rows is a map-side broadcast join, never a
+  shuffle of the index;
+* per-term document frequencies are computed ONLY for the query's
+  terms — a map-side-combined count whose output is |query terms|
+  rows, not a corpus-wide df table;
+* corpus stats (N, total token count) ride in as a 1-row broadcast
+  cross join, so ``avgdl`` is the exact ratio of two exact BIGINTs —
+  bit-identical in any engine, no double-sum order dependence;
+* the only shuffle keyed on data volume after the index scan is the
+  per-(query, doc) score aggregation, and that is candidate-sized.
+  Docs that share no term with any query are never touched.
+
+Scores are rounded to 4 decimals BEFORE ranking so the (score DESC,
+doc_id ASC) order — and therefore the top-k cut — is stable across
+engines; the DuckDB oracle ranks the identically-rounded value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The inverted index of ``docs``: ``(postings, doclen)`` where
+    postings = one row per distinct (term, doc) with its term
+    frequency AND the doc's token count (``dl`` denormalized onto the
+    posting so scoring never rejoins a corpus-wide doc table), doclen =
+    one row per doc (feeds corpus stats and is the smaller table to
+    persist for N/avgdl). Tokenization is the engine-wide convention
+    (``text.tokens``: lowercase, split on whitespace) so index terms
+    line up with every other text operator. One narrow projection feeds
+    both outputs; the postings groupBy is map-side combined on
+    (term, doc_id) — ``max(dl)`` is constant per doc, so the partial
+    aggregate stays one row per (term, doc) per partition."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    doclen = toks.select("doc_id", F.size("toks").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    return postings, doclen
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs per query by BM25, exact. ``queries`` is a small
+    batch of ``(query_id, free-text query)`` — its terms are tokenized
+    with the same convention as the index, deduplicated per query
+    (standard bag-of-words retrieval scores each distinct term once
+    per document), and broadcast. Returns
+    ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
+    rounded-score-then-doc_id ordering."""
+    spark: SparkSession = docs.sparkSession
+    qterms = sorted(
+        {
+            (int(qid), t)
+            for qid, q in queries
+            for t in str(q).lower().split()
+            if t
+        }
+    )
+    if not qterms:
+        raise ValueError("no non-empty query terms")
+    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+
+    postings, doclen = build_postings(docs, id_col=id_col, text_col=text_col)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    # df for the QUERY terms only: the broadcast semi-prune happens
+    # before the count, so this aggregates candidate postings, not the
+    # whole index, and emits one row per distinct query term
+    term_df = (
+        postings.join(F.broadcast(qdf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cand = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_w = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scored = (
+        cand.withColumn("contrib", idf * tf_w)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_score_py(
+    corpus: dict[int, list[str]], query_terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> dict[int, float]:
+    """Row-at-a-time reference scorer (test oracle only): plain-Python
+    BM25 over a tokenized corpus, mirroring the formula above term for
+    term so property tests can pin the distributed plan against an
+    independent implementation."""
+    n = len(corpus)
+    if n == 0:
+        return {}
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    terms = sorted(set(query_terms))
+    df = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+    out: dict[int, float] = {}
+    for doc_id, toks in corpus.items():
+        s = 0.0
+        dl = len(toks)
+        for t in terms:
+            tf = toks.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if s:
+            out[doc_id] = round(s, 4)
+    return out

@@ -2606,3 +2606,108 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_matview(cat, "mv")
     compact_matview(cat, "mv")
     return read_matview(cat, "mv").orderBy("g")
+
+
+# ===========================================================================
+# Full-text retrieval + time-series densification (round 4 late additions;
+# registered after the window — r05 rotation candidates)
+# ===========================================================================
+
+@_register(
+    "q_search_bm25",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      GROUP BY term, doc_id
+    ),
+    q(query_id, term) AS (VALUES
+      (0, 'spark'), (0, 'join'), (0, 'window'),
+      (1, 'customer'), (1, 'order'),
+      (2, 'stream'), (2, 'batch'), (2, 'slow')
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+               tf.tf * (1.2 + 1) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                               (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 4) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/search.py): three free-
+    text queries against the documents corpus through the inverted
+    index (postings denormalized with doc length; query terms, per-term
+    df, and corpus stats all broadcast — the only data-sized shuffle
+    after the index build is the candidate-sized score aggregation).
+    The oracle recomputes the identical index and formula relationally;
+    scores are rounded to 4 decimals BEFORE ranking in both engines so
+    the top-10 cut is engine-stable."""
+    from .operators.search import bm25_topk
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return bm25_topk(
+        d,
+        [(0, "spark join window"), (1, "customer order"), (2, "stream batch slow")],
+        k=10,
+    )
+
+
+@_register(
+    "q_ts_densify",
+    """
+    WITH agg AS (
+      SELECT event_type AS key,
+             CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v_c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM agg GROUP BY key),
+    spine AS (SELECT key, unnest(generate_series(b0, b1, 3600)) AS bucket FROM ext)
+    SELECT s.key, s.bucket,
+           COALESCE(a.n, 0) AS n,
+           a.sum_v_c AS sum_v_c,
+           last_value(a.sum_v_c IGNORE NULLS) OVER (
+             PARTITION BY s.key ORDER BY s.bucket) AS locf_v_c
+    FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+    """,
+)
+def q_ts_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly densification of the events stream per event_type
+    (operators/timeseries.py): every bucket in each key's span
+    materialized, gap rows at n=0, exact BIGINT-cents sums, last
+    observation carried forward. The oracle rebuilds the spine with
+    generate_series and fills with last_value IGNORE NULLS — gap rows
+    and LOCF values are value-checked, not just counts."""
+    from .operators.timeseries import densify
+    from .queries import cents
+
+    e = _spread(spark, _t(spark, sf_dir, "events"))
+    return densify(e, key_col="event_type", ts_col="ts",
+                   value_cents=cents("value"), bucket_seconds=3600)
