@@ -73,23 +73,11 @@ def build_postings(
     return postings, doclen
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: list[tuple[int, str]],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Top-``k`` docs per query by BM25, exact. ``queries`` is a small
-    batch of ``(query_id, free-text query)`` — its terms are tokenized
-    with the same convention as the index, deduplicated per query
-    (standard bag-of-words retrieval scores each distinct term once
-    per document), and broadcast. Returns
-    ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
-    rounded-score-then-doc_id ordering."""
-    spark: SparkSession = docs.sparkSession
+def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """Tokenize a small query batch with the index convention into a
+    broadcastable ``(query_id, term)`` frame — terms deduplicated per
+    query (bag-of-words retrieval scores each distinct term once per
+    document)."""
     qterms = sorted(
         {
             (int(qid), t)
@@ -100,13 +88,24 @@ def bm25_topk(
     )
     if not qterms:
         raise ValueError("no non-empty query terms")
-    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+    return spark.createDataFrame(qterms, "query_id int, term string")
 
-    postings, doclen = build_postings(docs, id_col=id_col, text_col=text_col)
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
-    )
+
+def topk_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    qdf: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 scoring core over an existing index: ``postings``
+    carries ``(term, doc_id, tf, dl)`` (however built — one-shot
+    :func:`build_postings` or the incrementally-maintained matview in
+    ``plans/searchindex.py``), ``stats`` is one row
+    ``(n_docs, total_dl)``, ``qdf`` the broadcastable query terms.
+    Every small side is broadcast; the only data-sized shuffle is the
+    candidate-sized per-(query, doc) score aggregation."""
     # df for the QUERY terms only: the broadcast semi-prune happens
     # before the count, so this aggregates candidate postings, not the
     # whole index, and emits one row per distinct query term
@@ -141,6 +140,29 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs per query by BM25, exact, indexing ``docs`` in
+    the same job. ``queries`` is a small batch of
+    ``(query_id, free-text query)``. Returns
+    ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
+    rounded-score-then-doc_id ordering."""
+    qdf = query_terms_df(docs.sparkSession, queries)
+    postings, doclen = build_postings(docs, id_col=id_col, text_col=text_col)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    return topk_from_postings(postings, stats, qdf, k=k, k1=k1, b=b)
 
 
 def bm25_score_py(

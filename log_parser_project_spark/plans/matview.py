@@ -1,7 +1,10 @@
 """Incremental materialized-view maintenance over snapshot tables.
 
 A materialized aggregate (GROUP BY keys → COUNT + SUMs) over a base
-``SnapshotCatalog`` table, kept fresh by O(delta) refreshes: each
+``SnapshotCatalog`` table — optionally over a registered row-local
+TRANSFORM of it (see :data:`TRANSFORMS`; e.g. the token-explode that
+turns a document table into inverted-index postings,
+``plans/searchindex.py``) — kept fresh by O(delta) refreshes: each
 refresh reads the base table's row-level changelog since the view's
 pinned base snapshot (``SnapshotCatalog.changes`` — metadata-planned,
 only files that entered or left the table are scanned), folds it into
@@ -76,6 +79,7 @@ from __future__ import annotations
 
 import json
 import re
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,6 +88,58 @@ from pyspark.sql.types import StructType
 from ..catalog import Snapshot, SnapshotCatalog
 
 _COUNT = "n_rows"
+
+#: Registered row-local transforms a view may apply to the base rows
+#: BEFORE the aggregate — name → factory(**args) → (DataFrame → DataFrame).
+#: The delta fold commutes with any transform that is a deterministic
+#: per-row flatMap (each output row derived from exactly ONE input row,
+#: no cross-row state): a changelog delete of base row r then yields
+#: exactly transform(r) with negative sign, cancelling what the insert
+#: of r once contributed. Registered by NAME (stored in lineage — a
+#: function could not be) so a refresh in a fresh session can resolve
+#: it; e.g. ``plans/searchindex.py`` registers the inverted-index
+#: transforms that make a BM25 search index an incrementally-
+#: maintained materialized view.
+TRANSFORMS: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {}
+
+
+def register_transform(name: str):
+    def deco(factory):
+        TRANSFORMS[name] = factory
+        return factory
+
+    return deco
+
+
+def _resolve_transform(spec: dict | None) -> Callable[[DataFrame], DataFrame] | None:
+    if spec is None:
+        return None
+    name = spec["name"]
+    if name not in TRANSFORMS:
+        # self-heal the registry in a fresh session: the built-in
+        # transform modules register on import
+        from . import searchindex  # noqa: F401
+    if name not in TRANSFORMS:
+        raise LookupError(
+            f"transform {name!r} is not registered; import the module "
+            "that defines it before refreshing this view"
+        )
+    return TRANSFORMS[name](**spec.get("args", {}))
+
+
+def _norm_transform(transform) -> dict | None:
+    """Normalize the ``transform`` argument to its lineage form and
+    fail fast on unknown names/args (a typo'd create would otherwise
+    only surface at first refresh)."""
+    if transform is None:
+        return None
+    if isinstance(transform, str):
+        spec = {"name": transform, "args": {}}
+    else:
+        name, args = transform
+        spec = {"name": str(name), "args": dict(args)}
+    _resolve_transform(spec)
+    return spec
 
 
 def _pin_prefix(view: str) -> str:
@@ -226,16 +282,23 @@ def create_matview(
     group_by: list[str],
     sums: dict[str, str] | None = None,
     replace: bool = False,
+    transform: str | tuple[str, dict] | None = None,
 ) -> Snapshot:
     """Create ``view`` = SELECT group_by, COUNT(*) AS n_rows,
-    SUM(src) AS out... FROM base_table GROUP BY group_by — the one and
-    only full scan of the base this view will ever take. ``sums`` maps
-    output column name → base column name (integer/long measures
-    recommended: signed folding is then exact and order-independent).
+    SUM(src) AS out... FROM transform(base_table) GROUP BY group_by —
+    the one and only full scan of the base this view will ever take.
+    ``sums`` maps output column name → base column name (integer/long
+    measures recommended: signed folding is then exact and
+    order-independent). ``transform`` names a registered row-local
+    flatMap (see :data:`TRANSFORMS`) applied to the base rows before
+    the aggregate — group/sum columns then refer to the TRANSFORMED
+    schema; refreshes apply it to each changelog side, which is sound
+    exactly because a per-row transform commutes with the signed fold.
     Refuses to overwrite an existing table unless ``replace=True``
     (and never the base table itself)."""
     _require_snapshot_catalog(catalog)
     sums = dict(sums or {})
+    tspec = _norm_transform(transform)
     if view == base_table:
         raise ValueError(
             f"view and base table are both {view!r}: creating the view "
@@ -268,23 +331,27 @@ def create_matview(
     tagged_here = _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
     try:
         df = catalog.read_table(base_table, as_of=base_snap.snapshot_id)
+        t = _resolve_transform(tspec)
+        if t is not None:
+            df = t(df)
         aggs = [F.count(F.lit(1)).cast("long").alias(_COUNT)]
         for out, src in sums.items():
             aggs.append(F.sum(src).alias(out))
         full = df.groupBy(*group_by).agg(*aggs)
+        mv_lineage = {
+            "base_table": base_table,
+            "base_snapshot": base_snap.snapshot_id,
+            "group_by": list(group_by),
+            "sums": sums,
+            "stage": "create",
+        }
+        if tspec is not None:
+            mv_lineage["transform"] = tspec
         snap = catalog.write_table(
             full,
             view,
             mode="overwrite",
-            lineage={
-                "mv": {
-                    "base_table": base_table,
-                    "base_snapshot": base_snap.snapshot_id,
-                    "group_by": list(group_by),
-                    "sums": sums,
-                    "stage": "create",
-                }
-            },
+            lineage={"mv": mv_lineage},
         )
     except BaseException:
         # a failed create must not leave its pre-commit tag pinning a
@@ -371,6 +438,21 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             "(create_matview(..., replace=True)) to re-baseline; a "
             "transient read failure just needs a retry"
         ) from e
+    t = _resolve_transform(mv.get("transform"))
+    if t is not None:
+        # the transform sees BASE rows only; apply it per changelog
+        # side and re-attach the sign column (a row-local flatMap maps
+        # each output row to exactly one input row, so every output of
+        # a deleted row's transform carries that row's delete sign)
+        meta = [c for c in ("_commit_snapshot_id", "_change_ordinal")
+                if c in changes.columns]
+        sides = []
+        for ctype in ("insert", "delete"):
+            side = changes.filter(F.col("_change_type") == ctype).drop(
+                "_change_type", *meta
+            )
+            sides.append(t(side).withColumn("_change_type", F.lit(ctype)))
+        changes = sides[0].unionByName(sides[1])
     delta = _pad_to_schema(
         _delta(changes, mv["group_by"], mv["sums"],
                _view_types(view_snap, mv["sums"])),

@@ -2711,3 +2711,96 @@ def q_ts_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(spark, _t(spark, sf_dir, "events"))
     return densify(e, key_col="event_type", ts_col="ts",
                    value_cents=cents("value"), bucket_seconds=3600)
+
+
+@_register(
+    "q_search_incremental",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' spark spark' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM corpus
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      GROUP BY term, doc_id
+    ),
+    q(query_id, term) AS (VALUES
+      (0, 'spark'), (0, 'join'),
+      (1, 'customer'), (1, 'stream')
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+               tf.tf * (1.2 + 1) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                               (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 4) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained BM25 index pinned to an oracle:
+    ``documents`` becomes a snapshot table grown in four commits —
+    initial write (doc_id%3 != 0), append (doc_id%3 == 0), a
+    copy-on-write UPDATE that appends ' spark spark' to every
+    doc_id%10 == 0 text (changing those docs' lengths AND the
+    corpus's df/avgdl), and a row-level DELETE (doc_id%7 == 0) — with
+    the search index (``plans/searchindex.py``: postings + doc-length
+    stats as TRANSFORMED materialized views) created after the first
+    commit and refreshed O(delta) after each mutation; the corpus is
+    never rescanned. The oracle recomputes BM25 directly from the
+    final corpus state, so this query fails if token-explode delta
+    folding, dl-keyed group netting on edits, de-indexing on delete,
+    or the stats view ever drift from a full rebuild."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+    from .plans.searchindex import (
+        create_search_index,
+        refresh_search_index,
+        search_index_topk,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="sidx_wh_"))
+    cat.write_table(base.filter(F.col("doc_id") % 3 != 0), "docs")
+    create_search_index(cat, "idx", "docs")
+    cat.write_table(base.filter(F.col("doc_id") % 3 == 0), "docs", mode="append")
+    refresh_search_index(cat, "idx")
+    cat.update_where(
+        "docs",
+        {"text": F.concat(F.col("text"), F.lit(" spark spark"))},
+        where=F.col("doc_id") % 10 == 0,
+    )
+    refresh_search_index(cat, "idx")
+    cat.delete_where("docs", where=F.col("doc_id") % 7 == 0)
+    refresh_search_index(cat, "idx")
+    return search_index_topk(
+        cat, "idx", [(0, "spark join"), (1, "customer stream")], k=10
+    )
