@@ -183,6 +183,39 @@ def main(argv: list[str] | None = None) -> int:
                       help="row cap for --print (a view grouped by a "
                            "high-cardinality key can be huge)")
 
+    p_si = sub.add_parser(
+        "searchindex",
+        help="incrementally-maintained BM25 search index "
+             "(plans/searchindex.py): build the inverted index over a "
+             "document table once, refresh it O(changed docs) from the "
+             "base changelog, and run ranked queries without touching "
+             "the corpus",
+    )
+    p_si.add_argument("--warehouse", required=True)
+    p_si.add_argument("--index", required=True,
+                      help="index name (owns the <index>_postings and "
+                           "<index>_docs view tables)")
+    p_si.add_argument("--create-over", metavar="BASE_TABLE",
+                      help="build the index over this table (the only "
+                           "full corpus scan it ever takes)")
+    p_si.add_argument("--id-col", default="doc_id")
+    p_si.add_argument("--text-col", default="text")
+    p_si.add_argument("--replace", action="store_true",
+                      help="allow --create-over to rebuild an existing "
+                           "index (refused otherwise)")
+    p_si.add_argument("--refresh", action="store_true",
+                      help="advance both index views to the base "
+                           "table's current snapshot (idempotent; "
+                           "rerun after any failure to converge)")
+    p_si.add_argument("--status", action="store_true",
+                      help="freshness + cross-view consistency, "
+                           "metadata-only")
+    p_si.add_argument("--query", action="append", metavar="TEXT",
+                      help="free-text query; repeatable (query_id = "
+                           "position)")
+    p_si.add_argument("--k", type=int, default=10,
+                      help="results per query for --query")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -275,6 +308,41 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"(showing first {args.limit} rows; raise --limit "
                       "for more)", file=sys.stderr)
             out["rows"] = rows
+        print(json.dumps(out, indent=2, default=str))
+        return 0
+
+    if args.cmd == "searchindex":
+        from .catalog import SnapshotCatalog
+        from .plans import searchindex as si
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        if args.k < 1:
+            ap.error("--k must be >= 1")
+        out = {}
+        if args.create_over:
+            snaps = si.create_search_index(
+                cat, args.index, args.create_over,
+                id_col=args.id_col, text_col=args.text_col,
+                replace=args.replace,
+            )
+            out["created"] = {t: s.snapshot_id for t, s in snaps.items()}
+        if args.refresh:
+            snaps = si.refresh_search_index(cat, args.index)
+            out["refreshed"] = {
+                t: ({"snapshot": s.snapshot_id, "delta_rows": s.row_count}
+                    if s is not None else None)
+                for t, s in snaps.items()
+            }
+        if args.status:
+            out["status"] = si.search_index_status(cat, args.index)
+        if args.query:
+            df = si.search_index_topk(
+                cat, args.index, list(enumerate(args.query)), k=args.k
+            )
+            out["results"] = [
+                {**r.asDict(), "query": args.query[r["query_id"]]}
+                for r in df.orderBy("query_id", "rank").collect()
+            ]
         print(json.dumps(out, indent=2, default=str))
         return 0
 

@@ -208,3 +208,43 @@ def test_cli_matview_create_refresh_status_print(spark, tmp_path):
     # idle refresh is a no-op commit-wise
     out = json.loads(_run("matview", "--warehouse", wh, "--view", "mv", "--refresh"))
     assert out["refreshed"] is None
+
+
+def test_cli_searchindex_lifecycle(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    cat.write_table(
+        spark.createDataFrame(
+            [(1, "spark join window"), (2, "quick brown fox"),
+             (3, "join the stream")],
+            "doc_id long, text string",
+        ),
+        "docs",
+    )
+    out = json.loads(_run(
+        "searchindex", "--warehouse", wh, "--index", "idx",
+        "--create-over", "docs", "--status",
+    ))
+    assert set(out["created"]) == {"idx_postings", "idx_docs"}
+    assert out["status"]["consistent"] is True
+    # the index FOLLOWS an out-of-process base append; query_id is the
+    # --query position and the echo carries the original text
+    cat.write_table(
+        spark.createDataFrame([(4, "spark streaming")], "doc_id long, text string"),
+        "docs", mode="append",
+    )
+    out = json.loads(_run(
+        "searchindex", "--warehouse", wh, "--index", "idx",
+        "--refresh", "--query", "spark join", "--query", "fox", "--k", "2",
+    ))
+    assert out["refreshed"]["idx_postings"]["delta_rows"] == 2
+    res = out["results"]
+    assert [r["doc_id"] for r in res if r["query_id"] == 0] == [1, 4]
+    assert [r["doc_id"] for r in res if r["query_id"] == 1] == [2]
+    assert res[0]["query"] == "spark join"
+    # idle refresh: both views report no-op
+    out = json.loads(_run(
+        "searchindex", "--warehouse", wh, "--index", "idx", "--refresh"))
+    assert out["refreshed"] == {"idx_postings": None, "idx_docs": None}
