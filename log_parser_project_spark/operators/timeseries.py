@@ -98,3 +98,42 @@ def densify(
             "locf_v_c", F.last("sum_v_c", ignorenulls=True).over(w)
         )
     return out
+
+
+def gap_islands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Silence detection: maximal runs of ≥ ``min_buckets`` consecutive
+    EMPTY buckets inside each key's observed span — the gaps-and-islands
+    shape over the densified series. A stream that goes quiet for hours
+    is an outage signal no per-bucket aggregate surfaces (the buckets
+    simply don't exist until :func:`densify` materializes them).
+
+    Returns ``(key, gap_start, gap_end, n_buckets)`` — bucket epochs of
+    the run's first and last empty bucket, integer-exact end to end.
+    The run grouping is the classic ``bucket/width − row_number``
+    difference trick: consecutive empty buckets share one group
+    anchor, computed under the same per-key window the LOCF fill
+    already uses (no extra shuffle shape beyond densify's)."""
+    dense = densify(df, key_col, ts_col=ts_col, bucket_seconds=bucket_seconds)
+    empty = dense.filter(F.col("n") == 0)
+    w = Window.partitionBy("key").orderBy("bucket")
+    anchored = empty.withColumn(
+        "anchor",
+        (F.col("bucket") / bucket_seconds).cast("long") - F.row_number().over(w),
+    )
+    return (
+        anchored.groupBy("key", "anchor")
+        .agg(
+            F.min("bucket").alias("gap_start"),
+            F.max("bucket").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .filter(F.col("n_buckets") >= min_buckets)
+        .drop("anchor")
+        .select("key", "gap_start", "gap_end", "n_buckets")
+    )

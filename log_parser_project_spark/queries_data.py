@@ -2804,3 +2804,75 @@ def q_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_topk(
         cat, "idx", [(0, "spark join"), (1, "customer stream")], k=10
     )
+
+
+@_register(
+    "q_ts_outages",
+    """
+    WITH agg AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS bucket
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM agg GROUP BY key),
+    spine AS (SELECT key, unnest(generate_series(b0, b1, 3600)) AS bucket FROM ext),
+    empty AS (
+      SELECT s.key, s.bucket FROM spine s
+      LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+      WHERE a.key IS NULL
+    ),
+    runs AS (
+      SELECT key, bucket,
+             bucket // 3600 - row_number() OVER (
+               PARTITION BY key ORDER BY bucket) AS anchor
+      FROM empty
+    ),
+    gaps AS (
+      SELECT key, MIN(bucket) AS gap_start, MAX(bucket) AS gap_end,
+             COUNT(*) AS n_buckets
+      FROM runs GROUP BY key, anchor
+      HAVING COUNT(*) >= 2
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(n_buckets) AS BIGINT) AS silent_buckets,
+           CAST(MAX(n_buckets) AS BIGINT) AS longest_buckets,
+           CAST(MIN(CASE WHEN is_longest THEN gap_start END) AS BIGINT)
+             AS longest_start
+    FROM (
+      SELECT *, n_buckets = MAX(n_buckets) OVER (PARTITION BY key) AS is_longest
+      FROM gaps
+    ) GROUP BY key
+    """,
+)
+def q_ts_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/outage profile per user over the densified hourly
+    series (operators/timeseries.gap_islands): maximal runs of >= 2
+    consecutive empty buckets inside each user's observed span,
+    aggregated to gap count, total silent hours, and the longest
+    outage with its start instant (earliest start on ties). Integer-
+    exact end to end; the oracle rebuilds the islands with the same
+    bucket-minus-row_number anchoring over generate_series."""
+    from .operators.timeseries import gap_islands
+
+    e = _spread(spark, _t(spark, sf_dir, "events")).withColumn(
+        "user_key", F.col("user_id").cast("string")
+    )
+    gaps = gap_islands(e, key_col="user_key", ts_col="ts",
+                       bucket_seconds=3600, min_buckets=2)
+    longest = F.max(F.struct(F.col("n_buckets"), (-F.col("gap_start")).alias("neg_start")))
+    return (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("n_buckets").alias("silent_buckets"),
+            longest.alias("_longest"),
+        )
+        .select(
+            "key",
+            "n_gaps",
+            "silent_buckets",
+            F.col("_longest.n_buckets").alias("longest_buckets"),
+            (-F.col("_longest.neg_start")).cast("long").alias("longest_start"),
+        )
+    )

@@ -187,3 +187,34 @@ def test_densify_python_replica(spark):
                 last = s
             exp[(k, b)] = (n, s, last)
     assert got == exp
+
+
+def test_gap_islands(spark):
+    from log_parser_project_spark.operators.timeseries import gap_islands
+
+    rows = [
+        # key 'a': hits at 0,1 then silence 2-4, hit 5, silence 6-7, hit 8
+        ("a", _ts(0)), ("a", _ts(1)), ("a", _ts(5)), ("a", _ts(8)),
+        # key 'b': a single 1-bucket gap (below min_buckets=2)
+        ("b", _ts(0)), ("b", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r["key"], r["gap_start"]): (r["gap_end"], r["n_buckets"])
+        for r in gap_islands(df, "k", min_buckets=2).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    h = lambda n: base + n * 3600
+    # two runs for 'a' (2-4 and 6-7), none for 'b'
+    assert got == {
+        ("a", h(2)): (h(4), 3),
+        ("a", h(6)): (h(7), 2),
+    }
+    # min_buckets=1 surfaces b's single empty bucket too
+    got1 = gap_islands(df, "k", min_buckets=1)
+    assert got1.filter("key = 'b'").collect()[0]["n_buckets"] == 1
+    # a fully-dense key yields no islands at all
+    dense = spark.createDataFrame(
+        [("c", _ts(i)) for i in range(4)], "k string, ts timestamp"
+    )
+    assert gap_islands(dense, "k", min_buckets=1).count() == 0
