@@ -42,11 +42,48 @@ engines; the DuckDB oracle ranks the identically-rounded value.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+# Java regex \s (what text.tokens splits on): ASCII whitespace only.
+# Query tokenization MUST mirror it — Python str.split() also splits
+# on Unicode whitespace (U+00A0 …), which would tokenize a pasted
+# document fragment differently from how it was indexed.
+_WS_RX = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def postings_rows(id_col: str = "doc_id", text_col: str = "text"):
+    """Factory → the row-level token explode both index paths share:
+    one output row per token occurrence, ``(doc_id, dl, term)``. The
+    single source of truth for index tokenization — the one-shot
+    :func:`build_postings` aggregates it directly and the incremental
+    index registers it as a matview transform
+    (``plans/searchindex.py``), so the two can never drift."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        return toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+
+    return fn
+
+
+def doc_length_rows(id_col: str = "doc_id", text_col: str = "text"):
+    """Factory → one row per doc, ``(doc_id, dl)`` — dl=0 docs
+    included, so COUNT is the corpus size N and SUM(dl) the total
+    token count (the exact-BIGINT BM25 normalizers)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+        )
+
+    return fn
 
 
 def build_postings(
@@ -62,11 +99,12 @@ def build_postings(
     line up with every other text operator. One narrow projection feeds
     both outputs; the postings groupBy is map-side combined on
     (term, doc_id) — ``max(dl)`` is constant per doc, so the partial
-    aggregate stays one row per (term, doc) per partition."""
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    doclen = toks.select("doc_id", F.size("toks").alias("dl"))
+    aggregate stays one row per (term, doc) per partition. ``id_col``
+    values must be unique per document (an index over duplicate ids
+    has ill-defined lengths)."""
+    doclen = doc_length_rows(id_col, text_col)(docs)
     postings = (
-        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        postings_rows(id_col, text_col)(docs)
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
@@ -82,7 +120,7 @@ def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataF
         {
             (int(qid), t)
             for qid, q in queries
-            for t in str(q).lower().split()
+            for t in _WS_RX.split(str(q).lower())
             if t
         }
     )
@@ -108,11 +146,15 @@ def topk_from_postings(
     candidate-sized per-(query, doc) score aggregation."""
     # df for the QUERY terms only: the broadcast semi-prune happens
     # before the count, so this aggregates candidate postings, not the
-    # whole index, and emits one row per distinct query term
+    # whole index, and emits one row per distinct query term. Distinct
+    # DOCS, not posting rows — df is defined as documents containing
+    # the term, and a postings relation is not guaranteed one row per
+    # (term, doc) (e.g. duplicate base doc_ids put dl-split rows in
+    # the incremental index); counting rows would silently inflate it.
     term_df = (
         postings.join(F.broadcast(qdf.select("term").distinct()), "term")
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
     )
     cand = (
         postings.join(F.broadcast(qdf), "term")
@@ -182,12 +224,18 @@ def bm25_score_py(
     for doc_id, toks in corpus.items():
         s = 0.0
         dl = len(toks)
+        matched = False
         for t in terms:
             tf = toks.count(t)
-            if not tf or not df[t]:
+            if not tf:
                 continue
+            matched = True
             idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
             s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
-        if s:
+        if matched:
+            # matched docs stay in the result even when the score
+            # ROUNDS to 0.0 (term in every doc → tiny idf): the
+            # distributed plan emits those rows too, and the replica
+            # must agree row-for-row, not just on "interesting" docs
             out[doc_id] = round(s, 4)
     return out

@@ -162,17 +162,30 @@ def _pin_tag(view: str, pin: str) -> str:
     return f"{_pin_prefix(view)}.{pin}"
 
 
-def _definition(catalog: SnapshotCatalog, view: str) -> tuple[dict, Snapshot]:
+def _definition(
+    catalog: SnapshotCatalog, view: str, as_of: str | None = None
+) -> tuple[dict, Snapshot]:
     """The view's definition and its committed HEAD, from one
     consistent history read. The definition is the NEWEST mv-bearing
     snapshot — tolerant of content-preserving interlopers (a generic
     ``maintain --compact`` on the view table commits without mv
     lineage but keeps the rows); the returned snapshot is the head
     itself, which is what a serializable commit must expect as its
-    parent."""
+    parent. ``as_of`` (a view snapshot id) resolves the definition AS
+    OF that commit instead of the live head — what a reader needs to
+    pair a pinned data read with the definition that produced it."""
     if not catalog.exists(view):
         raise LookupError(f"no materialized view {view!r}")
     hist = catalog.history(view)
+    if as_of is not None:
+        pos = next(
+            (i for i, s in enumerate(hist) if s.snapshot_id == as_of), None
+        )
+        if pos is None:
+            raise LookupError(
+                f"snapshot {as_of!r} is not in {view!r}'s committed history"
+            )
+        hist = hist[: pos + 1]
     # content-PRESERVING commits may sit between the head and the
     # defining commit: maintenance rewrites of the same rows, layout
     # changes, and additive schema evolution (the netting read selects
@@ -283,6 +296,7 @@ def create_matview(
     sums: dict[str, str] | None = None,
     replace: bool = False,
     transform: str | tuple[str, dict] | None = None,
+    base_as_of: str | None = None,
 ) -> Snapshot:
     """Create ``view`` = SELECT group_by, COUNT(*) AS n_rows,
     SUM(src) AS out... FROM transform(base_table) GROUP BY group_by —
@@ -294,8 +308,13 @@ def create_matview(
     the aggregate — group/sum columns then refer to the TRANSFORMED
     schema; refreshes apply it to each changelog side, which is sound
     exactly because a per-row transform commutes with the signed fold.
-    Refuses to overwrite an existing table unless ``replace=True``
-    (and never the base table itself)."""
+    ``base_as_of`` pins an explicit base snapshot id instead of the
+    live head — callers creating SEVERAL views over one base (e.g.
+    the search index's postings + stats pair) pass the same id so all
+    views are born on one consistent base cut even when the base is
+    being written concurrently. Refuses to overwrite an existing
+    table unless ``replace=True`` (and never the base table
+    itself)."""
     _require_snapshot_catalog(catalog)
     sums = dict(sums or {})
     tspec = _norm_transform(transform)
@@ -325,7 +344,19 @@ def create_matview(
             (s.lineage or {}).get("mv", {}).get("base_table")
             for s in catalog.history(view)
         } - {None}
-    base_snap = catalog.snapshot(base_table)
+    if base_as_of is None:
+        base_snap = catalog.snapshot(base_table)
+    else:
+        base_snap = next(
+            (s for s in catalog.history(base_table)
+             if s.snapshot_id == base_as_of),
+            None,
+        )
+        if base_snap is None:
+            raise LookupError(
+                f"base_as_of {base_as_of!r} is not in {base_table!r}'s "
+                "committed history"
+            )
     if base_snap is None:
         raise LookupError(f"no committed base table {base_table!r}")
     tagged_here = _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
@@ -439,11 +470,18 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             "transient read failure just needs a retry"
         ) from e
     t = _resolve_transform(mv.get("transform"))
+    cached = None
     if t is not None:
         # the transform sees BASE rows only; apply it per changelog
         # side and re-attach the sign column (a row-local flatMap maps
         # each output row to exactly one input row, so every output of
-        # a deleted row's transform carries that row's delete sign)
+        # a deleted row's transform carries that row's delete sign).
+        # The split-then-union references the changelog TWICE — cache
+        # it so the metadata-planned read and drop_carryovers shuffle
+        # run once, not once per side.
+        from pyspark import StorageLevel
+
+        cached = changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
         meta = [c for c in ("_commit_snapshot_id", "_change_ordinal")
                 if c in changes.columns]
         sides = []
@@ -453,32 +491,41 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
             )
             sides.append(t(side).withColumn("_change_type", F.lit(ctype)))
         changes = sides[0].unionByName(sides[1])
-    delta = _pad_to_schema(
-        _delta(changes, mv["group_by"], mv["sums"],
-               _view_types(view_snap, mv["sums"])),
-        view_snap,
-    )
-    _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
-    snap = catalog.write_table(
-        delta,
-        view,
-        mode="append",
-        expected_parent=view_snap.snapshot_id,
-        lineage={
-            "mv": {**mv, "base_snapshot": base_snap.snapshot_id, "stage": "refresh"}
-        },
-    )
+    try:
+        delta = _pad_to_schema(
+            _delta(changes, mv["group_by"], mv["sums"],
+                   _view_types(view_snap, mv["sums"])),
+            view_snap,
+        )
+        _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)
+        snap = catalog.write_table(
+            delta,
+            view,
+            mode="append",
+            expected_parent=view_snap.snapshot_id,
+            lineage={
+                "mv": {**mv, "base_snapshot": base_snap.snapshot_id, "stage": "refresh"}
+            },
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist()
     _sweep_pin_tags(catalog, view, base_table, base_snap.snapshot_id)
     return snap
 
 
-def read_matview(catalog: SnapshotCatalog, view: str) -> DataFrame:
-    """The view's current contents: deltas netted by one groupBy-sum
-    over the view table (≈ groups + recent delta rows — never the
-    base), groups netted to zero rows dropped."""
+def read_matview(
+    catalog: SnapshotCatalog, view: str, as_of: str | None = None
+) -> DataFrame:
+    """The view's contents: deltas netted by one groupBy-sum over the
+    view table (≈ groups + recent delta rows — never the base), groups
+    netted to zero rows dropped. ``as_of`` (a view snapshot id) reads
+    a pinned state — data AND definition resolved at that commit — so
+    multi-view readers can take a consistent cut that a concurrent
+    refresh cannot shear (see ``plans/searchindex.py``)."""
     _require_snapshot_catalog(catalog)
-    mv, view_snap = _definition(catalog, view)
-    df = catalog.read_table(view)
+    mv, view_snap = _definition(catalog, view, as_of=as_of)
+    df = catalog.read_table(view, as_of=as_of)
     types = _view_types(view_snap, mv["sums"])
     aggs = [F.sum(_COUNT).cast("long").alias(_COUNT)]
     for out in mv["sums"]:

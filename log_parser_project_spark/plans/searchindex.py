@@ -43,9 +43,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Snapshot, SnapshotCatalog
-from ..operators.search import query_terms_df, topk_from_postings
-from ..operators.text import tokens
+from ..operators.search import (
+    doc_length_rows,
+    postings_rows,
+    query_terms_df,
+    topk_from_postings,
+)
 from .matview import (
+    _definition,
+    _sweep_pin_tags,
     create_matview,
     matview_status,
     read_matview,
@@ -53,32 +59,12 @@ from .matview import (
     register_transform,
 )
 
-
-@register_transform("postings_rows")
-def _postings_rows(id_col: str = "doc_id", text_col: str = "text"):
-    """One output row per token occurrence: (doc_id, dl, term)."""
-
-    def fn(df: DataFrame) -> DataFrame:
-        toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-        return toks.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-
-    return fn
-
-
-@register_transform("doc_length_rows")
-def _doc_length_rows(id_col: str = "doc_id", text_col: str = "text"):
-    """One output row per doc: (doc_id, dl) — dl=0 docs included, so
-    the view's COUNT is the corpus size N and its SUM(dl) the total
-    token count (exact BIGINTs, the BM25 normalizers)."""
-
-    def fn(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
-        )
-
-    return fn
+# The row-level builders live in operators/search.py — ONE source of
+# truth for index tokenization, shared by the one-shot build_postings
+# and these registered transform names (a drift between the two paths
+# would silently break index-vs-one-shot equivalence).
+register_transform("postings_rows")(postings_rows)
+register_transform("doc_length_rows")(doc_length_rows)
 
 
 def _postings_view(index: str) -> str:
@@ -97,9 +83,19 @@ def create_search_index(
     text_col: str = "text",
     replace: bool = False,
 ) -> dict[str, Snapshot]:
-    """Build the index over the base table's current snapshot — the
-    only full corpus scan this index will ever take. Returns the two
-    view commits keyed by table name."""
+    """Build the index over ONE base snapshot — the only full corpus
+    scan this index will ever take. Both views pin the SAME base cut
+    (resolved once, passed as ``base_as_of``), so a base writer
+    landing between the two creates cannot produce a born-inconsistent
+    index. ``id_col`` values must be unique per document. If the
+    second create fails (name taken, crash), the first view's pin
+    tags are released before re-raising so the half-created index
+    never anchors the base against retention; retry with
+    ``replace=True`` to rebuild over the leftover table. Returns the
+    two view commits keyed by table name."""
+    base_snap = catalog.snapshot(base_table)
+    if base_snap is None:
+        raise LookupError(f"no committed base table {base_table!r}")
     args = {"id_col": id_col, "text_col": text_col}
     snaps = {
         _postings_view(index): create_matview(
@@ -109,8 +105,11 @@ def create_search_index(
             group_by=["term", "doc_id", "dl"],
             transform=("postings_rows", args),
             replace=replace,
-        ),
-        _docs_view(index): create_matview(
+            base_as_of=base_snap.snapshot_id,
+        )
+    }
+    try:
+        snaps[_docs_view(index)] = create_matview(
             catalog,
             _docs_view(index),
             base_table,
@@ -118,8 +117,11 @@ def create_search_index(
             sums={"dl_sum": "dl"},
             transform=("doc_length_rows", args),
             replace=replace,
-        ),
-    }
+            base_as_of=base_snap.snapshot_id,
+        )
+    except BaseException:
+        _sweep_pin_tags(catalog, _postings_view(index), base_table, "")
+        raise
     return snaps
 
 
@@ -159,21 +161,34 @@ def search_index_topk(
     of the corpus text at all. Postings and stats come off the two
     views (delta rows netted on read); the scoring core and its
     broadcast shape are shared with the one-shot path
-    (``operators/search.topk_from_postings``). Raises if the views
-    are pinned to different base snapshots (a crashed refresh) —
-    rerun :func:`refresh_search_index` to converge first."""
-    st = search_index_status(catalog, index)
-    if not st["consistent"]:
+    (``operators/search.topk_from_postings``).
+
+    The read is a CONSISTENT CUT: both view heads are captured once,
+    their pinned base snapshots compared from those exact commits, and
+    the data read ``as_of`` the same heads — so a refresh landing
+    between the check and the read cannot shear the result into
+    postings of one index generation scored against the stats of
+    another (the check-then-read race a live-head read would have).
+    Raises if the captured heads pin different base snapshots (a
+    crashed or in-flight refresh) — rerun
+    :func:`refresh_search_index` to converge first."""
+    p_head = catalog.snapshot(_postings_view(index))
+    d_head = catalog.snapshot(_docs_view(index))
+    if p_head is None or d_head is None:
+        raise LookupError(f"no search index {index!r} in this warehouse")
+    mv_p, _ = _definition(catalog, _postings_view(index), as_of=p_head.snapshot_id)
+    mv_d, _ = _definition(catalog, _docs_view(index), as_of=d_head.snapshot_id)
+    if mv_p["base_snapshot"] != mv_d["base_snapshot"]:
         raise ValueError(
             f"search index {index!r} views pin different base snapshots "
-            f"({st['postings']['pinned_base_snapshot']} vs "
-            f"{st['docs']['pinned_base_snapshot']}): a refresh was "
-            "interrupted; run refresh_search_index to converge"
+            f"({mv_p['base_snapshot']} vs {mv_d['base_snapshot']}): a "
+            "refresh was interrupted or is in flight; run "
+            "refresh_search_index to converge"
         )
-    postings = read_matview(catalog, _postings_view(index)).select(
-        "term", "doc_id", "dl", F.col("n_rows").alias("tf")
-    )
-    docs = read_matview(catalog, _docs_view(index))
+    postings = read_matview(
+        catalog, _postings_view(index), as_of=p_head.snapshot_id
+    ).select("term", "doc_id", "dl", F.col("n_rows").alias("tf"))
+    docs = read_matview(catalog, _docs_view(index), as_of=d_head.snapshot_id)
     stats = docs.agg(
         F.sum("n_rows").alias("n_docs"),
         F.sum("dl_sum").alias("total_dl"),

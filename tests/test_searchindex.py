@@ -143,3 +143,55 @@ def test_transform_lineage_round_trips(spark, cat):
     # untransformed views keep their lineage transform-free
     create_matview(cat, "plain", "docs", ["doc_id"])
     assert "transform" not in (cat.history("plain")[-1].lineage or {})["mv"]
+
+
+def test_read_matview_as_of_pins_definition_and_data(spark, cat):
+    _seed(spark, cat)
+    old_head = cat.snapshot("idx_docs").snapshot_id
+    cat.write_table(
+        spark.createDataFrame([(9, "nine new words appear here")],
+                              "doc_id long, text string"),
+        "docs", mode="append",
+    )
+    refresh_search_index(cat, "idx")
+    # live read sees 5 docs; the pinned read still sees the 4 it had
+    assert read_matview(cat, "idx_docs").count() == 5
+    assert read_matview(cat, "idx_docs", as_of=old_head).count() == 4
+    with pytest.raises(LookupError, match="not in"):
+        read_matview(cat, "idx_docs", as_of="0" * 16)
+
+
+def test_create_matview_base_as_of_pins_old_cut(spark, cat):
+    df = spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    s1 = cat.write_table(df, "base")
+    cat.write_table(
+        spark.createDataFrame([(2, "a", 99)], "k long, g string, v long"),
+        "base", mode="append",
+    )
+    create_matview(cat, "mv_old", "base", ["g"], {"sv": "v"},
+                   base_as_of=s1.snapshot_id)
+    rows = read_matview(cat, "mv_old").collect()
+    # born on the OLD cut: the concurrent append is invisible until refresh
+    assert [(r["g"], r["n_rows"], r["sv"]) for r in rows] == [("a", 1, 10)]
+    refresh_matview(cat, "mv_old")
+    rows = read_matview(cat, "mv_old").collect()
+    assert [(r["g"], r["n_rows"], r["sv"]) for r in rows] == [("a", 2, 109)]
+    with pytest.raises(LookupError, match="committed history"):
+        create_matview(cat, "mv_bad", "base", ["g"], base_as_of="f" * 16)
+
+
+def test_create_index_failure_releases_pins(spark, cat):
+    cat.write_table(
+        spark.createDataFrame([(1, "some text")], "doc_id long, text string"),
+        "docs",
+    )
+    # occupy the SECOND view's name so create fails halfway through
+    cat.write_table(
+        spark.createDataFrame([(0,)], "x long"), "idx2_docs"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        create_search_index(cat, "idx2", "docs")
+    # the half-created postings view must not anchor the base against
+    # retention: every idx2_postings pin tag was swept on the way out
+    assert not any(t.startswith("mv_pin_idx2_postings")
+                   for t in cat.tags("docs"))
