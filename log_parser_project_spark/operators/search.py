@@ -207,6 +207,61 @@ def bm25_topk(
     return topk_from_postings(postings, stats, qdf, k=k, k1=k1, b=b)
 
 
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings ``(term, doc_id, pos)`` — 0-based token
+    position, same tokenization as the BM25 index. The narrow
+    posexplode projection phrase matching chains on; persist it as a
+    table to amortize multi-phrase workloads (each phrase branch
+    otherwise re-derives it from the corpus scan)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching: docs containing each phrase's tokens
+    CONSECUTIVELY, with the occurrence count —
+    ``(phrase_id, doc_id, n_occ)``, ``n_occ ≥ 1``. The classic
+    positional-index chain: anchor candidates on the first term, then
+    one equi-join per further term on ``(doc_id, anchor_pos)`` with
+    the next term's positions shifted back by its offset — consecutive
+    tokens land on the same key, so every join is candidate-sized and
+    hash-shuffled on uniform keys (never a Cartesian, never a regex
+    over the corpus). Each phrase filters the positional postings by
+    term LITERAL before anything wide happens, so a rare phrase costs
+    its own candidates only. A single-term phrase degenerates to a
+    term-frequency count."""
+    pos = positional_postings(docs, id_col=id_col, text_col=text_col)
+    branches = []
+    for pid, phrase in phrases:
+        terms = [t for t in _WS_RX.split(str(phrase).lower()) if t]
+        if not terms:
+            raise ValueError(f"phrase {pid!r} has no non-empty terms")
+        cur = pos.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p"))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = pos.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("p")
+            )
+            cur = cur.join(nxt, ["doc_id", "p"])
+        branches.append(
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .select(F.lit(int(pid)).alias("phrase_id"), "doc_id", "n_occ")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def bm25_score_py(
     corpus: dict[int, list[str]], query_terms: list[str], k1: float = 1.2, b: float = 0.75
 ) -> dict[int, float]:

@@ -2876,3 +2876,48 @@ def q_ts_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("_longest.neg_start")).cast("long").alias("longest_start"),
         )
     )
+
+
+@_register(
+    "q_search_phrases",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT 0 AS phrase_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+               i -> toks[i] = 'table' AND toks[i+1] = 'value')) AS BIGINT) AS n_occ
+      FROM docs
+      UNION ALL
+      SELECT 1, doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+               i -> toks[i] = 'customer' AND toks[i+1] = 'stream')) AS BIGINT)
+      FROM docs
+      UNION ALL
+      SELECT 2, doc_id,
+             CAST(len(list_filter(range(1, len(toks) - 1),
+               i -> toks[i] = 'slow' AND toks[i+1] = 'fast'
+                AND toks[i+2] = 'table')) AS BIGINT)
+      FROM docs
+    )
+    SELECT phrase_id, doc_id, n_occ FROM hits WHERE n_occ > 0
+    """,
+)
+def q_search_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (operators/search.phrase_occurrences):
+    three phrases — a frequent 2-gram with multi-occurrence docs, a
+    rarer 2-gram, and a 3-gram — matched by the positional-index
+    chain (anchor on the first term's positions, equi-join each
+    further term shifted to the anchor key; candidate-sized hash
+    joins only). Integer-exact occurrence counts; the oracle rescans
+    token arrays with a window predicate over DuckDB ranges."""
+    from .operators.search import phrase_occurrences
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return phrase_occurrences(
+        d,
+        [(0, "table value"), (1, "customer stream"), (2, "slow fast table")],
+    )

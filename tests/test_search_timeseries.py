@@ -218,3 +218,41 @@ def test_gap_islands(spark):
         [("c", _ts(i)) for i in range(4)], "k string, ts timestamp"
     )
     assert gap_islands(dense, "k", min_buckets=1).count() == 0
+
+
+def test_phrase_occurrences(spark):
+    from log_parser_project_spark.operators.search import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # "a b" twice; "b a" twice
+            (2, "a a b"),            # "a b" once (second a anchors)
+            (3, "b a"),              # "a b" zero (wrong order)
+            (4, "a c b"),            # zero: not consecutive
+            (5, "x a b c y"),        # "a b c" once
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occ"]
+        for r in phrase_occurrences(
+            docs, [(0, "a b"), (1, "a b c"), (2, "a")]
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k[0] == 0} == {
+        (0, 1): 2, (0, 2): 1, (0, 5): 1
+    }
+    assert {k: v for k, v in got.items() if k[0] == 1} == {(1, 5): 1}
+    # single-term phrase = term frequency
+    assert got[(2, 1)] == 3 and got[(2, 2)] == 2 and got[(2, 4)] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_occurrences(docs, [(0, "  ")])
+
+
+def test_phrase_overlapping_occurrences(spark):
+    from log_parser_project_spark.operators.search import phrase_occurrences
+
+    # overlapping matches all count: "a a a" contains "a a" twice
+    docs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    got = phrase_occurrences(docs, [(0, "a a")]).collect()
+    assert [(r["doc_id"], r["n_occ"]) for r in got] == [(1, 2)]
