@@ -42,18 +42,11 @@ engines; the DuckDB oracle ranks the identically-rounded value.
 from __future__ import annotations
 
 import math
-import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
-
-# Java regex \s (what text.tokens splits on): ASCII whitespace only.
-# Query tokenization MUST mirror it — Python str.split() also splits
-# on Unicode whitespace (U+00A0 …), which would tokenize a pasted
-# document fragment differently from how it was indexed.
-_WS_RX = re.compile("[ \t\n\x0b\f\r]+")
+from .text import py_tokens, tokens
 
 
 def postings_rows(id_col: str = "doc_id", text_col: str = "text"):
@@ -117,12 +110,7 @@ def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataF
     query (bag-of-words retrieval scores each distinct term once per
     document)."""
     qterms = sorted(
-        {
-            (int(qid), t)
-            for qid, q in queries
-            for t in _WS_RX.split(str(q).lower())
-            if t
-        }
+        {(int(qid), t) for qid, q in queries for t in py_tokens(q)}
     )
     if not qterms:
         raise ValueError("no non-empty query terms")
@@ -211,14 +199,27 @@ def positional_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Positional postings ``(term, doc_id, pos)`` — 0-based token
-    position, same tokenization as the BM25 index. The narrow
-    posexplode projection phrase matching chains on; persist it as a
-    table to amortize multi-phrase workloads (each phrase branch
-    otherwise re-derives it from the corpus scan)."""
+    position, same tokenization as the BM25 index. The persisted-index
+    layout :func:`phrase_occurrences_indexed` chains on; write it as a
+    catalog table once and phrase queries never rescan the corpus.
+    ``id_col`` values must be unique per document (duplicates would
+    cross-multiply the chain joins into inflated counts)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("pos", "term"),
     )
+
+
+def _phrase_terms(phrases: list[tuple[int, str]]) -> list[tuple[int, list[str]]]:
+    if not phrases:
+        raise ValueError("no phrases given")
+    out = []
+    for pid, phrase in phrases:
+        terms = py_tokens(phrase)
+        if not terms:
+            raise ValueError(f"phrase {pid!r} has no non-empty terms")
+        out.append((int(pid), terms))
+    return out
 
 
 def phrase_occurrences(
@@ -227,34 +228,87 @@ def phrase_occurrences(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact phrase matching: docs containing each phrase's tokens
-    CONSECUTIVELY, with the occurrence count —
-    ``(phrase_id, doc_id, n_occ)``, ``n_occ ≥ 1``. The classic
-    positional-index chain: anchor candidates on the first term, then
-    one equi-join per further term on ``(doc_id, anchor_pos)`` with
-    the next term's positions shifted back by its offset — consecutive
-    tokens land on the same key, so every join is candidate-sized and
-    hash-shuffled on uniform keys (never a Cartesian, never a regex
-    over the corpus). Each phrase filters the positional postings by
-    term LITERAL before anything wide happens, so a rare phrase costs
-    its own candidates only. A single-term phrase degenerates to a
+    """Exact phrase matching straight off the corpus: docs containing
+    each phrase's tokens CONSECUTIVELY, with the occurrence count —
+    ``(phrase_id, doc_id, n_occ)``, ``n_occ ≥ 1``, overlapping matches
+    counted. ONE narrow scan for the whole phrase batch: the token
+    array materializes once per row and every phrase is a pure
+    higher-order-function expression over it (count of window starts
+    where all m tokens line up), stacked with ``explode`` — zero
+    joins, zero shuffles, whole-stage codegen'd. This is the right
+    plan when the corpus is scanned anyway; a standing phrase workload
+    uses :func:`phrase_occurrences_indexed` over a PERSISTED
+    positional index instead. A single-term phrase degenerates to a
     term-frequency count."""
-    pos = positional_postings(docs, id_col=id_col, text_col=text_col)
+    specs = _phrase_terms(phrases)
+
+    def occ(toks, terms: list[str]):
+        m = len(terms)
+        # sequence(1, 0) DESCENDS in Spark — guard docs shorter than m
+        idx = F.sequence(F.lit(1), F.size(toks) - (m - 1))
+        hits = F.filter(
+            idx,
+            lambda i: F.aggregate(
+                F.array(*[
+                    F.element_at(toks, i + j) == F.lit(t)
+                    for j, t in enumerate(terms)
+                ]),
+                F.lit(True),
+                lambda acc, x: acc & x,
+            ),
+        )
+        n = F.when(F.size(toks) >= m, F.size(hits)).otherwise(F.lit(0))
+        return n.cast("long")
+
+    toks = F.col("_toks")
+    stacked = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(pid).alias("phrase_id"),
+                        occ(toks, terms).alias("n_occ"),
+                    )
+                    for pid, terms in specs
+                ])
+            ).alias("hit"),
+        )
+        .select("doc_id", "hit.phrase_id", "hit.n_occ")
+        .filter(F.col("n_occ") > 0)
+    )
+    return stacked.select("phrase_id", "doc_id", "n_occ")
+
+
+def phrase_occurrences_indexed(
+    postings_pos: DataFrame, phrases: list[tuple[int, str]]
+) -> DataFrame:
+    """Exact phrase matching against a PERSISTED positional index
+    (:func:`positional_postings` written as a table): the classic
+    chain — anchor candidates on the first term's positions, one
+    equi-join per further term on ``(doc_id, anchor_pos)`` with that
+    term's positions shifted back by its offset. Every join is
+    candidate-sized and hash-shuffled on uniform keys, each phrase
+    filtered by term LITERAL before anything wide happens (filters
+    push into the index scan), so a rare phrase costs its own
+    candidates only — the corpus text is never read. Output identical
+    to :func:`phrase_occurrences` (equivalence pinned in tests)."""
+    specs = _phrase_terms(phrases)
     branches = []
-    for pid, phrase in phrases:
-        terms = [t for t in _WS_RX.split(str(phrase).lower()) if t]
-        if not terms:
-            raise ValueError(f"phrase {pid!r} has no non-empty terms")
-        cur = pos.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p"))
+    for pid, terms in specs:
+        cur = postings_pos.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p")
+        )
         for i, t in enumerate(terms[1:], start=1):
-            nxt = pos.filter(F.col("term") == t).select(
+            nxt = postings_pos.filter(F.col("term") == t).select(
                 "doc_id", (F.col("pos") - i).alias("p")
             )
             cur = cur.join(nxt, ["doc_id", "p"])
         branches.append(
             cur.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_occ"))
-            .select(F.lit(int(pid)).alias("phrase_id"), "doc_id", "n_occ")
+            .select(F.lit(pid).alias("phrase_id"), "doc_id", "n_occ")
         )
     out = branches[0]
     for b in branches[1:]:

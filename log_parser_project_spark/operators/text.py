@@ -10,6 +10,8 @@ front of dedup/routing.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,22 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 def tokens(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+# Java regex \s — what tokens() splits on — is ASCII whitespace ONLY.
+# The driver-side mirror below must use this class, never str.split()
+# (which also splits on Unicode whitespace like U+00A0, tokenizing a
+# pasted document fragment differently from how it was indexed).
+_PY_WS_RX = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(s: str) -> list[str]:
+    """Driver-side mirror of :func:`tokens` for small strings (search
+    queries, phrases): identical lowercase + ASCII-whitespace split.
+    The ONE place query-side tokenization lives — change :func:`tokens`
+    and this together (``tests/test_search_timeseries.py`` pins their
+    agreement on tricky inputs)."""
+    return [t for t in _PY_WS_RX.split(str(s).lower()) if t]
 
 
 def token_count(col: str | Column = "text") -> Column:

@@ -514,17 +514,17 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
     return snap
 
 
-def read_matview(
-    catalog: SnapshotCatalog, view: str, as_of: str | None = None
+def _netted_read(
+    catalog: SnapshotCatalog,
+    view: str,
+    mv: dict,
+    view_snap: Snapshot,
+    as_of: str | None = None,
 ) -> DataFrame:
-    """The view's contents: deltas netted by one groupBy-sum over the
-    view table (≈ groups + recent delta rows — never the base), groups
-    netted to zero rows dropped. ``as_of`` (a view snapshot id) reads
-    a pinned state — data AND definition resolved at that commit — so
-    multi-view readers can take a consistent cut that a concurrent
-    refresh cannot shear (see ``plans/searchindex.py``)."""
-    _require_snapshot_catalog(catalog)
-    mv, view_snap = _definition(catalog, view, as_of=as_of)
+    """The netting aggregation for an ALREADY-resolved definition —
+    callers that captured (definition, head) themselves (a multi-view
+    consistent cut, ``plans/searchindex.py``) avoid re-walking the
+    history log here."""
     df = catalog.read_table(view, as_of=as_of)
     types = _view_types(view_snap, mv["sums"])
     aggs = [F.sum(_COUNT).cast("long").alias(_COUNT)]
@@ -538,6 +538,20 @@ def read_matview(
         .agg(*aggs)
         .filter(F.col(_COUNT) > 0)
     )
+
+
+def read_matview(
+    catalog: SnapshotCatalog, view: str, as_of: str | None = None
+) -> DataFrame:
+    """The view's contents: deltas netted by one groupBy-sum over the
+    view table (≈ groups + recent delta rows — never the base), groups
+    netted to zero rows dropped. ``as_of`` (a view snapshot id) reads
+    a pinned state — data AND definition resolved at that commit — so
+    multi-view readers can take a consistent cut that a concurrent
+    refresh cannot shear (see ``plans/searchindex.py``)."""
+    _require_snapshot_catalog(catalog)
+    mv, view_snap = _definition(catalog, view, as_of=as_of)
+    return _netted_read(catalog, view, mv, view_snap, as_of=as_of)
 
 
 def matview_status(catalog: SnapshotCatalog, view: str) -> dict:

@@ -51,10 +51,10 @@ from ..operators.search import (
 )
 from .matview import (
     _definition,
+    _netted_read,
     _sweep_pin_tags,
     create_matview,
     matview_status,
-    read_matview,
     refresh_matview,
     register_transform,
 )
@@ -176,8 +176,8 @@ def search_index_topk(
     d_head = catalog.snapshot(_docs_view(index))
     if p_head is None or d_head is None:
         raise LookupError(f"no search index {index!r} in this warehouse")
-    mv_p, _ = _definition(catalog, _postings_view(index), as_of=p_head.snapshot_id)
-    mv_d, _ = _definition(catalog, _docs_view(index), as_of=d_head.snapshot_id)
+    mv_p, p_snap = _definition(catalog, _postings_view(index), as_of=p_head.snapshot_id)
+    mv_d, d_snap = _definition(catalog, _docs_view(index), as_of=d_head.snapshot_id)
     if mv_p["base_snapshot"] != mv_d["base_snapshot"]:
         raise ValueError(
             f"search index {index!r} views pin different base snapshots "
@@ -185,10 +185,12 @@ def search_index_topk(
             "refresh was interrupted or is in flight; run "
             "refresh_search_index to converge"
         )
-    postings = read_matview(
-        catalog, _postings_view(index), as_of=p_head.snapshot_id
+    postings = _netted_read(
+        catalog, _postings_view(index), mv_p, p_snap, as_of=p_head.snapshot_id
     ).select("term", "doc_id", "dl", F.col("n_rows").alias("tf"))
-    docs = read_matview(catalog, _docs_view(index), as_of=d_head.snapshot_id)
+    docs = _netted_read(
+        catalog, _docs_view(index), mv_d, d_snap, as_of=d_head.snapshot_id
+    )
     stats = docs.agg(
         F.sum("n_rows").alias("n_docs"),
         F.sum("dl_sum").alias("total_dl"),

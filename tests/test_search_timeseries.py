@@ -256,3 +256,40 @@ def test_phrase_overlapping_occurrences(spark):
     docs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
     got = phrase_occurrences(docs, [(0, "a a")]).collect()
     assert [(r["doc_id"], r["n_occ"]) for r in got] == [(1, 2)]
+
+
+def test_phrase_indexed_equivalent_and_py_tokens_mirror(spark):
+    from log_parser_project_spark.operators.search import (
+        phrase_occurrences,
+        phrase_occurrences_indexed,
+        positional_postings,
+    )
+    from log_parser_project_spark.operators.text import py_tokens, tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a b"), (3, "b a"), (4, "x a b c y"), (5, "")],
+        "doc_id long, text string",
+    )
+    phrases = [(0, "a b"), (1, "a b c"), (2, "a")]
+    expr = sorted(tuple(r) for r in phrase_occurrences(docs, phrases).collect())
+    chain = sorted(
+        tuple(r)
+        for r in phrase_occurrences_indexed(
+            positional_postings(docs), phrases
+        ).collect()
+    )
+    assert expr == chain
+    # the expression path plans ZERO shuffles (one narrow scan for the
+    # whole batch); the chain path is the persisted-index shape
+    plan = phrase_occurrences(docs, phrases)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="no phrases"):
+        phrase_occurrences(docs, [])
+    # py_tokens is THE mirror of the Spark tokenizer: ASCII whitespace
+    # splits, Unicode whitespace (U+00A0) does NOT split, case folds
+    tricky = "Spark\u00a0join\tWINDOW  two\nlines"  # NBSP: not a split
+    spark_toks = (
+        spark.createDataFrame([(tricky,)], "text string")
+        .select(tokens("text").alias("t")).collect()[0]["t"]
+    )
+    assert py_tokens(tricky) == spark_toks == ["spark\u00a0join", "window", "two", "lines"]
