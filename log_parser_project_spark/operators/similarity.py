@@ -264,6 +264,47 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_cell_rows(
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Row-local IVF cell assignment against FIXED centroid literals —
+    the registered matview transform behind the incrementally-
+    maintained vector index (``plans/vectorindex.py``).
+
+    Returns ``df → (cell:int, vec_id, emb)``: each valid vector mapped
+    to its nearest centroid's cell (argmax dot against unit-norm
+    centroids ≡ argmax cosine — ‖v‖ is constant per row; first-max
+    tie-break, deterministic), null/wrong-width vectors dropped. A
+    deterministic per-row flatMap (0 or 1 output rows from exactly one
+    input row, centroids frozen as literals in the view's lineage), so
+    it commutes with the signed delta fold: deleting a base row nets
+    away exactly the ``(cell, vec_id, emb)`` group its insert created,
+    and an UPDATE (delete old + insert new in the changelog) moves the
+    vector to its new cell with no special casing."""
+    if not centroids:
+        raise ValueError("ivf_cell_rows needs at least one centroid")
+    dim = len(centroids[0])
+
+    def _transform(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col)
+        sims = F.array(
+            *[dot(F.array(*[F.lit(float(x)) for x in c]), v) for c in centroids]
+        )
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        return (
+            df.filter(v.isNotNull() & (F.size(v) == dim))
+            .select(
+                cell.alias("cell"),
+                F.col(id_col).alias("vec_id"),
+                v.alias("emb"),
+            )
+        )
+
+    return _transform
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -118,7 +118,7 @@ def _resolve_transform(spec: dict | None) -> Callable[[DataFrame], DataFrame] | 
     if name not in TRANSFORMS:
         # self-heal the registry in a fresh session: the built-in
         # transform modules register on import
-        from . import searchindex  # noqa: F401
+        from . import searchindex, vectorindex  # noqa: F401
     if name not in TRANSFORMS:
         raise LookupError(
             f"transform {name!r} is not registered; import the module "

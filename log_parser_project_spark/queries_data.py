@@ -2921,3 +2921,75 @@ def q_search_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         [(0, "table value"), (1, "customer stream"), (2, "slow fast table")],
     )
+
+
+@_register(
+    "q_vec_incremental_knn",
+    """
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0
+                  THEN list_transform(embedding, x -> CAST(x + 1.0 AS FLOAT))
+                  ELSE embedding END AS embedding
+      FROM embeddings
+      WHERE vec_id % 7 <> 0
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4) AS sim
+      FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def q_vec_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained IVF vector index pinned to an
+    oracle: ``embeddings`` becomes a snapshot table grown in four
+    commits — initial write (vec_id%3 != 0), append (vec_id%3 == 0), a
+    copy-on-write UPDATE adding 1.0 to every component of vec_id%10
+    == 0 vectors (changing their direction AND their cell), and a
+    row-level DELETE (vec_id%7 == 0) — with the index
+    (``plans/vectorindex.py``: cell postings as ONE transformed
+    materialized view, centroids trained once on the initial cut and
+    frozen in lineage) created after the first commit and refreshed
+    O(delta) after each mutation; the corpus is never rescanned. The
+    final top-3 query probes EVERY cell (exact mode), so the result
+    must be bit-equal to brute force over the final corpus state —
+    which is exactly what the oracle recomputes. Fails if delta
+    folding, cell re-assignment on update, de-indexing on delete, or
+    the posting-denormalized vectors ever drift from a full rebuild."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+    from .plans.vectorindex import (
+        create_vector_index,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="vidx_wh_"))
+    cat.write_table(base.filter(F.col("vec_id") % 3 != 0), "vecs")
+    create_vector_index(cat, "vidx", "vecs", n_cells=8, kmeans_iters=2)
+    cat.write_table(base.filter(F.col("vec_id") % 3 == 0), "vecs", mode="append")
+    refresh_vector_index(cat, "vidx")
+    cat.update_where(
+        "vecs",
+        {
+            "embedding": F.transform(
+                F.col("embedding"), lambda x: (x + F.lit(1.0)).cast("float")
+            )
+        },
+        where=F.col("vec_id") % 10 == 0,
+    )
+    refresh_vector_index(cat, "vidx")
+    cat.delete_where("vecs", where=F.col("vec_id") % 7 == 0)
+    refresh_vector_index(cat, "vidx")
+    qdf = cat.read_table("vecs").filter(F.col("vec_id") < 5)
+    return vector_index_topk(cat, "vidx", qdf, k=3, n_probe=None)
