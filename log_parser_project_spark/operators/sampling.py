@@ -354,3 +354,119 @@ def importance_resample(
         .select(F.col(id_col), F.expr("__s div __n").alias("score_e4"))
         .withColumn("keep", F.col("score_e4") >= keep_threshold_e4)
     )
+
+
+def plan_shards(
+    df: DataFrame,
+    key: str,
+    size_col,
+    target_bytes: int,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Size-targeted training-shard assignment (the WebDataset /
+    tar-shard layout planner): walk documents in the content-
+    deterministic total order ``(md5(key) asc, key asc)`` and assign
+    each to ``shard_id = exclusive-byte-prefix-sum DIV target_bytes``
+    — sequential fill, every doc wholly in one shard, every shard
+    within ``target_bytes + max_doc_bytes``. Content-deterministic ⇒
+    the same corpus produces the SAME shards at any parallelism (the
+    property that makes shard-level resume/caching sound).
+
+    No global sort: the same two-level distributed-order-statistics
+    shape as :func:`ordered_stratified_select` — a hex prefix of the
+    ordering hash is a monotone coarse bucket, per-bucket byte totals
+    broadcast back as an exclusive prefix plan (16^chars rows), and
+    the only per-row window is the byte cumsum WITHIN a bucket.
+
+    Returns ``df`` + ``shard_id`` (dense from 0) + ``shard_pos``
+    (the doc's byte offset inside its shard). Sizes must be
+    non-negative; use ``F.octet_length`` for byte-true text sizes.
+    """
+    h = F.md5(F.col(key).cast("string"))
+    tagged = (
+        df.withColumn("_h", h)
+        .withColumn("_sb", F.substring(F.col("_h"), 1, bucket_hex_chars))
+        .withColumn("_sz", size_col.cast("long"))
+    )
+    w_pre = Window.orderBy("_sb").rowsBetween(Window.unboundedPreceding, -1)
+    plan = (
+        tagged.groupBy("_sb")
+        .agg(F.sum("_sz").alias("_c"))
+        .select(
+            F.col("_sb").alias("_pb"),
+            F.coalesce(F.sum("_c").over(w_pre), F.lit(0)).alias("_bprefix"),
+        )
+    )
+    w_loc = Window.partitionBy("_sb").orderBy("_h", key)
+    start = F.col("_bprefix") + F.sum("_sz").over(w_loc) - F.col("_sz")
+    # exact integer shard id: (start - start % t) / t divides exactly,
+    # so the double division is representation-exact (quotient is the
+    # shard ordinal, far below 2^53) — never floor(long/long) drift
+    shard = ((start - start % target_bytes) / target_bytes).cast("long")
+    return (
+        tagged.join(F.broadcast(plan), F.col("_sb") == F.col("_pb"))
+        .withColumn("shard_id", shard)
+        .withColumn("shard_pos", (start % target_bytes).cast("long"))
+        .drop("_h", "_sb", "_sz", "_pb", "_bprefix")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    size_col,
+    target_bytes: int,
+    fmt: str = "json",
+) -> dict:
+    """Materialize :func:`plan_shards`'s layout: one data file per
+    shard under ``path/shard_id=<n>/`` plus a ``_manifest`` dataset
+    (per-shard doc count, byte total, and an order-independent 32-bit
+    sum checksum over ``md5(key:size)`` — enough for a consumer to
+    verify a shard without re-reading its neighbors) and a driver-side
+    ``_summary.json`` with the corpus totals.
+
+    One file per shard by construction: ``repartition(shard_id)``
+    hash-colocates every row of a shard into exactly one task before
+    the partitioned write, so a task writes ONE file per shard
+    directory it owns — P shard files total, never tasks × shards
+    (the same write-distribution discipline as the catalog's hash
+    mode). Shard count scales with corpus bytes / target, tasks stay
+    at the configured shuffle parallelism.
+    """
+    import json as _json
+    import os
+
+    planned = plan_shards(df, key, size_col, target_bytes).withColumn(
+        "_csum", F.conv(F.substring(F.md5(F.concat_ws(":", F.col(key), F.col("shard_pos"))), 1, 8), 16, 10).cast("long")
+    )
+    (
+        planned.drop("_csum")
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.partitionBy("shard_id")
+        .format(fmt)
+        .mode("error")
+        .save(path)
+    )
+    manifest = planned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col.cast("long")).alias("shard_bytes"),
+        F.sum("_csum").alias("checksum"),
+    )
+    manifest.repartition(1).write.json(os.path.join(path, "_manifest"))
+    totals = manifest.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("shard_bytes").alias("total_bytes"),
+    ).collect()[0]
+    summary = {
+        "n_shards": int(totals["n_shards"]),
+        "n_docs": int(totals["n_docs"]),
+        "total_bytes": int(totals["total_bytes"]),
+        "target_bytes": int(target_bytes),
+        "format": fmt,
+    }
+    with open(os.path.join(path, "_summary.json"), "w") as f:
+        _json.dump(summary, f)
+    return summary

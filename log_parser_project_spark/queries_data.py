@@ -2993,3 +2993,50 @@ def q_vec_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_vector_index(cat, "vidx")
     qdf = cat.read_table("vecs").filter(F.col("vec_id") < 5)
     return vector_index_topk(cat, "vidx", qdf, k=3, n_probe=None)
+
+
+@_register(
+    "q_td_shard_plan",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(COALESCE(strlen(text), 0) AS BIGINT) AS nbytes
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, nbytes,
+             SUM(nbytes) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - nbytes AS start
+      FROM sized
+    )
+    SELECT CAST(start // 65536 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+           CAST(MIN(start % 65536) AS BIGINT) AS first_pos
+    FROM pos GROUP BY 1
+    """,
+)
+def q_td_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted training-shard layout
+    (operators/sampling.plan_shards): documents walked in the
+    content-deterministic (md5(doc_id), doc_id) order, each assigned
+    to shard = exclusive-byte-prefix DIV 64 KiB — sequential fill with
+    no global sort (hex-prefix buckets + one broadcast prefix plan,
+    the distributed-order-statistics shape). The oracle replays the
+    identical fill with one window over the flat order; per-shard doc
+    counts, byte totals, AND the first in-shard byte offset are
+    value-checked, so both membership and intra-shard positions are
+    pinned. write_training_shards materializes this plan one-file-
+    per-shard with a verifiable manifest (pytest-covered)."""
+    from .operators.sampling import plan_shards
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    sz = F.coalesce(F.octet_length("text"), F.lit(0))
+    planned = plan_shards(d, key="doc_id", size_col=sz, target_bytes=65536)
+    return planned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sz.cast("long")).alias("shard_bytes"),
+        F.min("shard_pos").alias("first_pos"),
+    )

@@ -595,3 +595,89 @@ def test_importance_resample_null_target_rows_count_as_source(spark):
            importance_resample(df, is_target=F.col("grp") == "t", buckets=64).collect()}
     assert got[2].score_e4 == got[3].score_e4  # identical source-side docs
     assert got[1].keep and got[1].score_e4 > got[2].score_e4
+
+
+# ---------------------------------------------------------------------------
+# size-targeted training shards (plan_shards / write_training_shards)
+# ---------------------------------------------------------------------------
+
+def _shard_corpus(spark, n=120, seed_width=37):
+    rows = [(i, "x" * (10 + (i * seed_width) % 90)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_plan_shards_sequential_fill_and_determinism(spark):
+    from log_parser_project_spark.operators.sampling import plan_shards
+
+    df = _shard_corpus(spark)
+    sz = F.coalesce(F.octet_length("text"), F.lit(0))
+    got = plan_shards(df, key="doc_id", size_col=sz, target_bytes=500)
+    rows = got.select("doc_id", "shard_id", "shard_pos",
+                      F.octet_length("text").alias("b")).collect()
+    by_id = {r.doc_id: r for r in rows}
+
+    # replay the fill in plain python over the same (md5, id) order
+    import hashlib
+
+    order = sorted(by_id, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    start = 0
+    for i in order:
+        assert by_id[i].shard_id == start // 500, f"doc {i}"
+        assert by_id[i].shard_pos == start % 500, f"doc {i}"
+        start += by_id[i].b
+
+    # shard ids dense from 0; every shard ends within target + max_doc
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard_id, 0)
+        per[r.shard_id] += r.b
+    assert sorted(per) == list(range(len(per)))
+    max_doc = max(r.b for r in rows)
+    assert all(v <= 500 + max_doc for v in per.values())
+
+    # content-deterministic: identical assignment at other parallelism
+    # and bucket depth
+    again = plan_shards(df.repartition(13), key="doc_id", size_col=sz,
+                        target_bytes=500, bucket_hex_chars=1)
+    assert sorted((r.doc_id, r.shard_id, r.shard_pos) for r in
+                  again.select("doc_id", "shard_id", "shard_pos").collect()) \
+        == sorted((r.doc_id, r.shard_id, r.shard_pos) for r in rows)
+
+
+def test_write_training_shards_one_file_per_shard_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from log_parser_project_spark.operators.sampling import write_training_shards
+
+    df = _shard_corpus(spark, n=80)
+    out = str(tmp_path / "shards")
+    sz = F.coalesce(F.octet_length("text"), F.lit(0))
+    summary = write_training_shards(df, out, key="doc_id", size_col=sz,
+                                    target_bytes=600)
+    assert summary["n_docs"] == 80
+    assert summary["n_shards"] >= 2
+
+    # one data file per shard directory
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard_id=")]
+    assert len(shard_dirs) == summary["n_shards"]
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".json")]
+        assert len(files) == 1, f"{d}: {files}"
+
+    # read-back set equality + manifest totals agree with the data
+    back = spark.read.json(out)
+    assert back.count() == 80
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) \
+        == list(range(80))
+    man = spark.read.json(os.path.join(out, "_manifest"))
+    m = {r.shard_id: r for r in man.collect()}
+    got = back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("b")).collect()
+    for r in got:
+        assert m[r.shard_id].n_docs == r.n
+        assert m[r.shard_id].shard_bytes == r.b
+    with open(os.path.join(out, "_summary.json")) as f:
+        assert json.load(f) == summary
