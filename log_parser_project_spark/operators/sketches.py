@@ -154,3 +154,98 @@ def quantile_rollup(
     for d in out[1:]:
         res = res.unionByName(d)
     return res.orderBy(*group_cols, "q") if group_cols else res.orderBy("q")
+
+
+# ===========================================================================
+# Mergeable heavy-hitter summaries: per-day top-k with residual bounds
+# ===========================================================================
+#
+# The frequent-items sibling of the two patterns above (SpaceSaving /
+# Misra-Gries turned inside-out for a columnar engine): materialize per
+# day the EXACT counts of that day's top-``capacity`` keys plus one
+# residual bound (the largest dropped count — everything the summary
+# forgot about that day is <= it), then answer any coarser top-N by
+# merging summaries instead of re-scanning the fact table. Counts are
+# integers and the truncation rule is deterministic (count desc, key
+# asc), so unlike a classic decrement-based MG sketch the WHOLE lossy
+# computation replays bit-for-bit in any engine — the contract query
+# has an exact DuckDB oracle even though the summary is lossy.
+#
+# Merged bounds: a key's true total lies in [lower, upper] where
+# lower = sum of its stored counts and upper adds each absent day's
+# residual. Any key whose true total exceeds the sum of all residual
+# bounds is guaranteed present in the merged summary (it must have
+# made the cut somewhere).
+
+
+def daily_topk_summaries(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    capacity: int = 32,
+    day=None,
+) -> tuple[DataFrame, DataFrame]:
+    """(summaries, residuals): per day, the exact counts of the top
+    ``capacity`` keys (count desc, key asc — deterministic), and per
+    day the residual bound = the largest dropped count (0 when nothing
+    was dropped). One count shuffle + one rank-limited window that
+    plans a map-side WindowGroupLimit; summary size is
+    O(days x capacity) regardless of input rows. ``day`` overrides the
+    default calendar-date bucket (engine-portable callers pass an
+    integer epoch-day expression)."""
+    from pyspark.sql import Window
+
+    if day is None:
+        day = F.to_date(ts_col)
+    daily = df.groupBy(day.alias("day"), key).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("cnt").desc(), F.col(key).asc())
+    ranked = daily.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= capacity).drop("_rn")
+    residuals = (
+        ranked.groupBy("day")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_rn") > capacity, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("residual")
+        )
+    )
+    return kept, residuals
+
+
+def heavy_hitters_rollup(
+    summaries: DataFrame,
+    residuals: DataFrame,
+    key: str,
+    n: int = 10,
+) -> DataFrame:
+    """Merge stored daily summaries to a global top-``n``: per key,
+    ``lower`` = the sum of its stored counts (every count it actually
+    logged in a summary) and ``upper`` = lower + the residual bound of
+    every day the key is ABSENT from (it may have been dropped there,
+    but never with more than that day's residual). Ranked by lower
+    desc, key asc. Touches only the summary tables; the single scalar
+    (total residual) is a driver-sized aggregate."""
+    from pyspark.sql import Window
+
+    tot = residuals.agg(F.sum("residual")).collect()[0][0] or 0
+    per_key = (
+        summaries.join(residuals, "day")
+        .groupBy(key)
+        .agg(
+            F.sum("cnt").cast("long").alias("lower_bound"),
+            F.sum("residual").cast("long").alias("_present_resid"),
+        )
+    )
+    w = Window.orderBy(F.col("lower_bound").desc(), F.col(key).asc())
+    return (
+        per_key.withColumn(
+            "upper_bound", F.col("lower_bound") + F.lit(int(tot)) - F.col("_present_resid")
+        )
+        .drop("_present_resid")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

@@ -3040,3 +3040,61 @@ def q_td_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sz.cast("long")).alias("shard_bytes"),
         F.min("shard_pos").alias("first_pos"),
     )
+
+
+@_register(
+    "q_sk_heavy_hitters",
+    """
+    WITH daily AS (
+      SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS day,
+             user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY day ORDER BY cnt DESC, user_id ASC) AS rn
+      FROM daily
+    ),
+    kept AS (SELECT day, user_id, cnt FROM ranked WHERE rn <= 8),
+    resid AS (
+      SELECT day,
+             CAST(COALESCE(MAX(CASE WHEN rn > 8 THEN cnt END), 0) AS BIGINT)
+               AS residual
+      FROM ranked GROUP BY day
+    ),
+    tot AS (SELECT CAST(SUM(residual) AS BIGINT) AS t FROM resid),
+    per_key AS (
+      SELECT k.user_id,
+             CAST(SUM(k.cnt) AS BIGINT) AS lower_bound,
+             CAST(SUM(r.residual) AS BIGINT) AS present_resid
+      FROM kept k JOIN resid r USING (day)
+      GROUP BY k.user_id
+    )
+    SELECT user_id, lower_bound,
+           CAST(lower_bound + t - present_resid AS BIGINT) AS upper_bound,
+           rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY lower_bound DESC, user_id ASC) AS rank
+      FROM per_key CROSS JOIN tot
+    ) WHERE rank <= 10
+    """,
+)
+def q_sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter summaries
+    (operators/sketches.daily_topk_summaries + heavy_hitters_rollup):
+    per-day top-8 user counts with one residual bound per day (largest
+    dropped count), merged to a global top-10 with [lower, upper]
+    frequency bounds — the frequent-items sibling of the HLL/histogram
+    sketch patterns. Deliberately LOSSY at this capacity, yet exactly
+    oracle-checkable: counts are integers and the truncation rule is
+    deterministic (count desc, key asc), so DuckDB replays the whole
+    summary-merge computation bit-for-bit. Day buckets are integer
+    epoch-days so both engines agree on the calendar."""
+    from .operators.sketches import daily_topk_summaries, heavy_hitters_rollup
+    from .operators.timeseries import bucket_epoch
+
+    e = _spread(spark, _t(spark, sf_dir, "events"))
+    day = bucket_epoch("ts", 86400)
+    kept, resid = daily_topk_summaries(e, key="user_id", capacity=8, day=day)
+    return heavy_hitters_rollup(kept, resid, key="user_id", n=10)

@@ -681,3 +681,64 @@ def test_write_training_shards_one_file_per_shard_and_manifest(spark, tmp_path):
         assert m[r.shard_id].shard_bytes == r.b
     with open(os.path.join(out, "_summary.json")) as f:
         assert json.load(f) == summary
+
+
+def test_heavy_hitter_bounds_contain_exact_counts(spark, sf_dir):
+    from log_parser_project_spark.operators.sketches import (
+        daily_topk_summaries,
+        heavy_hitters_rollup,
+    )
+    from log_parser_project_spark.operators.timeseries import bucket_epoch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = bucket_epoch("ts", 86400)
+    kept, resid = daily_topk_summaries(e, key="user_id", capacity=4, day=day)
+    got = heavy_hitters_rollup(kept, resid, key="user_id", n=20).collect()
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got, "rollup returned nothing"
+    for r in got:
+        assert r.lower_bound <= exact[r.user_id] <= r.upper_bound, (
+            f"user {r.user_id}: exact {exact[r.user_id]} outside "
+            f"[{r.lower_bound}, {r.upper_bound}]"
+        )
+    # ranked by lower bound desc, key asc — deterministic
+    keys = [(r.rank, -r.lower_bound, r.user_id) for r in got]
+    assert keys == sorted(keys)
+
+    # the MG guarantee: any key whose true count exceeds the total
+    # residual budget must be present in the merged summary
+    total_resid = sum(r.residual for r in resid.collect())
+    present = {
+        r.user_id
+        for r in kept.select("user_id").distinct().collect()
+    }
+    for uid, n in exact.items():
+        if n > total_resid:
+            assert uid in present, f"guaranteed hitter {uid} missing"
+
+
+def test_heavy_hitter_summary_is_exact_at_full_capacity(spark, sf_dir):
+    from log_parser_project_spark.operators.sketches import (
+        daily_topk_summaries,
+        heavy_hitters_rollup,
+    )
+    from log_parser_project_spark.operators.timeseries import bucket_epoch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = bucket_epoch("ts", 86400)
+    # capacity >= per-day distinct keys: nothing dropped, residuals 0,
+    # bounds collapse to the exact counts
+    cap = e.groupBy(day.alias("d"), "user_id").count() \
+        .groupBy("d").count().agg(F.max("count")).collect()[0][0]
+    kept, resid = daily_topk_summaries(e, key="user_id", capacity=int(cap), day=day)
+    assert resid.agg(F.sum("residual")).collect()[0][0] == 0
+    got = heavy_hitters_rollup(kept, resid, key="user_id", n=5).collect()
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got:
+        assert r.lower_bound == r.upper_bound == exact[r.user_id]
