@@ -268,13 +268,17 @@ def _delta(
     group_by: list[str],
     sums: dict[str, str],
     cast_to: dict[str, str],
+    count_from: str | None = None,
 ) -> DataFrame:
     """Fold a changelog into signed per-group delta rows, each measure
     cast back to the view's committed column type (Spark widens a
     summed DECIMAL's precision, which would otherwise fail the
-    append's schema-evolution check)."""
+    append's schema-evolution check). ``count_from`` makes the count
+    measure a signed SUM of that base column instead of ±1 per row —
+    the cascading hook (see :func:`create_matview`)."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
-    aggs = [F.sum(sign).cast("long").alias(_COUNT)]
+    cnt = sign * F.col(count_from) if count_from else sign
+    aggs = [F.sum(cnt).cast("long").alias(_COUNT)]
     for out, src in sums.items():
         agg = F.sum(sign * F.col(src))
         if out in cast_to:
@@ -297,6 +301,7 @@ def create_matview(
     replace: bool = False,
     transform: str | tuple[str, dict] | None = None,
     base_as_of: str | None = None,
+    count_from: str | None = None,
 ) -> Snapshot:
     """Create ``view`` = SELECT group_by, COUNT(*) AS n_rows,
     SUM(src) AS out... FROM transform(base_table) GROUP BY group_by —
@@ -314,7 +319,20 @@ def create_matview(
     views are born on one consistent base cut even when the base is
     being written concurrently. Refuses to overwrite an existing
     table unless ``replace=True`` (and never the base table
-    itself)."""
+    itself).
+
+    ``count_from`` names a base column whose SUM (not COUNT(*))
+    becomes the ``n_rows`` measure — the CASCADING hook: a matview's
+    own table stores signed delta rows whose ``n_rows`` column
+    carries each group's live-row count, so a view OVER a view
+    (``create_matview(cat, coarse_view, fine_view, group_by=coarser
+    keys, sums={out: fine_sum_col}, count_from="n_rows")``) folds the
+    fine view's delta appends into exactly the coarse deltas: signed
+    sums of signed deltas compose, upstream compaction nets to an
+    empty downstream delta, and liveness (``n_rows > 0`` at read)
+    counts LIVE BASE ROWS through the whole lattice rather than delta
+    rows. Day → month → year rollup chains stay O(delta) end to
+    end."""
     _require_snapshot_catalog(catalog)
     sums = dict(sums or {})
     tspec = _norm_transform(transform)
@@ -365,7 +383,8 @@ def create_matview(
         t = _resolve_transform(tspec)
         if t is not None:
             df = t(df)
-        aggs = [F.count(F.lit(1)).cast("long").alias(_COUNT)]
+        cnt = F.sum(count_from) if count_from else F.count(F.lit(1))
+        aggs = [cnt.cast("long").alias(_COUNT)]
         for out, src in sums.items():
             aggs.append(F.sum(src).alias(out))
         full = df.groupBy(*group_by).agg(*aggs)
@@ -378,6 +397,8 @@ def create_matview(
         }
         if tspec is not None:
             mv_lineage["transform"] = tspec
+        if count_from is not None:
+            mv_lineage["count_from"] = count_from
         snap = catalog.write_table(
             full,
             view,
@@ -494,7 +515,8 @@ def refresh_matview(catalog: SnapshotCatalog, view: str) -> Snapshot | None:
     try:
         delta = _pad_to_schema(
             _delta(changes, mv["group_by"], mv["sums"],
-                   _view_types(view_snap, mv["sums"])),
+                   _view_types(view_snap, mv["sums"]),
+                   count_from=mv.get("count_from")),
             view_snap,
         )
         _ensure_pin_tag(catalog, view, base_table, base_snap.snapshot_id)

@@ -3098,3 +3098,71 @@ def q_sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = bucket_epoch("ts", 86400)
     kept, resid = daily_topk_summaries(e, key="user_id", capacity=8, day=day)
     return heavy_hitters_rollup(kept, resid, key="user_id", n=10)
+
+
+@_register(
+    "q_mv_cascade",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT k, g,
+             CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM base
+      WHERE k % 7 <> 0 AND g <> '5-LOW'
+    )
+    SELECT g, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY g ORDER BY g
+    """,
+)
+def q_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A two-level materialized-view LATTICE maintained O(delta) end
+    to end: base → fine view (GROUP BY g, bucket) → coarse view
+    (GROUP BY g) where the coarse view is an ordinary matview whose
+    BASE IS THE FINE VIEW's table (``count_from="n_rows"`` makes its
+    count a signed SUM of the fine view's live-row counts, so signed
+    sums of signed deltas compose — ``plans/matview.py``). The base
+    is mutated through append, copy-on-write UPDATE, and a DELETE that
+    kills an entire coarse group; each mutation refreshes fine then
+    coarse off the respective changelogs. A fine-view COMPACTION runs
+    mid-history — it must net to an EMPTY coarse delta. The oracle
+    recomputes the coarse aggregate from the final base rows, so this
+    fails if delta composition, cascaded liveness (the killed group
+    must vanish), or compaction transparency ever drift."""
+    import tempfile
+
+    from .catalog import SnapshotCatalog
+    from .plans.matview import (
+        compact_matview,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 10).alias("bucket"),
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="mvc_wh_"))
+    cat.write_table(base.filter(F.col("k") % 3 != 0), "t")
+    create_matview(cat, "mv_fine", "t", ["g", "bucket"], {"sum_cents": "cents"})
+    create_matview(cat, "mv_coarse", "mv_fine", ["g"],
+                   {"sum_cents": "sum_cents"}, count_from="n_rows")
+    cat.write_table(base.filter(F.col("k") % 3 == 0), "t", mode="append")
+    refresh_matview(cat, "mv_fine")
+    refresh_matview(cat, "mv_coarse")
+    cat.update_where("t", {"cents": F.col("cents") + 7},
+                     where=F.col("k") % 10 == 0)
+    refresh_matview(cat, "mv_fine")
+    refresh_matview(cat, "mv_coarse")
+    compact_matview(cat, "mv_fine")
+    refresh_matview(cat, "mv_coarse")
+    cat.delete_where("t", where=(F.col("k") % 7 == 0) | (F.col("g") == "5-LOW"))
+    refresh_matview(cat, "mv_fine")
+    refresh_matview(cat, "mv_coarse")
+    return read_matview(cat, "mv_coarse").orderBy("g")

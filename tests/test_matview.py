@@ -467,3 +467,76 @@ def test_sweep_is_structure_exact_and_clears_legacy(spark, cat):
     assert "mv_pin_mv" not in tags               # legacy swept
     assert _pin_tag("mv", s1.snapshot_id) not in tags  # stale gen swept
     assert other in tags                          # other view untouched
+
+
+# ---------------------------------------------------------------------------
+# cascaded views (count_from: a view over a view's delta table)
+# ---------------------------------------------------------------------------
+
+def _cascade(cat, spark, ks):
+    cat.write_table(_rows(spark, ks), "base")
+    create_matview(cat, "fine", "base", ["g", "k"], {"sum_cents": "cents"})
+    create_matview(cat, "coarse", "fine", ["g"], {"sum_cents": "sum_cents"},
+                   count_from="n_rows")
+
+
+def _coarse_expected(cat):
+    return sorted(
+        tuple(r)
+        for r in cat.read_table("base")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").alias("sum_cents"))
+        .collect()
+    )
+
+
+def test_cascade_tracks_base_through_mutations(spark, cat):
+    _cascade(cat, spark, range(1, 10))
+    cat.write_table(_rows(spark, [10, 11]), "base", mode="append")
+    refresh_matview(cat, "fine"); refresh_matview(cat, "coarse")
+    cat.update_where("base", {"cents": F.col("cents") + 1},
+                     where=F.col("k") % 2 == 0)
+    refresh_matview(cat, "fine"); refresh_matview(cat, "coarse")
+    cat.delete_where("base", where=F.col("k") % 5 == 0)
+    refresh_matview(cat, "fine"); refresh_matview(cat, "coarse")
+    got = sorted(tuple(r) for r in read_matview(cat, "coarse").collect())
+    assert got == _coarse_expected(cat)
+
+
+def test_cascade_upstream_compaction_nets_empty_delta(spark, cat):
+    _cascade(cat, spark, range(1, 10))
+    cat.write_table(_rows(spark, [20, 21]), "base", mode="append")
+    refresh_matview(cat, "fine"); refresh_matview(cat, "coarse")
+    raw_before = cat.read_table("coarse").count()
+    compact_matview(cat, "fine")
+    snap = refresh_matview(cat, "coarse")
+    assert snap is not None  # the pin must advance past the compact
+    # ...but with ZERO delta rows: consolidation is invisible downstream
+    assert cat.read_table("coarse").count() == raw_before
+    got = sorted(tuple(r) for r in read_matview(cat, "coarse").collect())
+    assert got == _coarse_expected(cat)
+
+
+def test_cascade_liveness_counts_base_rows_not_delta_rows(spark, cat):
+    _cascade(cat, spark, range(1, 10))
+    # kill an entire coarse group: g1 = ks {1,4,7}
+    cat.delete_where("base", where=F.col("g") == "g1")
+    refresh_matview(cat, "fine"); refresh_matview(cat, "coarse")
+    live = read_matview(cat, "coarse")
+    assert live.filter(F.col("g") == "g1").count() == 0
+    # the dead group's delta rows still sit in the coarse TABLE (it
+    # was netted out, not rewritten) — liveness is the n_rows sum
+    assert cat.read_table("coarse").filter(F.col("g") == "g1").count() > 0
+    got = sorted(tuple(r) for r in live.collect())
+    assert got == _coarse_expected(cat)
+
+
+def test_cascade_lineage_round_trips_count_from(spark, cat):
+    _cascade(cat, spark, range(1, 4))
+    mv = (cat.history("coarse")[-1].lineage or {})["mv"]
+    assert mv["count_from"] == "n_rows"
+    assert mv["base_table"] == "fine"
+    # plain views keep their lineage count_from-free
+    fine = (cat.history("fine")[-1].lineage or {})["mv"]
+    assert "count_from" not in fine
