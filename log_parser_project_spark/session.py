@@ -32,15 +32,30 @@ def _package_zip() -> str:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
     out = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
-    with zipfile.ZipFile(out, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+    # build in a unique temp file, then atomically rename into place:
+    # the path is SHARED across python processes (every session and
+    # spark-submit child zips to the same name), and a concurrent
+    # session re-zipping in place while this session's Spark copies
+    # the file to its work dir hands the executor a truncated zip
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 
