@@ -216,6 +216,44 @@ def main(argv: list[str] | None = None) -> int:
     p_si.add_argument("--k", type=int, default=10,
                       help="results per query for --query")
 
+    p_vi = sub.add_parser(
+        "vectorindex",
+        help="incrementally-maintained IVF vector index "
+             "(plans/vectorindex.py): train centroids and build cell "
+             "postings over an embedding table once, refresh O(changed "
+             "vectors) from the base changelog, and answer cosine "
+             "top-k without rescanning the corpus",
+    )
+    p_vi.add_argument("--warehouse", required=True)
+    p_vi.add_argument("--index", required=True,
+                      help="index name (owns the <index>_cells view table)")
+    p_vi.add_argument("--create-over", metavar="BASE_TABLE",
+                      help="build the index over this table (the only "
+                           "full corpus scan it ever takes)")
+    p_vi.add_argument("--id-col", default="vec_id")
+    p_vi.add_argument("--vec-col", default="embedding")
+    p_vi.add_argument("--cells", type=int, default=16,
+                      help="IVF cell count for --create-over")
+    p_vi.add_argument("--kmeans-iters", type=int, default=3)
+    p_vi.add_argument("--replace", action="store_true",
+                      help="allow --create-over to rebuild an existing "
+                           "index (refused otherwise); re-train = recreate")
+    p_vi.add_argument("--refresh", action="store_true",
+                      help="advance the index to the base table's "
+                           "current snapshot (no-op when it hasn't moved)")
+    p_vi.add_argument("--compact", action="store_true",
+                      help="consolidate delta rows to one per live posting")
+    p_vi.add_argument("--status", action="store_true",
+                      help="freshness + quantizer shape, metadata-only")
+    p_vi.add_argument("--query-id", action="append", type=int, metavar="ID",
+                      help="query by a vector already in the base table "
+                           "(looked up by id); repeatable")
+    p_vi.add_argument("--k", type=int, default=5,
+                      help="neighbors per query for --query-id")
+    p_vi.add_argument("--n-probe", type=int, default=None,
+                      help="cells probed per query (default: all — "
+                           "exact mode)")
+
     p_d = sub.add_parser("decode", help="decode one hex packet file to JSON")
     p_d.add_argument("--input", required=True, help="hex text file (Length:/Header:/Payload:)")
     p_d.add_argument(
@@ -342,6 +380,51 @@ def main(argv: list[str] | None = None) -> int:
             out["results"] = [
                 {**r.asDict(), "query": args.query[r["query_id"]]}
                 for r in df.orderBy("query_id", "rank").collect()
+            ]
+        print(json.dumps(out, indent=2, default=str))
+        return 0
+
+    if args.cmd == "vectorindex":
+        from pyspark.sql import functions as F
+
+        from .catalog import SnapshotCatalog
+        from .plans import vectorindex as vi
+
+        cat = SnapshotCatalog(spark, args.warehouse)
+        if args.k < 1:
+            ap.error("--k must be >= 1")
+        if args.n_probe is not None and args.n_probe < 1:
+            ap.error("--n-probe must be >= 1")
+        out = {}
+        if args.create_over:
+            snap = vi.create_vector_index(
+                cat, args.index, args.create_over,
+                id_col=args.id_col, vec_col=args.vec_col,
+                n_cells=args.cells, kmeans_iters=args.kmeans_iters,
+                replace=args.replace,
+            )
+            out["created"] = snap.snapshot_id
+        if args.refresh:
+            snap = vi.refresh_vector_index(cat, args.index)
+            out["refreshed"] = (
+                {"snapshot": snap.snapshot_id, "delta_rows": snap.row_count}
+                if snap is not None else None
+            )
+        if args.compact:
+            out["compacted"] = vi.compact_vector_index(cat, args.index).snapshot_id
+        if args.status:
+            out["status"] = vi.vector_index_status(cat, args.index)
+        if args.query_id:
+            st = vi.vector_index_status(cat, args.index)
+            queries = cat.read_table(st["base_table"]).filter(
+                F.col(args.id_col).isin(args.query_id)
+            )
+            df = vi.vector_index_topk(
+                cat, args.index, queries, k=args.k, n_probe=args.n_probe,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            out["results"] = [
+                r.asDict() for r in df.orderBy("query_id", "rank").collect()
             ]
         print(json.dumps(out, indent=2, default=str))
         return 0

@@ -248,3 +248,43 @@ def test_cli_searchindex_lifecycle(spark, tmp_path):
     out = json.loads(_run(
         "searchindex", "--warehouse", wh, "--index", "idx", "--refresh"))
     assert out["refreshed"] == {"idx_postings": None, "idx_docs": None}
+
+
+def test_cli_vectorindex_lifecycle(spark, tmp_path):
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(spark, wh)
+    cat.write_table(
+        spark.createDataFrame(
+            [(1, [1.0, 0.1, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.1]),
+             (3, [0.9, 0.2, 0.0, 0.0]), (4, [0.0, 0.1, 0.9, 0.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        "vecs",
+    )
+    out = json.loads(_run(
+        "vectorindex", "--warehouse", wh, "--index", "vidx",
+        "--create-over", "vecs", "--cells", "2", "--status",
+    ))
+    assert out["created"]
+    st = out["status"]
+    assert st["fresh"] and st["n_cells"] == 2 and st["dim"] == 4
+    # the index FOLLOWS an out-of-process base append; exact-mode query
+    # by id returns the planted same-cluster neighbor first
+    cat.write_table(
+        spark.createDataFrame([(5, [1.0, 0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<float>"),
+        "vecs", mode="append",
+    )
+    out = json.loads(_run(
+        "vectorindex", "--warehouse", wh, "--index", "vidx",
+        "--refresh", "--query-id", "5", "--k", "2",
+    ))
+    assert out["refreshed"]["delta_rows"] == 1
+    ids = [r["neighbor_id"] for r in out["results"]]
+    assert ids == [1, 3]
+    # idle refresh: no-op
+    out = json.loads(_run(
+        "vectorindex", "--warehouse", wh, "--index", "vidx", "--refresh"))
+    assert out["refreshed"] is None
