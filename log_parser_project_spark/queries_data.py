@@ -3166,3 +3166,61 @@ def q_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_matview(cat, "mv_fine")
     refresh_matview(cat, "mv_coarse")
     return read_matview(cat, "mv_coarse").orderBy("g")
+
+
+@_register(
+    "q_graph_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+      FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nst AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN nst),
+    c1 AS (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+           FROM edges e JOIN deg USING (src) JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  CAST(((CAST(1000000000 AS BIGINT) * 15 // 100) // nst.n)
+                       + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nst LEFT JOIN c1 ON c1.node = nodes.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+           FROM edges e JOIN deg USING (src) JOIN r1 r ON r.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  CAST(((CAST(1000000000 AS BIGINT) * 15 // 100) // nst.n)
+                       + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nst LEFT JOIN c2 ON c2.node = nodes.node),
+    c3 AS (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+           FROM edges e JOIN deg USING (src) JOIN r2 r ON r.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  CAST(((CAST(1000000000 AS BIGINT) * 15 // 100) // nst.n)
+                       + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nst LEFT JOIN c3 ON c3.node = nodes.node)
+    SELECT node, r AS rank_e9 FROM r3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.pagerank_e9) over the
+    supplier→part dependency graph derived from lineitem (mod-100
+    node ids, self-loops excluded), three iterations at damping 0.85.
+    Ranks are BIGINT e9 fixed-point with truncating division at every
+    step, so the whole iterative computation is bit-identical across
+    engines and partitionings — the oracle replays the recurrence with
+    three unrolled CTE rounds where a float PageRank would drift with
+    partial-sum order. Per iteration the engine runs one edge join +
+    one destination-keyed sum with lineage cut by localCheckpoint —
+    the same loop discipline as the distributed connected components
+    in dedup.py."""
+    from .operators.graph import pagerank_e9
+
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
+    edges = li.select(
+        (F.col("l_suppkey") % 100).alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank_e9(edges, iters=3)
