@@ -23,7 +23,7 @@ Catalyst/AQE handle partial aggregation and skew.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens
@@ -110,6 +110,89 @@ def jaccard_pairs(
         .withColumn("jaccard", F.lit(1.0) * F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    n: int = 3,
+    threshold_e4: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate scheme) — same answer as
+    :func:`jaccard_pairs` with NO ``max_doc_freq`` guard, but the
+    self-join runs only on each doc's prefix.
+
+    Order every doc's shingles by the global (df asc, shingle asc)
+    total order (rarest first) and keep the PREFIX of length
+    ``|x| − ⌈t·|x|⌉ + 1``. PPJoin Lemma 1: J(x,y) ≥ t implies the two
+    prefixes share a token — overlap o ≥ ⌈t·|x|⌉ on each side, the
+    tokens outside a prefix number ⌈t·|x|⌉ − 1 < o so each side has a
+    shared token inside its prefix, and if neither of those were in
+    the OTHER's prefix their global orders would have to be
+    simultaneously above and below each other's boundary token.
+    So the pruning is COMPLETE: unlike the stop-shingle guard it can
+    never miss a qualifying pair (a corpus of near-identical docs
+    makes every shingle frequent — the guard drops them all, the
+    prefix filter keeps exactly the rare-end evidence it needs).
+    Candidates ∝ matching PREFIX tokens (rare by construction);
+    verification is an exact integer count over candidate docs'
+    postings only. ``threshold_e4`` is the Jaccard bound in e4
+    fixed-point (5000 = 0.5); prefix lengths and the acceptance test
+    are pure integer arithmetic, engine-portable.
+    """
+    if not 0 < threshold_e4 <= 10_000:
+        raise ValueError(f"threshold_e4 must be in (0, 10000], got {threshold_e4}")
+    sh = word_shingles(df, n, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    wall = Window.partitionBy(id_col)
+    # integer ceil(t·n): (t_e4·n + 9999) div 10000
+    plen = (
+        F.col("n")
+        - F.expr(f"({threshold_e4}L * n + 9999) div 10000")
+        + F.lit(1)
+    )
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("pos") <= plen)
+        .select(F.col(id_col), "shingle")
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact verify on candidates only: count shared shingles through
+    # the full postings (shuffle ∝ candidate pairs' tokens)
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cands.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        .filter(
+            F.lit(10_000) * F.col("i")
+            >= F.lit(threshold_e4) * (F.col("sa") + F.col("sb") - F.col("i"))
+        )
+        .select(
+            "a", "b",
+            F.round(
+                F.lit(1.0) * F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
     )
 
 

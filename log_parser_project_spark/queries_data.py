@@ -3224,3 +3224,47 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 100).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return pagerank_e9(edges, iters=3)
+
+
+@_register(
+    "q_dd_prefix_join",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(1.0 * i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE 10000 * i >= 5000 * (sa.sz + sb.sz - i)
+    """,
+)
+def q_dd_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING
+    (dedup.jaccard_pairs_prefix — the AllPairs/PPJoin scheme): 3-gram
+    Jaccard >= 0.5 pairs with candidates drawn only from each doc's
+    rarest-token prefix of length |x| - ceil(0.5|x|) + 1 (complete by
+    PPJoin Lemma 1), then integer-exact verification over candidate
+    postings. The oracle computes the UNGUARDED full shingle
+    self-join — so this query fails if the prefix pruning ever drops
+    a qualifying pair, which is precisely the exactness property the
+    max_doc_freq-guarded q_dd_jaccard3_pairs trades away. Acceptance
+    is integer cross-multiplication (10000·i >= t_e4·(union)), no
+    float threshold semantics."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs_prefix(d, n=3, threshold_e4=5000)

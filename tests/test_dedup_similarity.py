@@ -1043,3 +1043,51 @@ def test_commit_increment_cut_tag_pins_the_cut(spark, docs, tmp_path):
     with _pytest.raises(ValueError, match="SnapshotCatalog"):
         commit_increment(Catalog(spark, str(tmp_path / "wh2")), inc0,
                          cut_tag="cut-x")
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity join (jaccard_pairs_prefix)
+# ---------------------------------------------------------------------------
+
+def test_prefix_join_equals_unguarded_exact_join(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in
+        dedup.jaccard_pairs_prefix(d, n=3, threshold_e4=5000).collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        dedup.jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=None).collect()
+    )
+    assert got == want and got  # identical answer, non-empty
+
+
+def test_prefix_join_finds_pairs_the_df_guard_drops(spark):
+    # 12 identical docs: every shingle has df=12, so a max_doc_freq<12
+    # guard drops ALL evidence and the guarded join finds nothing —
+    # the prefix filter must still find every pair at jaccard 1.0
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = dedup.jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=8)
+    assert guarded.count() == 0
+    exact = dedup.jaccard_pairs_prefix(d, n=3, threshold_e4=5000).collect()
+    assert len(exact) == 12 * 11 // 2
+    assert all(r.jaccard == 1.0 for r in exact)
+
+
+def test_prefix_join_threshold_and_guards(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),   # 6 of 8 shared 3-grams... high overlap
+        (3, "p q r s t u v w"),   # disjoint
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.jaccard_pairs_prefix(d, n=3, threshold_e4=4000).collect()}
+    assert set(got) == {(1, 2)}
+    # shingles: doc1 has 6, doc2 has 6, shared 5 -> J = 5/7
+    assert got[(1, 2)] == round(5 / 7, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold_e4"):
+        dedup.jaccard_pairs_prefix(d, threshold_e4=0)
