@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _register, _t
+from .queries import _register, _spread, _t
 from .revisions import (
     REVISIONS,
     dim_revision_classes_df,
@@ -113,3 +113,44 @@ def q_scd_latest_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD current-row resolution: the most recent revision touching
     each pattern class (highest rev_seq wins)."""
     return latest_revision_per_class(spark)
+
+
+@_register(
+    "q_scd2_intervals",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN lag(1) OVER w IS NULL
+                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    starts AS (SELECT * FROM marked WHERE chg = 1)
+    SELECT user_id, event_type,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS BIGINT) AS valid_to_us,
+           CAST(CASE WHEN lead(us) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM starts
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension built from the events change log
+    (revisions.scd2_intervals): per user, runs of identical event_type
+    collapse into one half-open validity interval, chained so each
+    version ends where the next begins; the open interval is flagged
+    current. Timestamps are BIGINT epoch-micros and the run/chain
+    logic is two windows over one sort, replayed identically by the
+    oracle (event_id breaks same-instant ties deterministically)."""
+    from .revisions import scd2_intervals
+
+    e = _spread(spark, _t(spark, sf_dir, "events"))
+    return scd2_intervals(
+        e, key="user_id", ts_col="ts", attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    )

@@ -142,3 +142,62 @@ def latest_revision_per_class(
         .filter(F.col("rn") == 1)
         .select("pattern_class", "revision", "rev_date", "status")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 dimension construction from a change-event log: per
+    ``key``, collapse consecutive events whose ``attr_cols`` are
+    unchanged into one validity interval and emit
+    ``(key, attrs..., valid_from_us, valid_to_us, is_current)`` —
+    half-open ``[from, to)`` intervals chained so each version's end is
+    the next version's start (the standard Kimball SCD2 load, and the
+    batch twin of what a MERGE-based dimension pipeline maintains
+    incrementally).
+
+    Two windows over one (key)-partitioned sort: a lag comparison
+    marks rows where any tracked attribute changed (null-safe; the
+    first row per key always starts an interval), a lead over the
+    surviving rows chains the intervals. Timestamps are exported as
+    BIGINT epoch-microseconds (engine-portable, integer-exact);
+    ``is_current`` = open-ended interval, as INT for hash-stable
+    contract output. ``tiebreak`` columns order same-instant events
+    deterministically (default: none beyond the timestamp — pass the
+    event id when instants can tie). At scale both windows ride ONE
+    shuffle by ``key``; state per group is one row.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_intervals needs at least one tracked attribute")
+    from pyspark.sql import Window
+
+    tb = list(tiebreak or [])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(key).orderBy("__us", *tb)
+    marked = (
+        df.withColumn("__us", us)
+        .withColumn("__first", F.lag(F.lit(1)).over(w).isNull())
+        .withColumn("__prev", F.lag(cur).over(w))
+    )
+    starts = marked.filter(
+        F.col("__first") | ~F.col("__prev").eqNullSafe(cur)
+    )
+    w2 = Window.partitionBy(key).orderBy("__us", *tb)
+    return (
+        starts.withColumn("valid_to_us", F.lead("__us").over(w2))
+        .select(
+            F.col(key),
+            *[F.col(c) for c in attr_cols],
+            F.col("__us").cast("long").alias("valid_from_us"),
+            F.col("valid_to_us").cast("long"),
+            F.when(F.col("valid_to_us").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+    )

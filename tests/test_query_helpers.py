@@ -92,3 +92,43 @@ def test_revisions_by_date_case_folds(spark):
     from log_parser_project_spark import revisions as rev
 
     assert [r.revision for r in rev.revisions_by_date(spark, "february", "2026").collect()] == ["rev-E"]
+
+
+def test_scd2_intervals_collapse_chain_and_nulls(spark):
+    from datetime import datetime
+
+    from log_parser_project_spark.revisions import scd2_intervals
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: A A B A  -> [A), [B), [A current); middle A run collapses
+        (1, 1, "A", t(1)), (1, 2, "A", t(2)), (1, 3, "B", t(3)), (1, 4, "A", t(4)),
+        # user 2: null-attr first row starts an interval; null -> null collapses
+        (2, 5, None, t(1)), (2, 6, None, t(2)), (2, 7, "C", t(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = sorted(
+        (
+            (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us, r.is_current)
+            for r in scd2_intervals(df, "user_id", "ts", ["event_type"],
+                                    tiebreak=["event_id"]).collect()
+        ),
+        key=lambda x: (x[0], x[2]),
+    )
+    us = lambda s: int(t(s).timestamp() * 1_000_000)
+    assert got == [
+        (1, "A", us(1), us(3), 0),
+        (1, "B", us(3), us(4), 0),
+        (1, "A", us(4), None, 1),
+        (2, None, us(1), us(3), 0),
+        (2, "C", us(3), None, 1),
+    ]
+    # intervals chain: each closed interval's end is some start
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        scd2_intervals(df, "user_id", "ts", [])
