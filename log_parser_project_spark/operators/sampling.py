@@ -382,6 +382,8 @@ def plan_shards(
     (the doc's byte offset inside its shard). Sizes must be
     non-negative; use ``F.octet_length`` for byte-true text sizes.
     """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     h = F.md5(F.col(key).cast("string"))
     tagged = (
         df.withColumn("_h", h)
@@ -397,7 +399,14 @@ def plan_shards(
             F.coalesce(F.sum("_c").over(w_pre), F.lit(0)).alias("_bprefix"),
         )
     )
-    w_loc = Window.partitionBy("_sb").orderBy("_h", key)
+    # explicit ROWS frame: the default RANGE frame treats rows with
+    # equal (_h, key) sort values as peers and sums BOTH into each —
+    # duplicate key values would then get overlapping byte ranges
+    w_loc = (
+        Window.partitionBy("_sb")
+        .orderBy("_h", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.col("_bprefix") + F.sum("_sz").over(w_loc) - F.col("_sz")
     # exact integer shard id: (start - start % t) / t divides exactly,
     # so the double division is representation-exact (quotient is the
@@ -422,9 +431,11 @@ def write_training_shards(
     """Materialize :func:`plan_shards`'s layout: one data file per
     shard under ``path/shard_id=<n>/`` plus a ``_manifest`` dataset
     (per-shard doc count, byte total, and an order-independent 32-bit
-    sum checksum over ``md5(key:size)`` — enough for a consumer to
-    verify a shard without re-reading its neighbors) and a driver-side
-    ``_summary.json`` with the corpus totals.
+    sum checksum over ``md5(key:shard_pos)`` — membership AND byte
+    offsets pinned, both recomputable from the shard's own rows plus
+    their sizes, so a consumer verifies a shard without reading its
+    neighbors) and a driver-side ``_summary.json`` with the corpus
+    totals.
 
     One file per shard by construction: ``repartition(shard_id)``
     hash-colocates every row of a shard into exactly one task before
@@ -437,33 +448,41 @@ def write_training_shards(
     import json as _json
     import os
 
+    from pyspark import StorageLevel
+
     planned = plan_shards(df, key, size_col, target_bytes).withColumn(
         "_csum", F.conv(F.substring(F.md5(F.concat_ws(":", F.col(key), F.col("shard_pos"))), 1, 8), 16, 10).cast("long")
     )
-    (
-        planned.drop("_csum")
-        .repartition(F.col("shard_id"))
-        .sortWithinPartitions("shard_id", "shard_pos")
-        .write.partitionBy("shard_id")
-        .format(fmt)
-        .mode("error")
-        .save(path)
-    )
-    manifest = planned.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(size_col.cast("long")).alias("shard_bytes"),
-        F.sum("_csum").alias("checksum"),
-    )
-    manifest.repartition(1).write.json(os.path.join(path, "_manifest"))
-    totals = manifest.agg(
-        F.count(F.lit(1)).alias("n_shards"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("shard_bytes").alias("total_bytes"),
-    ).collect()[0]
+    # one plan, three consumers (data write, manifest, totals): persist
+    # so the scan + shuffle + prefix windows run once, not three times
+    planned = planned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            planned.drop("_csum")
+            .repartition(F.col("shard_id"))
+            .sortWithinPartitions("shard_id", "shard_pos")
+            .write.partitionBy("shard_id")
+            .format(fmt)
+            .mode("error")
+            .save(path)
+        )
+        manifest = planned.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col.cast("long")).alias("shard_bytes"),
+            F.sum("_csum").alias("checksum"),
+        )
+        manifest.repartition(1).write.json(os.path.join(path, "_manifest"))
+        totals = manifest.agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("shard_bytes").alias("total_bytes"),
+        ).collect()[0]
+    finally:
+        planned.unpersist()
     summary = {
-        "n_shards": int(totals["n_shards"]),
-        "n_docs": int(totals["n_docs"]),
-        "total_bytes": int(totals["total_bytes"]),
+        "n_shards": int(totals["n_shards"] or 0),
+        "n_docs": int(totals["n_docs"] or 0),
+        "total_bytes": int(totals["total_bytes"] or 0),
         "target_bytes": int(target_bytes),
         "format": fmt,
     }

@@ -227,11 +227,16 @@ def heavy_hitters_rollup(
     logged in a summary) and ``upper`` = lower + the residual bound of
     every day the key is ABSENT from (it may have been dropped there,
     but never with more than that day's residual). Ranked by lower
-    desc, key asc. Touches only the summary tables; the single scalar
-    (total residual) is a driver-sized aggregate."""
+    desc, key asc. Touches only the summary tables; the total-residual
+    scalar joins in as a broadcast one-row aggregate (no separate
+    driver job — callers often pass unmaterialized frames, and a
+    collect() here would execute the whole upstream summary pipeline
+    an extra time)."""
     from pyspark.sql import Window
 
-    tot = residuals.agg(F.sum("residual")).collect()[0][0] or 0
+    tot = residuals.agg(
+        F.coalesce(F.sum("residual"), F.lit(0)).cast("long").alias("_tot_resid")
+    )
     per_key = (
         summaries.join(residuals, "day")
         .groupBy(key)
@@ -242,10 +247,12 @@ def heavy_hitters_rollup(
     )
     w = Window.orderBy(F.col("lower_bound").desc(), F.col(key).asc())
     return (
-        per_key.withColumn(
-            "upper_bound", F.col("lower_bound") + F.lit(int(tot)) - F.col("_present_resid")
+        per_key.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "upper_bound",
+            F.col("lower_bound") + F.col("_tot_resid") - F.col("_present_resid"),
         )
-        .drop("_present_resid")
+        .drop("_present_resid", "_tot_resid")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
     )

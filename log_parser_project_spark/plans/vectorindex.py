@@ -186,17 +186,22 @@ def vector_index_topk(
         raise LookupError(f"no vector index {index!r} in this warehouse")
     mv, view_snap = _definition(catalog, view, as_of=head.snapshot_id)
     cents = mv["transform"]["args"]["centroids"]
+    # norms are per-vector, not per-pair: compute them once on each
+    # side of the join (|postings| + |queries| aggregates) instead of
+    # inside the pair expression — same discipline as brute_force_topk
     postings = _netted_read(
         catalog, view, mv, view_snap, as_of=head.snapshot_id
     ).select(
         "cell",
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("cvec"),
+        norm(F.col("emb")).alias("cn"),
     )
     p = len(cents) if n_probe is None else min(n_probe, len(cents))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(_probe_cells(F.col(vec_col), cents, p)).alias("cell"),
     )
     from pyspark.sql import Window
@@ -207,8 +212,7 @@ def vector_index_topk(
         .withColumn(
             "sim",
             F.round(
-                dot(F.col("qvec"), F.col("cvec"))
-                / (norm(F.col("qvec")) * norm(F.col("cvec"))),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
                 4,
             ),
         )

@@ -742,3 +742,40 @@ def test_heavy_hitter_summary_is_exact_at_full_capacity(spark, sf_dir):
     }
     for r in got:
         assert r.lower_bound == r.upper_bound == exact[r.user_id]
+
+
+def test_plan_shards_guards_and_duplicate_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from log_parser_project_spark.operators.sampling import (
+        plan_shards,
+        write_training_shards,
+    )
+
+    sz = F.coalesce(F.octet_length("text"), F.lit(0))
+    df = _shard_corpus(spark, n=10)
+    with _pytest.raises(ValueError, match="target_bytes"):
+        plan_shards(df, key="doc_id", size_col=sz, target_bytes=0)
+
+    # duplicate key values (same ordering hash): the explicit ROWS
+    # frame must still give every row its own exclusive byte range —
+    # no overlapping offsets inside a shard
+    dup = spark.createDataFrame(
+        [(1, "aaaa"), (1, "bbbbbb"), (1, "cc"), (2, "ddd")],
+        "doc_id long, text string",
+    )
+    rows = plan_shards(dup, key="doc_id", size_col=sz,
+                       target_bytes=1000).collect()
+    offsets = sorted(r.shard_pos for r in rows)
+    assert len(set(offsets)) == len(rows)  # all distinct
+    total = sum(len(r.text) for r in rows)
+    assert max(r.shard_pos + len(r.text) for r in rows) == total
+
+    # empty input: a clean zero summary, not a TypeError
+    out = str(tmp_path / "empty_shards")
+    summary = write_training_shards(
+        df.filter(F.lit(False)), out, key="doc_id", size_col=sz,
+        target_bytes=100,
+    )
+    assert summary["n_shards"] == 0 and summary["n_docs"] == 0
+    assert summary["total_bytes"] == 0
