@@ -112,3 +112,44 @@ def per_sink_aggregates_onepass(
         "by_hour": agg.filter(g("_g_hour") == 0).select("route", "hour", "n"),
     }
     return agg, splits
+
+
+def moment_correlation(
+    df: DataFrame,
+    x,
+    y,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Pearson correlation from EXACT integer moment sums — the
+    engine-portable alternative to ``corr()``, whose streaming
+    float accumulation is partial-sum-order-dependent and therefore
+    never bit-stable across engines or partitionings.
+
+    ``x`` and ``y`` are integer-valued Columns (cents / e4 — the
+    caller quantizes, as everywhere else in the contract surface).
+    One aggregate computes the six moment sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) as exact BIGINTs — map-side combinable, order-free —
+    and only the FINAL scalar combination
+    ``(nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²))`` runs in doubles:
+    identical inputs + identical expression tree ⇒ identical rounded
+    result in any engine. Zero-variance groups yield NULL. Caller
+    must keep Σx² within BIGINT (|x| ≤ ~3e6 at a billion rows); at
+    larger magnitudes quantize coarser.
+    """
+    gb = list(group_by or [])
+    sums = df.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+    var_x = d("n") * d("sxx") - d("sx") * d("sx")
+    var_y = d("n") * d("syy") - d("sy") * d("sy")
+    corr = F.when(
+        (var_x > 0) & (var_y > 0), F.round(cov_n / F.sqrt(var_x * var_y), 4)
+    )
+    return sums.select(*gb, "n", corr.alias("corr"))

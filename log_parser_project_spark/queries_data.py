@@ -3268,3 +3268,52 @@ def q_dd_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold semantics."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs_prefix(d, n=3, threshold_e4=5000)
+
+
+@_register(
+    "q_profile_correlation",
+    """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+      ) GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                  4)
+           END AS corr
+    FROM m
+    """,
+)
+def q_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment Pearson correlation per event type between the
+    value (BIGINT cents) and the hour-of-day (0-23 integer) —
+    operators/aggregate.moment_correlation. The six moment sums are
+    exact BIGINTs (order-free, map-side combinable) and only the
+    final scalar combination runs in doubles, so the rounded
+    coefficient is bit-stable across engines and partitionings where
+    a streaming corr() accumulator is not; the oracle recomputes the
+    identical sums and the identical double expression."""
+    from .operators.aggregate import moment_correlation
+    from .queries import cents
+
+    e = _spread(spark, _t(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - us % 3_600_000_000) / 3_600_000_000 % 24).cast("long")
+    return moment_correlation(
+        e, cents("value"), hour, group_by=["event_type"]
+    )

@@ -779,3 +779,33 @@ def test_plan_shards_guards_and_duplicate_keys(spark, tmp_path):
     )
     assert summary["n_shards"] == 0 and summary["n_docs"] == 0
     assert summary["total_bytes"] == 0
+
+
+def test_moment_correlation_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from log_parser_project_spark.operators.aggregate import moment_correlation
+
+    rows = [(i, "g%d" % (i % 2), i * 3 + (i % 5), 100 - i) for i in range(60)]
+    df = spark.createDataFrame(rows, "i long, g string, x long, y long")
+    got = {
+        r.g: (r.n, r.corr)
+        for r in moment_correlation(df, F.col("x"), F.col("y"),
+                                    group_by=["g"]).collect()
+    }
+    for g in ("g0", "g1"):
+        xs = np.array([r[2] for r in rows if r[1] == g], dtype=float)
+        ys = np.array([r[3] for r in rows if r[1] == g], dtype=float)
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert got[g][0] == 30
+        assert abs(got[g][1] - want) < 1e-4
+    # zero variance -> NULL, never a division error
+    const = spark.createDataFrame([(1, 5, 7), (2, 5, 9)], "i long, x long, y long")
+    r = moment_correlation(const, F.col("x"), F.col("y")).collect()[0]
+    assert r.corr is None
+    # content-deterministic: identical at any partitioning
+    a = sorted(map(tuple, moment_correlation(df, F.col("x"), F.col("y"),
+                                             group_by=["g"]).collect()))
+    b = sorted(map(tuple, moment_correlation(df.repartition(13), F.col("x"),
+                                             F.col("y"), group_by=["g"]).collect()))
+    assert a == b
