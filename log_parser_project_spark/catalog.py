@@ -3381,7 +3381,22 @@ class SnapshotCatalog(Catalog):
         })
         if drop_hidden:
             out = out.drop(*drop_hidden)
-        data_cols = [c for c in out.columns if c not in self._CHANGE_COLS]
+        # normalize to LOGICAL schema order: raw file reads of identity-
+        # partitioned dirs append the partition column last, so without
+        # this a changelog consumer sees a different column order than
+        # read_table — breaking positional set ops against table reads
+        # (columns a range-end schema no longer names, e.g. dropped by
+        # evolution mid-range, follow in their union order)
+        logical = _schema_of(hist[hi])
+        if logical is not None:
+            ordered = [f.name for f in logical.fields if f.name in out.columns]
+            extras = [
+                c for c in out.columns
+                if c not in ordered and c not in self._CHANGE_COLS
+            ]
+            data_cols = ordered + extras
+        else:
+            data_cols = [c for c in out.columns if c not in self._CHANGE_COLS]
         out = out.select(*data_cols, *self._CHANGE_COLS)
         if not drop_carryovers:
             return out
