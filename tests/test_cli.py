@@ -288,3 +288,22 @@ def test_cli_vectorindex_lifecycle(spark, tmp_path):
     out = json.loads(_run(
         "vectorindex", "--warehouse", wh, "--index", "vidx", "--refresh"))
     assert out["refreshed"] is None
+
+
+def test_table_to_table_example_runs_end_to_end():
+    """The examples/ runbooks are user-facing API demos that pytest
+    otherwise never executes — this one reconciles a CDC-maintained
+    mirror against its source with positional set ops, which caught a
+    real changelog column-order regression; keep it permanently
+    covered. (The others exercise surfaces the suite already drives.)"""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "table_to_table.py")],
+        cwd=repo, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "still row-identical after the correction" in r.stdout
