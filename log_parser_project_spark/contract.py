@@ -86,7 +86,6 @@ WINDOW: tuple[str, ...] = (
     "q_catalog_suite",        # K1 refs/evolution/txn/DQ + J7
     "q_w1_event_features",    # W1 W4 W5
     "q_s5_packet_decode",     # S5 P3 K3 P6 P8-reasons R6
-    "q_j4_struct_flatten",    # J4
     "q_fx_bitmath",           # A5 F3 F5 F7
     "q_w23_sorts",            # W2 W3
     "q_so_membership",        # J5 SO1 SO4 SO5
@@ -94,7 +93,6 @@ WINDOW: tuple[str, ...] = (
     "q_r4_stream_hourly",     # F9 R4
     "q_tx_lang_profile",      # P10 + langid/token stats
     "q_corpus_stats",         # corpus flagship + exact dedup
-    "q_scd_latest_per_class",  # SCD dim
     # ten operator pins in one slot (see queries_merged.q_ops_suite)
     "q_ops_suite",            # A1 A2 A3 A4 A7 A8 J3 J6 K2/F10 P5/P8/R3
     # round-3 feature surface, never driver-checked before r04:
@@ -110,27 +108,27 @@ WINDOW: tuple[str, ...] = (
     "q_tx_model_quality",
     "q_tx_df_prune",
     "q_tx_tfidf_topk",
-    "q_tx_length_percentiles",
-    # dataset prep
-    "q_td_chunk_windows",
-    "q_td_importance",
-    "q_td_domain_mix",
-    "q_td_stratified_sample",
-    # OLAP grouping sets + pivot
+    # dataset prep: five pins in one slot (queries_merged.q_td_suite —
+    # chunking, DSIR importance, domain mix, stratified sample, shard
+    # plan; the first four held r04 greens as singles, shard is new)
+    "q_td_suite",
+    # OLAP grouping sets (pivot's Expand mechanics stay pinned by
+    # rollup+cube; q_a_pivot_matrix keeps its r04 green on the ledger)
     "q_a_rollup_hierarchy",
     "q_a_cube_matrix",
-    "q_a_pivot_matrix",
-    # windowed behavioral analytics
+    # windowed behavioral analytics (retention's epoch-week bucketing
+    # stays pinned inside funnel; q_w_retention keeps its r04 green)
     "q_w_top_talkers",
     "q_w_sessionize",
     "q_w_funnel",
-    "q_w_retention",
     "q_w_anomaly_hours",
     # profiling + temporal joins + sketches
     "q_profile_columns",
     "q_j_asof_rates",
     "q_j_range_campaigns",
-    "q_sk_suite",         # hist rollup (= q_sk_quantile_hist) + HLL value pin
+    # hist rollup (= q_sk_quantile_hist) + HLL value pin + (r05) the
+    # mergeable heavy-hitter rollup (= q_sk_heavy_hitters verbatim)
+    "q_sk_suite",
     # similarity + skew + P7/A6 merged profile
     "q_sim_semantic_dedup",
     "q_skew_hot_join",
@@ -142,6 +140,25 @@ WINDOW: tuple[str, ...] = (
     "q_mor_upsert",           # K1 merge-on-read equality deletes
     "q_hp_pruned_scan",       # S3 hidden partitioning + derived pruning
     "q_dml_rowlevel",         # K1 row-level DELETE/UPDATE (CoW + MoR DVs)
+    # round-5 rotation: the late-r04 feature surface (14 oracle queries
+    # that had never received a driver verdict) enters as three
+    # kind-tagged suites + five singles; q_sk_heavy_hitters rides the
+    # extended q_sk_suite and q_td_shard_plan rides q_td_suite above.
+    # Rotated out for them (each keeping its r04 driver green on the
+    # ledger + full pytest parity, no §2 operator unpinned — see
+    # COVERAGE.md round-5 rotation): q_j4_struct_flatten (J4 holds 2
+    # cumulative greens; flatten path also in q_s5_packet_decode),
+    # q_scd_latest_per_class (SCD pinned in-window by q_scd2_intervals
+    # below), the four q_td_* singles (→ q_td_suite), q_a_pivot_matrix,
+    # q_w_retention, q_tx_length_percentiles.
+    "q_search_suite",         # BM25 + incremental index + phrase match
+    "q_mv_suite",             # incremental matview + cascade lattice
+    "q_ts_suite",             # densify/LOCF + gaps-and-islands outages
+    "q_vec_incremental_knn",  # incremental IVF index, exact all-probe
+    "q_graph_pagerank",       # fixed-point iterative PageRank
+    "q_dd_prefix_join",       # AllPairs/PPJoin exact similarity join
+    "q_scd2_intervals",       # SCD type-2 validity intervals
+    "q_profile_correlation",  # exact-moment Pearson correlation
 )
 
 
