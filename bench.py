@@ -10,6 +10,22 @@ Config via env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default all), ``BENCH_CONVS`` (default 100000).
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``bench_scaling.py`` and recorded in BENCH/BASELINE.md.
+
+The JSON carries a ``host`` block so every run SELF-DESCRIBES the
+box state it measured under (this shared VM's package clocks swing
+±20–40% day to day; BENCH_r04 read 1.29× slower than r03 on unchanged
+hot-path code purely from clock state, and without telemetry the run
+couldn't prove that itself): 1-min load average before/after, and the
+same all-cores-busy register-loop clock calibration bench_scaling.py
+uses (31 pinned spinners hold the package at the bench's own
+all-cores-busy power state while one core calibrates — a lone busy
+core would read turbo clocks the bench never sees). ``state`` is
+"nominal" when the measured clock is within 10% of the documented
+idle-day value AND the box was quiet at start, "busy-start" when
+clocks are fine but the 1-min load was high when the run began, and
+"depressed" when the clocks themselves are low — a depressed run's
+absolute seconds are comparable to other runs only via the clock
+ratio.
 """
 
 from __future__ import annotations
@@ -46,11 +62,29 @@ HEADLINE = [
 ]
 
 
+# all-cores-busy register-loop rate on an idle day (Mops/core) — the
+# reference the host block's clock ratio is computed against; measured
+# 2026-08-21 by bench_scaling.py's validated protocol (BENCH/BASELINE.md;
+# the same day's post-load-soak depressed state read 24.2).
+NOMINAL_IDLE_MOPS = 33.9
+
+
+def _host_probe() -> dict:
+    from bench_scaling import _calibrate_clock
+
+    return {
+        "load1": round(os.getloadavg()[0], 2),
+        "clock_mops": _calibrate_clock(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_convs = int(os.environ.get("BENCH_CONVS", "100000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    pre = _host_probe()  # before the JVM exists: the box we started on
 
     import pyspark.sql.functions as F
 
@@ -175,6 +209,28 @@ def main() -> None:
         match_kernel[f"{ex}_us_per_row"] = round(best * 1e6 / len(kernel_pdf), 3)
     tdf2.unpersist()
 
+    post = _host_probe()
+    clock = min(pre["clock_mops"], post["clock_mops"])
+    host = {
+        "load1_pre": pre["load1"],
+        "load1_post": post["load1"],
+        "clock_mops_pre": pre["clock_mops"],
+        "clock_mops_post": post["clock_mops"],
+        "nominal_idle_mops": NOMINAL_IDLE_MOPS,
+        "clock_ratio_vs_nominal": round(clock / NOMINAL_IDLE_MOPS, 3),
+        # "depressed": package clocks below 90% of the idle-day value —
+        # absolute seconds are not comparable to other runs without the
+        # clock ratio. "busy-start": clocks fine but the box wasn't
+        # quiet when the run began (competing load can inflate
+        # individual timings even at nominal clocks). "nominal": both
+        # clean — seconds are directly comparable across nominal runs.
+        "state": (
+            "depressed"
+            if clock < 0.9 * NOMINAL_IDLE_MOPS
+            else ("nominal" if pre["load1"] < 4.0 else "busy-start")
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -188,6 +244,7 @@ def main() -> None:
                 "turns_per_sec": round(n_rows / pipeline_sec, 1),
                 "cpus": cpus,
                 "match_kernel": match_kernel,
+                "host": host,
             }
         )
     )

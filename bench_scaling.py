@@ -3,8 +3,17 @@ N vs 4N executor criterion).
 
 Runs the identical parse→route→aggregate job over the identical
 pre-generated parquet input at ``local[N]`` and ``local[4N]`` (default
-8 and 32), shuffle partitions scaled with cores, best-of-3 timed runs
-after an untimed warmup, one fresh JVM per level (subprocess).
+4 and 16), shuffle partitions scaled with cores, best-of-``--runs``
+timed runs after an untimed warmup, one fresh JVM per level-run
+(subprocess). Levels are INTERLEAVED over ``--rounds`` rounds
+(N, 4N, N, 4N, …) and the headline efficiency is taken from the
+(N-run, 4N-run) pair whose in-worker clock calibrations match best —
+the r05 lesson: this host's package clocks can shift 40% BETWEEN two
+sequential phases (measured 35.5 → 21.9 Mops in one run), and a
+single sequential pass puts that whole shift into the efficiency
+number, leaving the normalization to repair what pairing-at-equal-
+clock-state simply avoids. Every pair is reported (JSON + md) so the
+headline choice is auditable.
 
 Prints a JSON summary and (with ``--write-md``) records it in
 ``BENCH/BASELINE.md``. Efficiency = throughput_4N / (4 × throughput_N).
@@ -191,7 +200,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--input", default=None)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=2)
+    # interleaved rounds: each round runs N then 4N back to back, and
+    # the summary pairs runs by MATCHED clock calibration — r05 lesson:
+    # with one sequential run per level, a host clock shift BETWEEN the
+    # two phases (observed: 35.5 → 21.9 Mops on one run, 19.7 → 22.7 on
+    # another, same hour) lands entirely in the efficiency number and
+    # the normalization has to repair it after the fact; interleaving
+    # bounds the time gap and pairing by calibration measures scaling
+    # at equal clock state instead of correcting for unequal state
+    ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--n", type=int, default=int(os.environ.get("SCALING_N", "4")))
     # 6M convs ≈ 40M rows: the 4N level must run well past 10s per trial
     # or fixed per-job costs (scheduling, python-worker dispatch, shuffle
@@ -211,8 +229,9 @@ def main() -> None:
         _gen_input(input_dir, args.convs)
 
     total_cores = os.cpu_count() or 32
-    results = {}
-    for cores in (args.n, args.n * 4):
+    runs_log: list[dict] = []
+    schedule = [c for _ in range(args.rounds) for c in (args.n, args.n * 4)]
+    for cores in schedule:
         # Faithful N-core-executor model, two mechanisms:
         # (1) CPU AFFINITY: the whole worker process tree — JVM task
         #     threads AND its forked python UDF workers — is confined to
@@ -236,33 +255,49 @@ def main() -> None:
             )
         finally:
             _stop_spinners(spinners)
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        runs_log.append(r)
 
     n, n4 = args.n, args.n * 4
-    eff = results[n4]["rows_per_sec"] / (4 * results[n]["rows_per_sec"])
-    # clock_ratio > 1 means the small-N level ran at a higher effective
-    # clock DESPITE the spinners (host power policy — measured, not
-    # assumed); the normalized figure is the job's core-scaling with
-    # that residual frequency skew divided out
-    clock_ratio = results[n]["spin_mops"] / results[n4]["spin_mops"]
-    eff_norm = eff * clock_ratio
+    import math
+
+    # every (N-run, 4N-run) combination is an efficiency estimate with
+    # its own measured clock ratio; the HEADLINE is the pair whose
+    # calibrations match best (min |log ratio|) — scaling measured AT
+    # equal clock state, not corrected for unequal state. All pairs are
+    # reported so a cherry-pick would be visible.
+    n_runs = [r for r in runs_log if r["cores"] == n]
+    n4_runs = [r for r in runs_log if r["cores"] == n4]
+    pairs = []
+    for a in n_runs:
+        for b in n4_runs:
+            eff = b["rows_per_sec"] / (4 * a["rows_per_sec"])
+            ratio = a["spin_mops"] / b["spin_mops"]
+            pairs.append({
+                "throughput_n": a["rows_per_sec"],
+                "throughput_4n": b["rows_per_sec"],
+                "sec_n": a["best_sec"], "sec_4n": b["best_sec"],
+                "spin_mops_n": a["spin_mops"], "spin_mops_4n": b["spin_mops"],
+                "clock_ratio_n_over_4n": round(ratio, 3),
+                "efficiency": round(eff, 3),
+                "efficiency_clock_normalized": round(eff * ratio, 3),
+                "clock_mismatch": round(abs(math.log(ratio)), 4),
+            })
+    best = min(pairs, key=lambda p: p["clock_mismatch"])
     summary = {
         "metric": "scaling efficiency N->4N (turns/sec, parse->route->aggregate)",
         "n_cores": n, "n4_cores": n4,
-        "rows": results[n]["rows"],
-        "throughput_n": results[n]["rows_per_sec"],
-        "throughput_4n": results[n4]["rows_per_sec"],
-        "sec_n": results[n]["best_sec"], "sec_4n": results[n4]["best_sec"],
-        "spin_mops_n": results[n]["spin_mops"],
-        "spin_mops_4n": results[n4]["spin_mops"],
-        "clock_ratio_n_over_4n": round(clock_ratio, 3),
-        "efficiency": round(eff, 3),
-        "efficiency_clock_normalized": round(eff_norm, 3),
-        # the gate reads the NORMALIZED figure only — trusting the
-        # calibration in both directions (a ratio < 1 means the 4N
-        # level clocked higher and raw efficiency is inflated; gating
-        # on "either" would always take the more favorable number)
-        "pass": eff_norm >= 0.8,
+        "rows": runs_log[0]["rows"],
+        **{k: best[k] for k in (
+            "throughput_n", "throughput_4n", "sec_n", "sec_4n",
+            "spin_mops_n", "spin_mops_4n", "clock_ratio_n_over_4n",
+            "efficiency", "efficiency_clock_normalized",
+        )},
+        # gate on the best-clock-matched pair's normalized figure (at a
+        # matched clock the normalization is a small correction, not a
+        # repair); all pairs are in the JSON for audit
+        "pass": best["efficiency_clock_normalized"] >= 0.8,
+        "pairs": pairs,
     }
     print(json.dumps(summary))
 
@@ -279,8 +314,12 @@ files) → classify → registry extract (extractor="auto": compiled-JVM
 expressions for the shipped registry) → broadcast enrich →
 route → 4 per-sink aggregates — run at `local[{n}]` and
 `local[{n4}]`, `spark.sql.shuffle.partitions` scaled with cores,
-fresh JVM per level, best of 3 timed runs after an untimed
-warmup. **Faithful N-core-executor protocol**, two mechanisms:
+fresh JVM per level-run, best of {args.runs} timed runs after an
+untimed warmup, levels INTERLEAVED over {args.rounds} rounds
+(N, 4N, N, 4N, …) and the headline taken from the (N-run, 4N-run)
+pair with the closest clock calibrations — measured at equal clock
+state, with every pair reported below so nothing is cherry-picked.
+**Faithful N-core-executor protocol**, two mechanisms:
 (1) *CPU affinity*: each worker's whole process tree — JVM task
 threads AND its forked python UDF workers — is confined via `taskset`
 to exactly N cores, because on a real N-core executor the python
@@ -291,10 +330,24 @@ every core outside the worker's set, so both levels run at identical
 clocks and package power — otherwise the small-N run gets turbo
 boosts no real N-executor cluster node would see.
 
+Headline pair (best clock match of the {len(pairs)} pairs):
+
 | parallelism | wall (s) | turns/sec | clock calib (Mops/core) |
 |---|---|---|---|
 | local[{n}] (N) | {summary["sec_n"]} | {summary["throughput_n"]:,} | {summary["spin_mops_n"]} |
 | local[{n4}] (4N) | {summary["sec_4n"]} | {summary["throughput_4n"]:,} | {summary["spin_mops_4n"]} |
+
+All (N-run × 4N-run) pairs — raw / normalized efficiency at each
+pair's measured clock ratio:
+
+| pair | Mops N | Mops 4N | clock ratio | raw | normalized |
+|---|---|---|---|---|---|
+{chr(10).join(
+    f'| {i + 1}{" (headline)" if p is best else ""} | {p["spin_mops_n"]} '
+    f'| {p["spin_mops_4n"]} | {p["clock_ratio_n_over_4n"]} '
+    f'| {p["efficiency"]} | {p["efficiency_clock_normalized"]} |'
+    for i, p in enumerate(pairs)
+)}
 
 **Scaling efficiency = throughput_4N / (4 × throughput_N) =
 {summary["efficiency"]} raw; {summary["efficiency_clock_normalized"]}

@@ -245,9 +245,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="consolidate delta rows to one per live posting")
     p_vi.add_argument("--status", action="store_true",
                       help="freshness + quantizer shape, metadata-only")
-    p_vi.add_argument("--query-id", action="append", type=int, metavar="ID",
+    p_vi.add_argument("--query-id", action="append", metavar="ID",
                       help="query by a vector already in the base table "
-                           "(looked up by id); repeatable")
+                           "(looked up by id, matched against the id "
+                           "column rendered as text — works for integer "
+                           "AND string id columns); repeatable")
     p_vi.add_argument("--k", type=int, default=5,
                       help="neighbors per query for --query-id")
     p_vi.add_argument("--n-probe", type=int, default=None,
@@ -416,9 +418,21 @@ def main(argv: list[str] | None = None) -> int:
             out["status"] = vi.vector_index_status(cat, args.index)
         if args.query_id:
             st = vi.vector_index_status(cat, args.index)
+            # compare through a string cast so the lookup works whatever
+            # the id column's type is — an int-typed isin() against a
+            # string column silently matches nothing (and vice versa)
             queries = cat.read_table(st["base_table"]).filter(
-                F.col(args.id_col).isin(args.query_id)
+                F.col(args.id_col).cast("string").isin(args.query_id)
             )
+            found = {
+                str(r[0])
+                for r in queries.select(args.id_col).distinct().collect()
+            }
+            missing = [v for v in args.query_id if v not in found]
+            if missing:
+                print(f"error: --query-id not in base table "
+                      f"{st['base_table']!r}: {missing}", file=sys.stderr)
+                return 2
             df = vi.vector_index_topk(
                 cat, args.index, queries, k=args.k, n_probe=args.n_probe,
                 id_col=args.id_col, vec_col=args.vec_col,

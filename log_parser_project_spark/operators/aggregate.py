@@ -134,7 +134,13 @@ def moment_correlation(
     identical inputs + identical expression tree ⇒ identical rounded
     result in any engine. Zero-variance groups yield NULL. Caller
     must keep Σx² within BIGINT (|x| ≤ ~3e6 at a billion rows); at
-    larger magnitudes quantize coarser.
+    larger magnitudes quantize coarser. This precondition is NOT
+    enforced here: outside ANSI mode (``spark.sql.ansi.enabled=false``)
+    a BIGINT sum overflow wraps SILENTLY and yields a plausible-looking
+    wrong coefficient — under ANSI mode the same overflow raises. If
+    input magnitudes aren't known a priori, check
+    ``max(abs(x)) * sqrt(n)`` fits BIGINT before trusting the result
+    (``test_profile_moments`` pins this guard for the contract query).
     """
     gb = list(group_by or [])
     sums = df.groupBy(*gb).agg(

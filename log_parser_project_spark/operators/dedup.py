@@ -113,6 +113,45 @@ def jaccard_pairs(
     )
 
 
+def prefix_candidates_from_shingles(
+    sh: DataFrame,
+    threshold_e4: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The AllPairs/PPJoin candidate pairs (a < b) from a distinct
+    (id, shingle) frame: docs whose rarest-token PREFIXES (length
+    ``|x| − ⌈t·|x|⌉ + 1`` in the global (df asc, shingle asc) order)
+    share a token. Complete by PPJoin Lemma 1 — every pair at
+    J ≥ t appears here. Exposed separately from
+    :func:`jaccard_pairs_prefix` so the verify join's cost driver
+    (candidate count × posting sizes) is measurable before running
+    it; the pytest pin asserts the pruning accounting on real data.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    wall = Window.partitionBy(id_col)
+    # integer ceil(t·n): (t_e4·n + 9999) div 10000
+    plen = (
+        F.col("n")
+        - F.expr(f"({threshold_e4}L * n + 9999) div 10000")
+        + F.lit(1)
+    )
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("pos") <= plen)
+        .select(F.col(id_col), "shingle")
+    )
+    return (
+        pref.select(F.col(id_col).alias("a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     n: int = 3,
@@ -142,33 +181,24 @@ def jaccard_pairs_prefix(
     postings only. ``threshold_e4`` is the Jaccard bound in e4
     fixed-point (5000 = 0.5); prefix lengths and the acceptance test
     are pure integer arithmetic, engine-portable.
+
+    VERIFY-COST BOUNDARY: the verify step joins candidate pairs back
+    through the FULL postings, so its shuffle is ∝ Σ over candidate
+    pairs of the two docs' shingle counts — standard for PPJoin, and
+    cheap exactly as long as the prefix filter keeps the candidate
+    set small. A corpus where the candidate set itself approaches
+    pair-of-corpus size (near-duplicate-heavy crawls at low
+    thresholds) makes verification quadratic in practice; there
+    MinHash (:func:`minhash_pairs`) remains the sub-quadratic path,
+    exactly as :func:`jaccard_pairs`'s guard-vs-recall note says for
+    the stop-shingle scheme. :func:`prefix_candidates_from_shingles`
+    exposes the candidate pairs so callers (and the pytest pin) can
+    ACCOUNT for this cost before committing to the verify join.
     """
     if not 0 < threshold_e4 <= 10_000:
         raise ValueError(f"threshold_e4 must be in (0, 10000], got {threshold_e4}")
     sh = word_shingles(df, n, id_col, text_col)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
-    wall = Window.partitionBy(id_col)
-    # integer ceil(t·n): (t_e4·n + 9999) div 10000
-    plen = (
-        F.col("n")
-        - F.expr(f"({threshold_e4}L * n + 9999) div 10000")
-        + F.lit(1)
-    )
-    pref = (
-        sh.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
-        .filter(F.col("pos") <= plen)
-        .select(F.col(id_col), "shingle")
-    )
-    cands = (
-        pref.select(F.col(id_col).alias("a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("b"), "shingle"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    cands = prefix_candidates_from_shingles(sh, threshold_e4, id_col)
     # exact verify on candidates only: count shared shingles through
     # the full postings (shuffle ∝ candidate pairs' tokens)
     sa = sh.select(F.col(id_col).alias("a"), "shingle")

@@ -378,9 +378,13 @@ def plan_shards(
     broadcast back as an exclusive prefix plan (16^chars rows), and
     the only per-row window is the byte cumsum WITHIN a bucket.
 
-    Returns ``df`` + ``shard_id`` (dense from 0) + ``shard_pos``
-    (the doc's byte offset inside its shard). Sizes must be
-    non-negative; use ``F.octet_length`` for byte-true text sizes.
+    Returns ``df`` + ``shard_id`` (monotone from 0; dense when no doc
+    exceeds ``target_bytes`` — a doc larger than the target advances
+    the byte prefix past whole shard ranges, so the skipped ordinals
+    stay empty, e.g. a 3×-target doc at offset 0 fills shard 0 and
+    leaves 1–2 unused) + ``shard_pos`` (the doc's byte offset inside
+    its shard). Sizes must be non-negative; use ``F.octet_length``
+    for byte-true text sizes.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")

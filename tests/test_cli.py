@@ -288,6 +288,38 @@ def test_cli_vectorindex_lifecycle(spark, tmp_path):
     out = json.loads(_run(
         "vectorindex", "--warehouse", wh, "--index", "vidx", "--refresh"))
     assert out["refreshed"] is None
+    # an id absent from the base table is a loud exit-2 error, never
+    # silently-empty results (ADVICE r04: int-typed isin against the
+    # id column matched nothing for string ids)
+    r = subprocess.run(
+        [sys.executable, "-m", "log_parser_project_spark", "vectorindex",
+         "--warehouse", wh, "--index", "vidx", "--query-id", "99"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "not in base table" in r.stderr
+
+
+def test_cli_vectorindex_string_id_column(spark, tmp_path):
+    """--query-id works against a STRING id column: the lookup compares
+    through a string cast instead of an int-typed isin (which silently
+    matched nothing — r04 ADVICE finding)."""
+    from log_parser_project_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "whs")
+    cat = SnapshotCatalog(spark, wh)
+    cat.write_table(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+            "vec_id string, embedding array<float>",
+        ),
+        "vecs",
+    )
+    out = json.loads(_run(
+        "vectorindex", "--warehouse", wh, "--index", "vidx",
+        "--create-over", "vecs", "--cells", "1",
+        "--query-id", "a", "--k", "1",
+    ))
+    assert [r["neighbor_id"] for r in out["results"]] == ["b"]
 
 
 def test_table_to_table_example_runs_end_to_end():

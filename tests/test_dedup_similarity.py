@@ -1061,6 +1061,23 @@ def test_prefix_join_equals_unguarded_exact_join(spark, sf_dir):
     )
     assert got == want and got  # identical answer, non-empty
 
+    # candidate-count accounting (the verify-cost driver the docstring
+    # names): the prefix filter's candidate set must contain every
+    # qualifying pair (completeness) while pruning the unguarded
+    # share-any-shingle pair space the oracle self-join explores
+    sh = dedup.word_shingles(d, n=3)
+    n_cands = dedup.prefix_candidates_from_shingles(sh, 5000).count()
+    share_any = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert len(got) <= n_cands <= share_any
+    assert n_cands < share_any  # the prefix actually pruned something
+
 
 def test_prefix_join_finds_pairs_the_df_guard_drops(spark):
     # 12 identical docs: every shingle has df=12, so a max_doc_freq<12

@@ -809,3 +809,26 @@ def test_moment_correlation_matches_numpy_and_is_partition_invariant(spark):
     b = sorted(map(tuple, moment_correlation(df.repartition(13), F.col("x"),
                                              F.col("y"), group_by=["g"]).collect()))
     assert a == b
+
+
+def test_profile_moments_overflow_guard(spark, sf_dir):
+    """moment_correlation documents (but cannot enforce) the BIGINT
+    precondition on its moment sums — outside ANSI mode an overflow
+    wraps SILENTLY into a plausible-looking coefficient. This pins the
+    guard for the contract query's actual inputs: the worst-case sum
+    bound n·max(x²) (and the cross term n·max|x|·max|y|) must fit
+    BIGINT for q_profile_correlation's (cents, hour) columns."""
+    from log_parser_project_spark.queries import cents
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - us % 3_600_000_000) / 3_600_000_000 % 24).cast("long")
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(cents("value"))).alias("mx"),
+        F.max(F.abs(hour)).alias("my"),
+    ).collect()[0]
+    for bound in (row.n * row.mx**2, row.n * row.my**2, row.n * row.mx * row.my):
+        assert bound < 2**63  # headroom at this SF is ~10 orders of magnitude
