@@ -154,7 +154,9 @@ WINDOW: tuple[str, ...] = (
     "q_search_suite",         # BM25 + incremental index + phrase match
     "q_mv_suite",             # incremental matview + cascade lattice
     "q_ts_suite",             # densify/LOCF + gaps-and-islands outages
-    "q_vec_incremental_knn",  # incremental IVF index, exact all-probe
+    # incremental IVF (exact all-probe) + the approximate bucketed-ANN
+    # path under a full value oracle (axis-aligned SRP — r04 stretch)
+    "q_vec_suite",
     "q_graph_pagerank",       # fixed-point iterative PageRank
     "q_dd_prefix_join",       # AllPairs/PPJoin exact similarity join
     "q_scd2_intervals",       # SCD type-2 validity intervals

@@ -169,6 +169,68 @@ def lsh_topk(
     )
 
 
+def axis_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN with ORACLE-REPLAYABLE hyperplanes: the same
+    candidate-generation + exact-cosine-re-rank plan as
+    :func:`lsh_topk`, but the ``planes`` hyperplanes are the first
+    ``planes`` COORDINATE AXES (bucket bit p = sign of component
+    p+1), so every step — bucketing, probing, scoring, ranking — is
+    plain arithmetic an external SQL engine replays bit-for-bit.
+    This is what gives the approximate-retrieval family a VALUE-level
+    driver pin (``q_sim_bucketed_ann``): the hashed-SRP / IVF
+    variants stay the production paths (their projections aren't
+    SQL-replayable, so they are recall-tested rows-only), while this
+    pins the shared bucket-join machinery end to end. Misses are
+    real and identical in both engines — a true neighbor in another
+    orthant is absent from both — which is exactly the approximate
+    contract. Plan: corpus bucket join against broadcast queries,
+    shuffle ∝ probed-bucket candidates, never corpus × queries.
+    """
+    def bucket(vec: Column) -> Column:
+        bits = [
+            F.when(F.element_at(vec, p + 1) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            for p in range(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int,

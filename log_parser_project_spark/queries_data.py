@@ -3317,3 +3317,46 @@ def q_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_correlation(
         e, cents("value"), hour, group_by=["event_type"]
     )
+
+
+@_register(
+    "q_sim_bucketed_ann",
+    """
+    WITH c AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4) AS sim
+      FROM c q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def q_sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-retrieval PATH itself under a VALUE-level
+    oracle (similarity.axis_bucket_topk): SRP bucketing with
+    axis-aligned hyperplanes (bucket bit p = sign of component p+1),
+    candidates only from the query's own bucket, exact cosine re-rank
+    rounded before the top-3 cut. Because the hyperplanes are
+    coordinate axes, DuckDB replays the WHOLE approximate algorithm —
+    bucketing, probing, scoring, ranking — so a drift anywhere in the
+    shared bucket-join machinery hash-fails; the hashed-SRP/IVF/PQ
+    production variants (projections not SQL-replayable) stay
+    recall-tested rows-only, exercising the same join shape this
+    query pins exactly."""
+    from .operators import similarity as sim
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return sim.axis_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, planes=2
+    )

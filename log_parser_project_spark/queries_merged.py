@@ -872,3 +872,36 @@ def q_td_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (dsir, mix, strat, shard):
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "q_vec_suite",
+    f"""
+    SELECT 'ivf' AS kind, query_id, neighbor_id, sim, rank
+    FROM {_sub("q_vec_incremental_knn")}
+    UNION ALL
+    SELECT 'bucket' AS kind, query_id, neighbor_id, sim, rank
+    FROM {_sub("q_sim_bucketed_ann")}
+    """,
+)
+def q_vec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-retrieval family in one slot: the incrementally-
+    maintained IVF index driven through append/UPDATE/DELETE commits
+    and probed in exact all-cells mode (``kind='ivf'`` — must be
+    bit-equal to brute force over the final corpus state) PLUS the
+    value-level pin of the APPROXIMATE path (``kind='bucket'`` —
+    axis-aligned SRP bucketing whose whole algorithm the oracle
+    replays, closing the r04 stretch item: the approximate family
+    previously had only rows-only recall tests). Same
+    (query_id, neighbor_id, sim, rank) schema on both sides."""
+
+    def run(name: str) -> DataFrame:
+        return QUERIES[name][0](spark, sf_dir)
+
+    ivf = run("q_vec_incremental_knn").select(
+        F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("long").alias("rank"))
+    bucket = run("q_sim_bucketed_ann").select(
+        F.lit("bucket").alias("kind"), "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("long").alias("rank"))
+    return ivf.unionByName(bucket)
