@@ -23,9 +23,9 @@ core would read turbo clocks the bench never sees). ``state`` is
 "nominal" when the measured clock is within 10% of the documented
 idle-day value AND the box was quiet at start, "busy-start" when
 clocks are fine but the 1-min load was high when the run began, and
-"depressed" when the clocks themselves are low — a depressed run's
-absolute seconds are comparable to other runs only via the clock
-ratio.
+"depressed"/"elevated" when the clocks themselves are off in either
+direction — such a run's absolute seconds are comparable to other
+runs only via the clock ratio.
 """
 
 from __future__ import annotations
@@ -218,16 +218,22 @@ def main() -> None:
         "clock_mops_post": post["clock_mops"],
         "nominal_idle_mops": NOMINAL_IDLE_MOPS,
         "clock_ratio_vs_nominal": round(clock / NOMINAL_IDLE_MOPS, 3),
-        # "depressed": package clocks below 90% of the idle-day value —
-        # absolute seconds are not comparable to other runs without the
-        # clock ratio. "busy-start": clocks fine but the box wasn't
-        # quiet when the run began (competing load can inflate
+        # "depressed"/"elevated": package clocks more than 10% below/
+        # above the idle-day value — absolute seconds are not
+        # comparable to other runs without the clock ratio (an elevated
+        # run reads faster with no code change, the same confusion in
+        # the other direction). "busy-start": clocks fine but the box
+        # wasn't quiet when the run began (competing load can inflate
         # individual timings even at nominal clocks). "nominal": both
         # clean — seconds are directly comparable across nominal runs.
         "state": (
             "depressed"
             if clock < 0.9 * NOMINAL_IDLE_MOPS
-            else ("nominal" if pre["load1"] < 4.0 else "busy-start")
+            else (
+                "elevated"
+                if clock > 1.1 * NOMINAL_IDLE_MOPS
+                else ("nominal" if pre["load1"] < 4.0 else "busy-start")
+            )
         ),
     }
 

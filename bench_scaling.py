@@ -380,9 +380,11 @@ with the identical plan (no driver-side loops; one narrow pipeline +
 per-aggregate exchanges). The measurement requires an OTHERWISE-IDLE
 box: external load deschedules the iso-frequency spinners, so the
 small-N level regains the turbo headroom the spinners exist to deny
-it (its throughput reads HIGH) and measured efficiency drops — the
-identical job + input read 0.779 with a 15-min load average of 8.5
-vs {summary["efficiency"]} idle. Check `uptime` before regenerating.
+it (its throughput reads HIGH) and measured efficiency drops — under
+the r04 sequential protocol the identical job + input read 0.779
+with a 15-min load average of 8.5 vs 0.792 idle THE SAME DAY (a
+same-protocol comparison; do not read it against this run's
+pair-matched headline). Check `uptime` before regenerating.
 """
         # preserve the hand-maintained protocol-validation study across
         # regenerations (everything from its header onward)

@@ -417,16 +417,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.status:
             out["status"] = vi.vector_index_status(cat, args.index)
         if args.query_id:
-            st = vi.vector_index_status(cat, args.index)
+            st = out.get("status") or vi.vector_index_status(cat, args.index)
             # compare through a string cast so the lookup works whatever
             # the id column's type is — an int-typed isin() against a
             # string column silently matches nothing (and vice versa)
             queries = cat.read_table(st["base_table"]).filter(
                 F.col(args.id_col).cast("string").isin(args.query_id)
-            )
+            ).persist()
+            # the found-set must render ids through the SAME Spark
+            # string cast the filter used — Python str() of a collected
+            # float/bool disagrees with Spark's rendering
             found = {
-                str(r[0])
-                for r in queries.select(args.id_col).distinct().collect()
+                r[0]
+                for r in queries.select(
+                    F.col(args.id_col).cast("string")
+                ).distinct().collect()
             }
             missing = [v for v in args.query_id if v not in found]
             if missing:

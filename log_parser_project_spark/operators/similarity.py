@@ -39,6 +39,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_cut(scored: DataFrame, k: int) -> DataFrame:
+    """The shared deterministic top-k cut every cosine-retrieval path
+    ends with: rank by (rounded sim desc, neighbor_id asc) per query.
+    One definition so the tie-break/rounding contract the DuckDB
+    oracles pin is edited in exactly one place."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _round_half_up4(x):
     """F.round / DuckDB ROUND semantics — half away from zero, NOT
     numpy's half-to-even; a midpoint like 0.15625 must round the same
@@ -83,12 +98,7 @@ def brute_force_topk(
             F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(scored, k)
 
 
 def srp_signature(vec: Column, planes: int, dim: int, band: int = 0) -> Column:
@@ -161,12 +171,7 @@ def lsh_topk(
             4,
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(scored, k)
 
 
 def axis_bucket_topk(
@@ -223,12 +228,7 @@ def axis_bucket_topk(
             F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(scored, k)
 
 
 def kmeans_centroids(
@@ -428,12 +428,7 @@ def ivf_topk(
             "sim", F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4)
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(scored, k)
 
 
 def neardup_pairs(
@@ -773,12 +768,7 @@ def gemm_topk(
             )
 
     cand = corpus.mapInPandas(part, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(cand, k)
 
 
 def pq_topk(
@@ -924,9 +914,4 @@ def pq_topk(
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     cand = corpus.mapInPandas(part, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_cut(cand, k)

@@ -33,6 +33,13 @@ def _sub(name: str) -> str:
     return f"(\n{sql}\n)"
 
 
+def _run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Invoke a registered constituent's callable — `_sub`'s Spark-side
+    twin: a suite runs the IDENTICAL plans the per-query parity pins
+    run, only re-projected onto the suite's common schema."""
+    return QUERIES[name][0](spark, sf_dir)
+
+
 def _k(ev):
     return F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
 
@@ -440,8 +447,6 @@ def q_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import queries_ops, queries_ops2  # noqa: F401
     from .queries import QUERIES
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
     z = F.lit(0).cast("long")
     e = F.lit("")
@@ -456,26 +461,26 @@ def q_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     parts = [
-        shape(run("q_a1_ordered_merge"), "a1", F.col("o_custkey"),
+        shape(_run(spark, sf_dir, "q_a1_ordered_merge"), "a1", F.col("o_custkey"),
               n=F.col("n_orders"), detail=F.col("merged")),
-        shape(run("q_a2_header_dedup"), "a2", F.col("p_brand"),
+        shape(_run(spark, sf_dir, "q_a2_header_dedup"), "a2", F.col("p_brand"),
               n=F.col("n_kept"), metric=F.col("n_dropped")),
-        shape(run("q_a3_section_group"), "a3", F.col("major"),
+        shape(_run(spark, sf_dir, "q_a3_section_group"), "a3", F.col("major"),
               n=F.col("n_tables"),
               metric=F.col("min_minor") * 100 + F.col("max_minor")),
-        shape(run("q_a4_record_stride"), "a4", F.col("tbl"),
+        shape(_run(spark, sf_dir, "q_a4_record_stride"), "a4", F.col("tbl"),
               n=F.col("n_fields"), metric=F.col("stride_bytes")),
-        shape(run("q_a7_route_counts"), "a7", F.col("route"),
+        shape(_run(spark, sf_dir, "q_a7_route_counts"), "a7", F.col("route"),
               n=F.col("n"), metric=F.col("sum_value_c")),
-        shape(run("q_a8_depset_sorted"), "a8", F.col("o_orderpriority"),
+        shape(_run(spark, sf_dir, "q_a8_depset_sorted"), "a8", F.col("o_orderpriority"),
               detail=F.col("deps")),
-        shape(run("q_j3_dep_closure"), "j3", F.col("root"),
+        shape(_run(spark, sf_dir, "q_j3_dep_closure"), "j3", F.col("root"),
               n=F.col("n_reachable"), metric=F.col("min_node")),
-        shape(run("q_j6_dynamic_repeat"), "j6", F.col("event_type"),
+        shape(_run(spark, sf_dir, "q_j6_dynamic_repeat"), "j6", F.col("event_type"),
               n=F.col("n_records"), metric=F.col("sum_rec")),
-        shape(run("q_k2_json_sink"), "k2", F.col("doc_id"),
+        shape(_run(spark, sf_dir, "q_k2_json_sink"), "k2", F.col("doc_id"),
               detail=F.col("payload")),
-        shape(run("q_p8_quarantine"), "p8",
+        shape(_run(spark, sf_dir, "q_p8_quarantine"), "p8",
               F.concat("channel", F.lit(":"), "event_type"), n=F.col("n")),
     ]
     out = parts[0]
@@ -705,18 +710,16 @@ def q_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered oracles."""
     zl = F.lit(0).cast("long")
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
-    bm25 = run("q_search_bm25").select(
+    bm25 = _run(spark, sf_dir, "q_search_bm25").select(
         F.lit("bm25").alias("kind"), "query_id", "doc_id", "score",
         F.col("rank").cast("long").alias("rank"), zl.alias("n"),
     )
-    incr = run("q_search_incremental").select(
+    incr = _run(spark, sf_dir, "q_search_incremental").select(
         F.lit("incr").alias("kind"), "query_id", "doc_id", "score",
         F.col("rank").cast("long").alias("rank"), zl.alias("n"),
     )
-    phrase = run("q_search_phrases").select(
+    phrase = _run(spark, sf_dir, "q_search_phrases").select(
         F.lit("phrase").alias("kind"),
         F.col("phrase_id").alias("query_id"), "doc_id",
         F.lit(0.0).alias("score"), zl.alias("rank"),
@@ -746,12 +749,10 @@ def q_mv_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     update pairing, zero-group netting, cascaded liveness, or
     compaction transparency hash-fails here."""
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
-    incr = run("q_mv_incremental").select(
+    incr = _run(spark, sf_dir, "q_mv_incremental").select(
         F.lit("incr").alias("kind"), "g", "n_rows", "sum_cents")
-    casc = run("q_mv_cascade").select(
+    casc = _run(spark, sf_dir, "q_mv_cascade").select(
         F.lit("cascade").alias("kind"), "g", "n_rows", "sum_cents")
     return incr.unionByName(casc)
 
@@ -780,13 +781,11 @@ def q_ts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end; both oracle subqueries are the constituents' own
     registered SQL."""
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
-    dens = run("q_ts_densify").select(
+    dens = _run(spark, sf_dir, "q_ts_densify").select(
         F.lit("densify").alias("kind"), "key", "bucket", "n",
         F.col("sum_v_c").alias("m1"), F.col("locf_v_c").alias("m2"))
-    out = run("q_ts_outages").select(
+    out = _run(spark, sf_dir, "q_ts_outages").select(
         F.lit("outage").alias("kind"), "key",
         F.col("longest_start").alias("bucket"),
         F.col("n_gaps").alias("n"),
@@ -839,30 +838,28 @@ def q_td_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked column and each oracle subquery is the constituent's own
     registered SQL."""
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
     zl = F.lit(0).cast("long")
     e = F.lit("")
 
-    chunk = run("q_td_chunk_windows").select(
+    chunk = _run(spark, sf_dir, "q_td_chunk_windows").select(
         F.lit("chunk").alias("kind"), F.col("doc_id").cast("string").alias("key"),
         F.col("chunk_idx").cast("long").alias("a"),
         F.col("n_tokens").cast("long").alias("b"), zl.alias("c"),
         F.col("chunk").alias("detail"))
-    dsir = run("q_td_importance").select(
+    dsir = _run(spark, sf_dir, "q_td_importance").select(
         F.lit("dsir").alias("kind"), F.col("doc_id").cast("string").alias("key"),
         F.col("score_e4").cast("long").alias("a"),
         F.col("keep").cast("long").alias("b"), zl.alias("c"), e.alias("detail"))
-    mix = run("q_td_domain_mix").select(
+    mix = _run(spark, sf_dir, "q_td_domain_mix").select(
         F.lit("mix").alias("kind"), F.col("doc_id").cast("string").alias("key"),
         F.col("rate_e9").cast("long").alias("a"), zl.alias("b"), zl.alias("c"),
         F.col("source").alias("detail"))
-    strat = run("q_td_stratified_sample").select(
+    strat = _run(spark, sf_dir, "q_td_stratified_sample").select(
         F.lit("strat").alias("kind"), F.col("doc_id").cast("string").alias("key"),
         F.col("n_chars").cast("long").alias("a"), zl.alias("b"), zl.alias("c"),
         F.col("lang").alias("detail"))
-    shard = run("q_td_shard_plan").select(
+    shard = _run(spark, sf_dir, "q_td_shard_plan").select(
         F.lit("shard").alias("kind"),
         F.col("shard_id").cast("string").alias("key"),
         F.col("n_docs").cast("long").alias("a"),
@@ -895,13 +892,11 @@ def q_vec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously had only rows-only recall tests). Same
     (query_id, neighbor_id, sim, rank) schema on both sides."""
 
-    def run(name: str) -> DataFrame:
-        return QUERIES[name][0](spark, sf_dir)
 
-    ivf = run("q_vec_incremental_knn").select(
+    ivf = _run(spark, sf_dir, "q_vec_incremental_knn").select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim",
         F.col("rank").cast("long").alias("rank"))
-    bucket = run("q_sim_bucketed_ann").select(
+    bucket = _run(spark, sf_dir, "q_sim_bucketed_ann").select(
         F.lit("bucket").alias("kind"), "query_id", "neighbor_id", "sim",
         F.col("rank").cast("long").alias("rank"))
     return ivf.unionByName(bucket)

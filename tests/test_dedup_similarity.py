@@ -1115,31 +1115,34 @@ def test_prefix_join_threshold_and_guards(spark):
 # ---------------------------------------------------------------------------
 
 def test_axis_bucket_topk_probes_only_own_orthant(spark):
-    """Hand-built orthant geometry: the query's true global NN lives in
-    another bucket, so the approximate result must MISS it (that miss
-    is the contract — identical in the DuckDB oracle) and rank only
-    same-bucket candidates by exact cosine."""
+    """Hand-built orthant geometry: the query's TRUE GLOBAL NN sits a
+    hair's width across the component-2 sign boundary (cos ≈ 0.999998,
+    brute-force rank 1) — the bucket path must MISS it (that miss is
+    the approximate contract, identical in the DuckDB oracle) and rank
+    only same-bucket candidates by exact cosine."""
     rows = [
-        (0, [1.0, 1.0, 0.0]),    # query: bucket 3 (both signs +)
-        (1, [1.0, 0.9, 0.0]),    # same bucket, closest in-bucket
-        (2, [0.5, 2.0, 0.0]),    # same bucket, further
-        (3, [0.99, -0.01, 0.1]), # bucket 1 — nearly parallel to query,
-                                 # the global NN the bucket path must miss
-        (4, [-1.0, -1.0, 0.0]),  # bucket 0
+        (0, [1.0, 0.001, 0.0]),   # query: bucket 3 (components 1,2 >= 0)
+        (1, [0.5, 2.0, 0.0]),     # same bucket, far (cos ~ 0.244)
+        (2, [2.0, 3.0, 0.0]),     # same bucket, mid (cos ~ 0.556)
+        (3, [1.0, -0.001, 0.0]),  # bucket 1 — the global NN, unreachable
+        (4, [-1.0, -1.0, 0.0]),   # bucket 0
     ]
     d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = d.filter(F.col("vec_id") == 0)
+    # the miss is real: brute force ranks vec 3 first
+    exact = sorted(similarity.brute_force_topk(d, q, k=1).collect(),
+                   key=lambda r: r.rank)
+    assert exact[0].neighbor_id == 3
     got = sorted(
-        similarity.axis_bucket_topk(
-            d, d.filter(F.col("vec_id") == 0), k=3, planes=2
-        ).collect(),
+        similarity.axis_bucket_topk(d, q, k=3, planes=2).collect(),
         key=lambda r: r.rank,
     )
-    assert [r.neighbor_id for r in got] == [1, 2]  # 3 and 4 unreachable
+    assert [r.neighbor_id for r in got] == [2, 1]  # 3 and 4 unreachable
     assert [r.rank for r in got] == [1, 2]
     # exact cosine within the probed bucket, rounded half-up to 4dp
     import numpy as np
     def cos(a, b):
         a, b = np.array(a), np.array(b)
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
-    assert got[0].sim == round(cos(rows[0][1], rows[1][1]), 4)
-    assert got[1].sim == round(cos(rows[0][1], rows[2][1]), 4)
+    assert got[0].sim == round(cos(rows[0][1], rows[2][1]), 4)
+    assert got[1].sim == round(cos(rows[0][1], rows[1][1]), 4)
