@@ -316,6 +316,46 @@ def phrase_occurrences_indexed(
     return out
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings
+    — the standard hybrid-retrieval combiner (e.g. BM25 ⊕ embedding
+    kNN). Each input frame carries ``(query_id, doc_id, rank)``; a doc
+    absent from a list simply contributes no term (full-outer
+    semantics). The fused score Σ 1/(c + rank_i) is the same IEEE
+    double expression in any engine and is ROUNDED to 8 decimals
+    BEFORE the final (score desc, doc_id asc) cut, so the top-``k``
+    is engine-stable and fully oracle-replayable — no learned weights,
+    no score normalization across heterogeneous scales, which is
+    precisely why RRF is the robust default for fusing rankings whose
+    raw scores aren't comparable. Plan: the inputs are top-k-sized, so
+    every join and the rank window run on candidate-sized data."""
+    contribs = [
+        r.select(
+            "query_id", "doc_id",
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("part"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for other in contribs[1:]:
+        allc = allc.unionByName(other)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("part"), 8).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )
+
+
 def bm25_score_py(
     corpus: dict[int, list[str]], query_terms: list[str], k1: float = 1.2, b: float = 0.75
 ) -> dict[int, float]:

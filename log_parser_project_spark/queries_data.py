@@ -3360,3 +3360,108 @@ def q_sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.axis_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3, planes=2
     )
+
+
+@_register(
+    "q_hybrid_rrf",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      GROUP BY term, doc_id
+    ),
+    q(query_id, term) AS (VALUES
+      (0, 'spark'), (0, 'join'), (0, 'window'),
+      (1, 'customer'), (1, 'order'),
+      (2, 'stream'), (2, 'batch'), (2, 'slow')
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+               tf.tf * (1.2 + 1) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                               (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 4) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 20
+    ),
+    vecq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4) AS sim
+      FROM vecq q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+        FROM sims
+      ) WHERE rank <= 20
+    ),
+    parts AS (
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS part FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM vec
+    ),
+    fused AS (
+      SELECT query_id, doc_id, ROUND(SUM(part), 8) AS rrf
+      FROM parts GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — BM25 text ranking fused with embedding-kNN
+    ranking by reciprocal-rank fusion (search.rrf_fuse): three free-
+    text queries run through the inverted index (top-20) while the
+    SAME query ids' vectors (documents.doc_id ≡ embeddings.vec_id in
+    this corpus) rank neighbors by exact cosine (top-20,
+    similarity.brute_force_topk); RRF sums 1/(60+rank) across the two
+    lists with full-outer semantics and cuts the fused top-10. Every
+    stage — BM25 math, cosine ranking, the fused reciprocal sum — is
+    the identical IEEE expression in both engines, rounded before
+    every rank cut, so the whole hybrid pipeline is value-checked,
+    not just its parts. The candidate-sized fusion join is the scale
+    shape: rankings are top-k per query, never corpus-sized."""
+    from .operators.search import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(
+        d,
+        [(0, "spark join window"), (1, "customer order"), (2, "stream batch slow")],
+        k=20,
+    ).select("query_id", "doc_id", "rank")
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, vec], k=10, c=60)

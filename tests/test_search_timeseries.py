@@ -293,3 +293,32 @@ def test_phrase_indexed_equivalent_and_py_tokens_mirror(spark):
         .select(tokens("text").alias("t")).collect()[0]["t"]
     )
     assert py_tokens(tricky) == spark_toks == ["spark\u00a0join", "window", "two", "lines"]
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval combiner)
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_arithmetic_and_outer_semantics(spark):
+    """Toy fusion: doc 10 is rank 1 in both lists, doc 20 appears only
+    in list A, doc 30 only in list B — the fused scores must be the
+    exact reciprocal sums (c=60) with full-outer semantics, ranked
+    (rrf desc, doc_id asc)."""
+    from log_parser_project_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(0, 10, 1), (0, 30, 2)], "query_id long, doc_id long, rank long")
+    got = {r.doc_id: (r.rrf, r.rank)
+           for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    assert got[10] == (round(2 * (1.0 / 61.0), 8), 1)
+    # 20 and 30 tie on score 1/62 -> doc_id ascending breaks the tie
+    assert got[20] == (round(1.0 / 62.0, 8), 2)
+    assert got[30] == (round(1.0 / 62.0, 8), 3)
+
+    # k cuts per query, not globally
+    two_q = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], "query_id long, doc_id long, rank long")
+    out = rrf_fuse([two_q], k=1).collect()
+    assert {(r.query_id, r.doc_id, r.rank) for r in out} == {(0, 1, 1), (1, 2, 1)}
